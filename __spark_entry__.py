@@ -1,38 +1,788 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``     — flagship: full tier-rollup pipeline (derive
+                       points -> 1m rollup -> 1h cascade -> gap-fill ->
+                       derived avg) over a sequences table derived from
+                       the sf0.001 documents parquet.
+``queries()``        — one demo per implemented operator (SURVEY.md §2),
+                       each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``     — DuckDB ANSI-SQL twins over the same parquet views.
+
+Cross-engine determinism rules used throughout (so the driver's
+row-count + schema + value-hash comparison is bit-exact):
+  - window starts are epoch-second BIGINTs (no timestamp tz ambiguity);
+  - money/metric doubles are quantized to integer units with FLOOR
+    before any SUM (double addition is order-dependent; long sums are
+    reorder-invariant and exact);
+  - cross-engine hashes use md5 (identical in Spark and DuckDB);
+  - struct-min/max used instead of min_by/max_by so ties break
+    deterministically in both engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from opentsdb_rollup_rust_spark.session import pin_session_conf
+from opentsdb_rollup_rust_spark.operators.points import derive_points
+from opentsdb_rollup_rust_spark.operators.rollup import (
+    cascade_reagg,
+    derived_avg,
+    preaggregate,
+    tumbling_rollup,
+)
+from opentsdb_rollup_rust_spark.operators.gapfill import gap_fill
+from opentsdb_rollup_rust_spark.operators.skew import salted_rollup, topk_hot_series
+from opentsdb_rollup_rust_spark.functions.hashing import md5_bucket
+from opentsdb_rollup_rust_spark.sources.synth import MAX_LEN, VOCAB
+
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demo metric stream: events as (series_id, ts, value-long).
+
+    value is quantized to integer thousandths so every engine sums it
+    exactly (see module docstring).
+    """
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_id"),
+        F.col("ts"),
+        F.floor(F.col("value") * F.lit(1000)).cast("long").alias("value"),
+    )
+
+
+# DuckDB twin of _event_points, used as a CTE by most oracles.
+_PTS_CTE = (
+    "WITH pts AS (SELECT event_type AS series_id, ts, "
+    "CAST(FLOOR(value*1000) AS BIGINT) AS value FROM events)"
+)
+
+
+def _epoch(col: str = "window_start") -> F.Column:
+    return F.unix_timestamp(F.col(col)).cast("long").alias("w_start")
+
+
+def _rollup_sql(interval_sec: int, interval: str) -> str:
+    return f"""{_PTS_CTE}
+    SELECT series_id,
+           CAST(FLOOR(epoch(ts)/{interval_sec})*{interval_sec} AS BIGINT) AS w_start,
+           '{interval}' AS "interval",
+           sum(value)::BIGINT AS "sum", count(value)::BIGINT AS "count",
+           min(value) AS "min", max(value) AS "max"
+    FROM pts GROUP BY 1, 2"""
+
+
+def _rollup_out(r: DataFrame) -> DataFrame:
+    return r.select(
+        "series_id", _epoch(), "interval", "sum", "count", "min", "max"
+    )
+
+
+def _seqs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequences-shaped table derived from the documents parquet
+    (FIXTURES.md §3: documents shadows the sequences shape)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        F.col("source"),
+    )
+    length = (F.pmod(F.xxhash64("doc_id"), F.lit(MAX_LEN)) + F.lit(1)).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), length - F.lit(1)),
+        lambda j: F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(VOCAB)).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        "source",
+    )
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: hourly token stats per source, gap-filled,
+    with read-time avg — the full M0+M1 pipeline."""
+    pin_session_conf(spark)
+    seqs = _seqs_from_documents(spark, "/root/testdata/sf0.001")
+    pts = derive_points(seqs)
+    r1m = tumbling_rollup(pts, "1m")
+    r1h = cascade_reagg(r1m, "1h")
+    filled = gap_fill(r1h, "1h", "zero")
+    return derived_avg(filled).orderBy("series_id", "window_start")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_rollup_1m(spark, sf_dir):
+    return _rollup_out(tumbling_rollup(_event_points(spark, sf_dir), "1m"))
+
+
+def _q_rollup_1h(spark, sf_dir):
+    # cascade from 1m — the oracle computes 1h directly from raw, so a
+    # value-hash match here *is* the cascade-correctness proof.
+    r1m = tumbling_rollup(_event_points(spark, sf_dir), "1m")
+    return _rollup_out(cascade_reagg(r1m, "1h"))
+
+
+def _q_rollup_1d(spark, sf_dir):
+    r1m = tumbling_rollup(_event_points(spark, sf_dir), "1m")
+    return _rollup_out(cascade_reagg(cascade_reagg(r1m, "1h"), "1d"))
+
+
+def _q_avg_derived(spark, sf_dir):
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    return derived_avg(r1h).select("series_id", _epoch(), "sum", "count", "avg")
+
+
+def _q_preagg_source(spark, sf_dir):
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    pre = preaggregate(r1h, F.lit("all"))
+    return pre.select(
+        F.col("group_key"), _epoch(), "sum", "count", "min", "max"
+    )
+
+
+def _q_agg_salted(spark, sf_dir):
+    return _rollup_out(salted_rollup(_event_points(spark, sf_dir), "1h", salts=8))
+
+
+def _q_agg_distinct(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    from opentsdb_rollup_rust_spark.functions.timeutil import time_bucket_epoch
+
+    return (
+        pts.groupBy(time_bucket_epoch("ts", 86400).alias("day_start"))
+        .agg(
+            F.countDistinct("series_id").alias("n_series"),
+            F.count("*").alias("n_points"),
+        )
+    )
+
+
+def _q_agg_first_last(spark, sf_dir):
+    pts = _event_points(spark, sf_dir)
+    from opentsdb_rollup_rust_spark.functions.timeutil import time_bucket_epoch
+
+    return (
+        pts.groupBy("series_id", time_bucket_epoch("ts", 3600).alias("w_start"))
+        .agg(
+            F.min(F.struct("ts", "value")).getField("value").alias("first_val"),
+            F.max(F.struct("ts", "value")).getField("value").alias("last_val"),
+        )
+    )
+
+
+def _q_agg_rollup_sets(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def _q_win_topk(spark, sf_dir):
+    return topk_hot_series(_event_points(spark, sf_dir), k=3)
+
+
+def _q_win_delta(spark, sf_dir):
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    w = Window.partitionBy("series_id").orderBy("window_start")
+    return r1h.select(
+        "series_id",
+        _epoch(),
+        (F.col("sum") - F.lag("sum").over(w)).alias("delta_sum"),
+    )
+
+
+def _q_win_moving(spark, sf_dir):
+    r1d = tumbling_rollup(_event_points(spark, sf_dir), "1d")
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("window_start")
+        .rowsBetween(-2, 0)
+    )
+    return r1d.select(
+        "series_id", _epoch(), F.avg("sum").over(w).alias("moving_avg")
+    )
+
+
+def _q_win_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def _q_filter_range(spark, sf_dir):
+    pts = _event_points(spark, sf_dir).where(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+    )
+    return pts.groupBy("series_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+
+
+def _q_filter_retention(spark, sf_dir):
+    """Keep only windows within 7 days of the stream's max ts —
+    retention relative to data, so it is deterministic."""
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    horizon = r1h.agg(
+        (F.max(F.unix_timestamp("window_start")) - F.lit(7 * 86400)).alias("cut")
+    )
+    return (
+        r1h.crossJoin(F.broadcast(horizon))
+        .where(F.unix_timestamp("window_start") >= F.col("cut"))
+        .groupBy("series_id")
+        .agg(F.count("*").alias("kept_windows"), F.sum("count").alias("kept_points"))
+    )
+
+
+def _q_filter_series(spark, sf_dir):
+    pts = _event_points(spark, sf_dir).where(
+        F.col("series_id").isin("click", "error")
+    )
+    return pts.groupBy("series_id").agg(F.count("*").alias("n"))
+
+
+def _q_join_broadcast(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+def _q_join_anti(spark, sf_dir):
+    # orders with no high-quantity lineitem (resume-style exclusion)
+    o = _t(spark, sf_dir, "orders")
+    hi = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(hi, o.o_orderkey == hi.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_join_semi(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return n.join(
+        c, n.n_nationkey == c.c_nationkey, "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+def _q_join_equi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _q_join_range(spark, sf_dir):
+    """Range join via hour-bucketization: pairs of events of different
+    types within 1 hour (b in [a.ts, a.ts+1h)). The explode of
+    [bucket, bucket+1] turns a quadratic theta-join into an equi-join
+    on the bucket plus a residual range filter."""
+    pts = _event_points(spark, sf_dir)
+    a = pts.select(
+        F.col("series_id").alias("a_series"),
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp("ts") / 3600),
+                F.floor(F.unix_timestamp("ts") / 3600) + 1,
+            )
+        ).alias("hb"),
+    )
+    b = pts.select(
+        F.col("series_id").alias("b_series"),
+        F.col("ts").alias("b_ts"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("hb"),
+    )
+    pairs = a.join(b, "hb").where(
+        (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+        & (F.col("a_series") != F.col("b_series"))
+    )
+    return pairs.groupBy("a_series", "b_series").agg(F.count("*").alias("n_pairs"))
+
+
+def _q_gapfill_zero(spark, sf_dir):
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    return _rollup_out(gap_fill(r1h, "1h", "zero"))
+
+
+def _q_gapfill_ffill(spark, sf_dir):
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    return gap_fill(r1h, "1h", "ffill").select("series_id", _epoch(), "sum")
+
+
+def _q_set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+def _q_set_except(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .distinct()
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+        .distinct()
+    )
+    return c.exceptAll(s)
+
+
+def _q_set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+def _q_sort_global(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "o_orderstatus")
+    )
+
+
+def _q_sort_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def _q_scan_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+    )
+
+
+def _q_fn_bucket(spark, sf_dir):
+    from opentsdb_rollup_rust_spark.functions.timeutil import time_bucket_epoch
+
+    pts = _event_points(spark, sf_dir)
+    return (
+        pts.select(time_bucket_epoch("ts", 300).alias("bucket5m"))
+        .groupBy("bucket5m")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_fn_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(md5_bucket(F.col("doc_id").cast("string"), 16).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_fn_array(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    arr = F.sequence(F.lit(1), (F.pmod(F.col("n_chars"), F.lit(8)) + 1).cast("int"))
+    stats = d.select(
+        "doc_id",
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")).alias(
+            "arr_sum"
+        ),
+        F.array_min(arr).cast("long").alias("arr_min"),
+        F.array_max(arr).cast("long").alias("arr_max"),
+        F.element_at(arr, 1).cast("long").alias("arr_first"),
+        F.element_at(arr, -1).cast("long").alias("arr_last"),
+        F.size(arr).cast("long").alias("arr_len"),
+    )
+    return stats
+
+
+def _q_fn_invariant(spark, sf_dir):
+    e1 = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e2 = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("vid2"), F.col("embedding").alias("emb2")
+    )
+    j = e1.join(e2, e1.vec_id == e2.vid2)
+    return j.select(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("embedding") == F.col("emb2"), 1).otherwise(0)).alias(
+            "n_equal"
+        ),
+    )
+
+
+def _q_fn_string(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("tagged"),
+        F.substring_index(F.col("c_name"), "#", -1).alias("name_num"),
+        F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+        F.length(F.col("c_name")).alias("name_len"),
+    )
+
+
+def _q_fn_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(k).alias("k_count"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+def _q_fn_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_abs"),
+        F.floor(F.col("l_extendedprice")).alias("price_floor"),
+        F.pmod(F.col("l_partkey"), F.lit(7)).alias("part_mod"),
+    )
+
+
+def _q_fn_map(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string")
+    )
+    return (
+        ev.select(
+            F.element_at(m, "type").alias("mtype"),
+            F.element_at(m, "uid").alias("muid"),
+        )
+        .groupBy("mtype")
+        .agg(F.countDistinct("muid").alias("n_users"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    qs = {
+        "rollup_1m": _q_rollup_1m,
+        "rollup_1h": _q_rollup_1h,
+        "rollup_1d": _q_rollup_1d,
+        "avg_derived": _q_avg_derived,
+        "preagg_source": _q_preagg_source,
+        "agg_salted": _q_agg_salted,
+        "agg_distinct": _q_agg_distinct,
+        "agg_first_last": _q_agg_first_last,
+        "agg_rollup_sets": _q_agg_rollup_sets,
+        "win_topk": _q_win_topk,
+        "win_delta": _q_win_delta,
+        "win_moving": _q_win_moving,
+        "win_rank": _q_win_rank,
+        "filter_range": _q_filter_range,
+        "filter_retention": _q_filter_retention,
+        "filter_series": _q_filter_series,
+        "join_broadcast": _q_join_broadcast,
+        "join_anti": _q_join_anti,
+        "join_semi": _q_join_semi,
+        "join_equi": _q_join_equi,
+        "join_range": _q_join_range,
+        "gapfill_zero": _q_gapfill_zero,
+        "gapfill_ffill": _q_gapfill_ffill,
+        "set_union": _q_set_union,
+        "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
+        "sort_global": _q_sort_global,
+        "sort_limit": _q_sort_limit,
+        "scan_project": _q_scan_project,
+        "fn_bucket": _q_fn_bucket,
+        "fn_hash": _q_fn_hash,
+        "fn_array": _q_fn_array,
+        "fn_invariant": _q_fn_invariant,
+        "fn_string": _q_fn_string,
+        "fn_json": _q_fn_json,
+        "fn_math": _q_fn_math,
+        "fn_map": _q_fn_map,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _pinned(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pin_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {k: _pinned(v) for k, v in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _rollup_sql(60, "1m"),
+        "rollup_1h": _rollup_sql(3600, "1h"),
+        "rollup_1d": _rollup_sql(86400, "1d"),
+        "avg_derived": f"""{_PTS_CTE}
+            SELECT series_id,
+                   CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                   sum(value)::BIGINT AS "sum", count(value)::BIGINT AS "count",
+                   (sum(value)::DOUBLE) / (count(value)::DOUBLE) AS avg
+            FROM pts GROUP BY 1, 2""",
+        "preagg_source": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS s, count(value)::BIGINT AS c,
+                         min(value) AS mn, max(value) AS mx
+                  FROM pts GROUP BY 1, 2)
+            SELECT 'all' AS group_key, w_start,
+                   sum(s)::BIGINT AS "sum", sum(c)::BIGINT AS "count",
+                   min(mn) AS "min", max(mx) AS "max"
+            FROM r GROUP BY 2""",
+        "agg_salted": _rollup_sql(3600, "1h"),
+        "agg_distinct": f"""{_PTS_CTE}
+            SELECT CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS day_start,
+                   count(DISTINCT series_id)::BIGINT AS n_series,
+                   count(*)::BIGINT AS n_points
+            FROM pts GROUP BY 1""",
+        "agg_first_last": f"""{_PTS_CTE}
+            SELECT series_id,
+                   CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                   (min(struct_pack(ts := ts, value := value))).value AS first_val,
+                   (max(struct_pack(ts := ts, value := value))).value AS last_val
+            FROM pts GROUP BY 1, 2""",
+        "agg_rollup_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT))::BIGINT AS revenue_cents,
+                   count(*)::BIGINT AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "win_topk": f"""{_PTS_CTE},
+            c AS (SELECT series_id, count(*)::BIGINT AS cnt FROM pts GROUP BY 1),
+            r AS (SELECT series_id, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, series_id) AS rank
+                  FROM c)
+            SELECT series_id, cnt, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3""",
+        "win_delta": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS s
+                  FROM pts GROUP BY 1, 2)
+            SELECT series_id, w_start,
+                   s - lag(s) OVER (PARTITION BY series_id ORDER BY w_start) AS delta_sum
+            FROM r""",
+        "win_moving": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS s
+                  FROM pts GROUP BY 1, 2)
+            SELECT series_id, w_start,
+                   avg(s) OVER (PARTITION BY series_id ORDER BY w_start
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+            FROM r""",
+        "win_rank": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                  FROM orders) WHERE rnk <= 5""",
+        "filter_range": f"""{_PTS_CTE}
+            SELECT series_id, count(*)::BIGINT AS n, sum(value)::BIGINT AS total
+            FROM pts
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+            GROUP BY 1""",
+        "filter_retention": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         count(value)::BIGINT AS c
+                  FROM pts GROUP BY 1, 2),
+            cut AS (SELECT max(w_start) - 7*86400 AS cut FROM r)
+            SELECT series_id, count(*)::BIGINT AS kept_windows,
+                   sum(c)::BIGINT AS kept_points
+            FROM r, cut WHERE r.w_start >= cut.cut GROUP BY 1""",
+        "filter_series": f"""{_PTS_CTE}
+            SELECT series_id, count(*)::BIGINT AS n FROM pts
+            WHERE series_id IN ('click', 'error') GROUP BY 1""",
+        "join_broadcast": """
+            SELECT n_name, count(*)::BIGINT AS n_customers,
+                   sum(CAST(FLOOR(c_acctbal*100) AS BIGINT))::BIGINT AS acctbal_cents
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1""",
+        "join_anti": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_quantity > 45)
+            GROUP BY 1""",
+        "join_semi": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE n_nationkey IN (SELECT c_nationkey FROM customer)""",
+        "join_equi": """
+            SELECT o_orderpriority,
+                   sum(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT))::BIGINT
+                     AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1""",
+        "join_range": f"""{_PTS_CTE}
+            SELECT a.series_id AS a_series, b.series_id AS b_series,
+                   count(*)::BIGINT AS n_pairs
+            FROM pts a JOIN pts b
+              ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+             AND a.series_id <> b.series_id
+            GROUP BY 1, 2""",
+        "gapfill_zero": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w,
+                         sum(value)::BIGINT AS s, count(value)::BIGINT AS c,
+                         min(value) AS mn, max(value) AS mx
+                  FROM pts GROUP BY 1, 2),
+            b AS (SELECT series_id, min(w) AS w0, max(w) AS w1 FROM r GROUP BY 1),
+            spine AS (SELECT series_id, unnest(generate_series(w0, w1, 3600)) AS w
+                      FROM b)
+            SELECT spine.series_id, spine.w AS w_start, '1h' AS "interval",
+                   coalesce(s, 0)::BIGINT AS "sum", coalesce(c, 0)::BIGINT AS "count",
+                   coalesce(mn, 0)::BIGINT AS "min", coalesce(mx, 0)::BIGINT AS "max"
+            FROM spine LEFT JOIN r ON spine.series_id = r.series_id AND spine.w = r.w""",
+        "gapfill_ffill": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w,
+                         sum(value)::BIGINT AS s
+                  FROM pts GROUP BY 1, 2),
+            b AS (SELECT series_id, min(w) AS w0, max(w) AS w1 FROM r GROUP BY 1),
+            spine AS (SELECT series_id, unnest(generate_series(w0, w1, 3600)) AS w
+                      FROM b),
+            j AS (SELECT spine.series_id, spine.w, s
+                  FROM spine LEFT JOIN r ON spine.series_id = r.series_id
+                                        AND spine.w = r.w)
+            SELECT series_id, w AS w_start,
+                   last_value(s IGNORE NULLS)
+                     OVER (PARTITION BY series_id ORDER BY w
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "sum"
+            FROM j""",
+        "set_union": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier)""",
+        "set_except": """
+            SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+            EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000""",
+        "set_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier""",
+        "sort_global": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders
+            GROUP BY 1 ORDER BY n DESC, o_orderstatus""",
+        "sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "scan_project": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT))::BIGINT AS price_cents
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1""",
+        "fn_bucket": f"""{_PTS_CTE}
+            SELECT CAST(FLOOR(epoch(ts)/300)*300 AS BIGINT) AS bucket5m,
+                   count(*)::BIGINT AS n
+            FROM pts GROUP BY 1""",
+        "fn_hash": """
+            SELECT CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16)
+                        AS INT) AS bucket,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1""",
+        "fn_array": """
+            SELECT doc_id,
+                   list_aggregate(generate_series(1, CAST(n_chars % 8 + 1 AS INT)), 'sum')::BIGINT AS arr_sum,
+                   list_min(generate_series(1, CAST(n_chars % 8 + 1 AS INT)))::BIGINT AS arr_min,
+                   list_max(generate_series(1, CAST(n_chars % 8 + 1 AS INT)))::BIGINT AS arr_max,
+                   (generate_series(1, CAST(n_chars % 8 + 1 AS INT)))[1]::BIGINT AS arr_first,
+                   (generate_series(1, CAST(n_chars % 8 + 1 AS INT)))[-1]::BIGINT AS arr_last,
+                   len(generate_series(1, CAST(n_chars % 8 + 1 AS INT)))::BIGINT AS arr_len
+            FROM documents""",
+        "fn_invariant": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN e1.embedding = e2.embedding THEN 1 ELSE 0 END)::BIGINT
+                     AS n_equal
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id = e2.vec_id""",
+        "fn_string": """
+            SELECT c_custkey,
+                   c_mktsegment || '|' || c_name AS tagged,
+                   split_part(c_name, '#', 2) AS name_num,
+                   upper(c_mktsegment) AS seg_upper,
+                   CAST(length(c_name) AS INT) AS name_len
+            FROM customer""",
+        "fn_json": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_count,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+            FROM events GROUP BY 1""",
+        "fn_math": """
+            SELECT l_orderkey, l_linenumber,
+                   sqrt(l_quantity) AS qty_sqrt,
+                   abs(l_discount - 0.05) AS disc_abs,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+                   l_partkey % 7 AS part_mod
+            FROM lineitem WHERE l_orderkey % 97 = 0""",
+        "fn_map": """
+            SELECT event_type AS mtype, count(DISTINCT CAST(user_id AS VARCHAR))::BIGINT
+                     AS n_users
+            FROM events GROUP BY 1""",
+    }

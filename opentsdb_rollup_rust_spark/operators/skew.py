@@ -1,0 +1,73 @@
+"""A5/W3 — hot-key skew handling (BASELINE.json:6,14).
+
+The 70% 'web' source makes ~70% of all points share a handful of
+series_ids. AQE splits skewed *join* partitions but NOT skewed groupBy
+partitions (SURVEY.md §4) — so the skew-safe aggregation is manual:
+
+  phase 1: groupBy (series_id, salt, window)  — spreads the hot key
+           over S reducers; salt = pmod(xxhash64(ts), S) is
+           deterministic (no rand(), resume-safe).
+  phase 2: groupBy (series_id, window)        — folds salts back.
+
+Correct because SUM/COUNT/MIN/MAX are decomposable; golden test:
+salted == unsalted exactly.
+
+At 10^12 scale phase 1's partial aggregation already collapses
+per-task data, so the extra shuffle is narrow (|series x salt x
+windows| rows). topk_hot_series feeds an optional targeted variant
+(salt only the detected hot series); the default salts uniformly,
+which is simpler and near-free given the narrow phase-1 output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import INTERVAL_SECONDS
+from ..functions.timeutil import time_bucket
+
+
+def salted_rollup(points: DataFrame, interval: str, salts: int = 16) -> DataFrame:
+    """A5: two-phase skew-safe tumbling rollup; result == tumbling_rollup."""
+    sec = INTERVAL_SECONDS[interval]
+    phase1 = (
+        points.withColumn("salt", F.pmod(F.xxhash64("ts"), F.lit(salts)))
+        .groupBy("series_id", "salt", time_bucket("ts", sec).alias("window_start"))
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+    )
+    return (
+        phase1.groupBy("series_id", "window_start")
+        .agg(
+            F.sum("sum").alias("sum"),
+            F.sum("count").alias("count"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select(
+            "series_id",
+            "window_start",
+            F.lit(interval).alias("interval"),
+            "sum",
+            "count",
+            "min",
+            "max",
+        )
+    )
+
+
+def topk_hot_series(points: DataFrame, k: int = 10) -> DataFrame:
+    """W3: top-k series by point count — the skew detector. Ties break
+    on series_id for determinism."""
+    counts = points.groupBy("series_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("series_id"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("series_id", "cnt", "rank")
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the rollup engine.
+
+Local mode is a single JVM; on a real cluster the same confs apply
+(AQE handles runtime re-planning of shuffle partition counts, skew
+splitting for joins; UTC session timezone keeps window alignment and
+oracle comparison deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "opentsdb_rollup_rust_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session with engine defaults.
+
+    ``master`` defaults to local[$SPARK_GRAFT_CPUS] (or local[*]).
+    ``shuffle_partitions`` defaults to the local core count — the
+    right number for local mode; on a cluster you would size it to
+    ~2-3x total executor cores (or let AQE coalesce from a high
+    initial value).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> None:
+    """Set runtime confs we rely on, on a session we did not create
+    (e.g. the verification driver's). All are runtime-settable."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,72 @@
+"""A1-A5 golden semantics (SURVEY.md §5.2 item 1) + DuckDB oracle."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from opentsdb_rollup_rust_spark.operators.points import derive_points
+from opentsdb_rollup_rust_spark.operators.rollup import (
+    cascade_reagg,
+    derived_avg,
+    preaggregate,
+    tumbling_rollup,
+)
+from opentsdb_rollup_rust_spark.operators.skew import salted_rollup, topk_hot_series
+
+from .conftest import assert_df_equal
+
+
+def test_cascade_equals_direct(points):
+    """The re-aggregability theorem: 1m->1h->1d == direct per tier."""
+    r1m = tumbling_rollup(points, "1m")
+    r1h = cascade_reagg(r1m, "1h")
+    r1d = cascade_reagg(r1h, "1d")
+    assert_df_equal(r1h, tumbling_rollup(points, "1h"))
+    assert_df_equal(r1d, tumbling_rollup(points, "1d"))
+
+
+def test_salted_equals_unsalted(points):
+    assert_df_equal(salted_rollup(points, "1h", salts=8), tumbling_rollup(points, "1h"))
+
+
+def test_avg_derived_not_stored(points):
+    r = tumbling_rollup(points, "1h")
+    assert "avg" not in r.columns  # never materialized
+    row = derived_avg(r).where(F.col("count") > 0).first()
+    assert abs(row["avg"] - row["sum"] / row["count"]) < 1e-12
+
+
+def test_rollup_against_duckdb(points):
+    """Independent engine, same input: bit-exact (integer values)."""
+    pdf = points.toPandas()
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    want = con.sql(
+        """
+        SELECT series_id,
+               to_timestamp(CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)) AT TIME ZONE 'UTC' AS window_start,
+               sum(value)::BIGINT AS s, count(*)::BIGINT AS c,
+               min(value) AS mn, max(value) AS mx
+        FROM pts GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    got = [
+        (r.series_id, r.window_start, r.sum, r["count"], r["min"], r["max"])
+        for r in tumbling_rollup(points, "1h")
+        .orderBy("series_id", "window_start")
+        .collect()
+    ]
+    want = [(a, b.replace(tzinfo=None), c, d, e, f) for a, b, c, d, e, f in want]
+    assert got == want
+
+
+def test_preaggregate_collapses_series(points):
+    r1h = tumbling_rollup(points, "1h")
+    pre = preaggregate(r1h, F.substring_index("series_id", ":", 1))
+    total = pre.agg(F.sum("count")).first()[0]
+    assert total == points.count()
+
+
+def test_topk_hot_series(points):
+    top = topk_hot_series(points, k=3).collect()
+    assert len(top) == 3 and top[0].rank == 1
+    assert all(s.series_id.startswith("web:") for s in top)
