@@ -523,6 +523,55 @@ def _q_fn_map(spark, sf_dir):
     )
 
 
+def _q_codec_roundtrip(spark, sf_dir):
+    """Gorilla encode -> decode -> re-aggregate; the oracle computes the
+    same rollup directly in SQL, so a value match proves the codec
+    round-trips bit-exactly on real data."""
+    from opentsdb_rollup_rust_spark.codec.gorilla import decode_chunks, encode_chunks
+
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    decoded = decode_chunks(encode_chunks(r1h, "1h"))
+    back = (
+        decoded.groupBy("series_id", "window_start")
+        .pivot("agg", ["sum", "count", "min", "max"])
+        .agg(F.first("value"))
+    )
+    return back.select(
+        "series_id", _epoch(), F.lit("1h").alias("interval"),
+        "sum", "count", "min", "max",
+    )
+
+
+def _q_codec_stats(spark, sf_dir):
+    from opentsdb_rollup_rust_spark.codec.gorilla import (
+        compression_stats,
+        encode_chunks,
+    )
+
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    return compression_stats(encode_chunks(r1h, "1h"))
+
+
+def _q_udaf_hist(spark, sf_dir):
+    """A10: grouped-map pandas UDAF — per-source histogram of document
+    lengths (bucket = 200 chars). The oracle reproduces it in SQL, so
+    the Arrow grouped-map path itself is value-checked."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+
+    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = (pdf["n_chars"] // 200).astype("int64")
+        out = b.value_counts().sort_index().reset_index()
+        out.columns = ["bucket", "n"]
+        out.insert(0, "source", pdf["source"].iloc[0])
+        return out
+
+    return d.groupBy("source").applyInPandas(
+        hist, "source string, bucket long, n long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = {
         "rollup_1m": _q_rollup_1m,
@@ -562,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_json": _q_fn_json,
         "fn_math": _q_fn_math,
         "fn_map": _q_fn_map,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "codec_stats": _q_codec_stats,
+        "udaf_hist": _q_udaf_hist,
     }
 
     def _pinned(fn):
@@ -785,4 +837,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS mtype, count(DISTINCT CAST(user_id AS VARCHAR))::BIGINT
                      AS n_users
             FROM events GROUP BY 1""",
+        "codec_roundtrip": _rollup_sql(3600, "1h"),
+        # codec_stats: rows-only (depends on codec internals by design)
+        "udaf_hist": """
+            SELECT source, CAST(n_chars // 200 AS BIGINT) AS bucket,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2""",
     }

@@ -1,0 +1,360 @@
+"""C1/C2/C3 — delta-of-delta timestamp + Gorilla XOR value compression.
+
+Format (public definitions: Pelkonen et al., "Gorilla: A Fast,
+Scalable, In-Memory Time Series Database", VLDB 2015, §4.1; mandated
+by BASELINE.json:6).
+
+Timestamps (§4.1.1), in *interval units* relative to the chunk start
+(rollup windows are interval-aligned, so regular series give
+delta-of-delta == 0 -> 1 bit/point):
+
+  point 0 : 14-bit raw delta (ts0 - chunk_start), unit = interval
+  point i : dod = delta_i - delta_{i-1} bucket-coded
+            '0'                      dod == 0
+            '10'   + 7 bits          dod in [-63, 64]      (stored dod+63)
+            '110'  + 9 bits          dod in [-255, 256]    (stored dod+255)
+            '1110' + 12 bits         dod in [-2047, 2048]  (stored dod+2047)
+            '1111' + 32 bits         otherwise (dod mod 2^32, signed)
+
+Values (§4.1.2), on the raw 64-bit word (int64 bit pattern here;
+float64 views work identically):
+
+  point 0 : raw 64 bits
+  point i : xor = w_i ^ w_{i-1}
+            '0'                      xor == 0
+            '1' then control bit:
+              '0' + meaningful bits   reuse previous window
+              '1' + 5b leading-zeros (capped 31) + 6b (len-1) + bits
+
+Window-reuse rule (a from-scratch design choice that keeps the ENCODER
+fully vectorizable — the sequential part of classic Gorilla encoders is
+the sticky window state): the reuse window after point i is defined as
+(clz_capped(xor_i), ctz(xor_i)) of point i's own xor, carried forward
+over xor==0 points. The decoder reconstructs each xor exactly, so it
+can recompute the identical window — no extra state bits. Point i
+reuses iff its own lead/trail are >= the carried window of i-1.
+
+Everything below is numpy array code over whole chunks (<= 4096
+points): no per-row Python in the encode path (BASELINE.json:15). The
+bit-packer builds a bit array with the concat-arange trick and
+np.packbits. Decode is an O(total-bits) numpy scan with a per-point
+Python loop — it runs inside mapInPandas (Arrow-batched) on the read
+path and in roundtrip tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import INTERVAL_SECONDS
+
+U64 = np.uint64
+_ONE = U64(1)
+
+
+# ------------------------------------------------------------------ bit math
+
+def _bit_length(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0)."""
+    x = x.astype(U64, copy=True)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for k in (32, 16, 8, 4, 2, 1):
+        big = x >= (_ONE << U64(k))
+        out[big] += k
+        x[big] >>= U64(k)
+    out[x > 0] += 1
+    return out
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    return 64 - _bit_length(x)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    lsb = x & (~x + _ONE)  # two's complement isolate lowest set bit
+    out = _bit_length(lsb) - 1
+    out[x == 0] = 64
+    return out
+
+
+def _pack_bits(codes: np.ndarray, lens: np.ndarray) -> bytes:
+    """MSB-first concatenation of (code, len) fields -> bytes.
+
+    Fully vectorized: total-bits index arrays via the concat-arange
+    trick, then np.packbits.
+    """
+    keep = lens > 0
+    codes, lens = codes[keep].astype(U64), lens[keep].astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return b""
+    cs = np.cumsum(lens)
+    # position within each field: 0..len-1
+    within = np.arange(total, dtype=np.int64) - np.repeat(cs - lens, lens)
+    bitpos = (np.repeat(lens, lens) - 1 - within).astype(U64)  # MSB first
+    bits = ((np.repeat(codes, lens) >> bitpos) & _ONE).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    """Sequential MSB-first reader over packed bytes (decode path)."""
+
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, buf: bytes):
+        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        self.pos = p + n
+        v = 0
+        for b in self.bits[p : p + n]:
+            v = (v << 1) | int(b)
+        return v
+
+
+# ------------------------------------------------------------- chunk encode
+
+def encode_chunk_arrays(
+    ts_units: np.ndarray, words: np.ndarray
+) -> tuple[bytes, bytes]:
+    """Encode one chunk. ``ts_units`` int64 (interval units from chunk
+    start, strictly increasing, ts_units[0] < 2^14), ``words`` uint64
+    bit patterns. Returns (ts_bits, val_bits)."""
+    n = len(ts_units)
+    assert n > 0
+    ts_units = ts_units.astype(np.int64)
+    words = words.astype(U64)
+
+    # ---- timestamps: one (code, len) field per point
+    t_codes = np.zeros(n, dtype=U64)
+    t_lens = np.zeros(n, dtype=np.int64)
+    if ts_units[0] >= (1 << 14) or ts_units[0] < 0:
+        raise ValueError("first delta does not fit in 14 bits")
+    t_codes[0], t_lens[0] = U64(ts_units[0]), 14
+    if n > 1:
+        deltas = np.diff(ts_units)
+        # dod[i] = delta_i - delta_{i-1}, with delta_0 = ts0 - chunk_start
+        d_prev = np.concatenate([[ts_units[0]], deltas[:-1]])
+        dod = deltas - d_prev
+        cls0 = dod == 0
+        cls1 = (~cls0) & (dod >= -63) & (dod <= 64)
+        cls2 = (~cls0) & (~cls1) & (dod >= -255) & (dod <= 256)
+        cls3 = (~cls0) & (~cls1) & (~cls2) & (dod >= -2047) & (dod <= 2048)
+        cls4 = ~(cls0 | cls1 | cls2 | cls3)
+        code = np.zeros(n - 1, dtype=U64)
+        ln = np.ones(n - 1, dtype=np.int64)
+        code[cls1] = (U64(0b10) << U64(7)) | (dod[cls1] + 63).astype(U64)
+        ln[cls1] = 9
+        code[cls2] = (U64(0b110) << U64(9)) | (dod[cls2] + 255).astype(U64)
+        ln[cls2] = 12
+        code[cls3] = (U64(0b1110) << U64(12)) | (dod[cls3] + 2047).astype(U64)
+        ln[cls3] = 16
+        code[cls4] = (U64(0b1111) << U64(32)) | (
+            dod[cls4].astype(np.int64).astype(np.uint32).astype(U64)
+        )
+        ln[cls4] = 36
+        t_codes[1:], t_lens[1:] = code, ln
+    ts_bits = _pack_bits(t_codes, t_lens)
+
+    # ---- values: up to 4 fields per point (i >= 1), +raw word for i=0
+    xor = np.concatenate([[U64(0)], words[1:] ^ words[:-1]])
+    lead = np.minimum(_clz64(xor), 31)
+    trail = _ctz64(xor)
+    nz = xor != 0
+    # carried window: own (lead, trail) where xor != 0, else previous
+    idx = np.arange(n)
+    last_nz = np.maximum.accumulate(np.where(nz, idx, -1))
+    wvalid = last_nz >= 0
+    wlead = np.where(wvalid, lead[np.maximum(last_nz, 0)], 0)
+    wtrail = np.where(wvalid, trail[np.maximum(last_nz, 0)], 0)
+    # reuse decision for point i (vs carried window of i-1)
+    pv = np.concatenate([[False], wvalid[:-1]])
+    pl = np.concatenate([[0], wlead[:-1]])
+    pt = np.concatenate([[0], wtrail[:-1]])
+    reuse = nz & pv & (lead >= pl) & (trail >= pt)
+    fresh = nz & ~reuse
+    # meaningful region actually used per point
+    use_trail = np.where(reuse, pt, trail)
+    use_len = np.where(reuse, 64 - pl - pt, 64 - lead - trail)
+    fields_c = np.zeros((n, 4), dtype=U64)
+    fields_l = np.zeros((n, 4), dtype=np.int64)
+    # f0: '0' stored / '1' xor path (for i>=1)
+    fields_c[1:, 0] = nz[1:].astype(U64)
+    fields_l[1:, 0] = 1
+    # f1: control bit (only when xor != 0): reuse -> 0, fresh -> 1
+    fields_c[:, 1] = fresh.astype(U64)
+    fields_l[nz, 1] = 1
+    # f2: fresh window spec: 5b lead + 6b (len-1)
+    fields_c[fresh, 2] = (lead[fresh].astype(U64) << U64(6)) | (
+        use_len[fresh] - 1
+    ).astype(U64)
+    fields_l[fresh, 2] = 11
+    # f3: meaningful bits
+    shift = use_trail.astype(U64)
+    mask = np.where(
+        use_len >= 64, ~U64(0), (_ONE << use_len.astype(U64)) - _ONE
+    )
+    fields_c[nz, 3] = (xor[nz] >> shift[nz]) & mask[nz]
+    fields_l[nz, 3] = use_len[nz]
+    # point 0: raw 64-bit word (single field)
+    fields_c[0, :] = 0
+    fields_l[0, :] = 0
+    fields_c[0, 3] = words[0]
+    fields_l[0, 3] = 64
+    val_bits = _pack_bits(fields_c.ravel(), fields_l.ravel())
+    return ts_bits, val_bits
+
+
+def decode_chunk_arrays(
+    ts_bits: bytes, val_bits: bytes, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_chunk_arrays -> (ts_units int64, words uint64)."""
+    tr = _BitReader(ts_bits)
+    ts = np.zeros(n, dtype=np.int64)
+    ts[0] = tr.read(14)
+    delta = ts[0]
+    for i in range(1, n):
+        if tr.read(1) == 0:
+            dod = 0
+        elif tr.read(1) == 0:
+            dod = tr.read(7) - 63
+        elif tr.read(1) == 0:
+            dod = tr.read(9) - 255
+        elif tr.read(1) == 0:
+            dod = tr.read(12) - 2047
+        else:
+            raw = tr.read(32)
+            dod = raw - (1 << 32) if raw >= (1 << 31) else raw
+        delta += dod
+        ts[i] = ts[i - 1] + delta
+
+    vr = _BitReader(val_bits)
+    words = np.zeros(n, dtype=U64)
+    w = vr.read(64)
+    words[0] = U64(w)
+    wlead = wtrail = None
+    for i in range(1, n):
+        if vr.read(1) == 0:
+            words[i] = words[i - 1]
+            continue
+        if vr.read(1) == 0:  # reuse carried window
+            mlen = 64 - wlead - wtrail
+            bits = vr.read(mlen)
+            xor = bits << wtrail
+        else:
+            lead = vr.read(5)
+            mlen = vr.read(6) + 1
+            bits = vr.read(mlen)
+            trail_bits = 64 - lead - mlen
+            xor = bits << trail_bits
+        words[i] = words[i - 1] ^ U64(xor)
+        x = int(words[i] ^ words[i - 1])
+        # recompute carried window from the reconstructed xor
+        wlead = min(64 - x.bit_length(), 31)
+        wtrail = (x & -x).bit_length() - 1
+    return ts, words
+
+
+# ------------------------------------------------------------ Spark surface
+
+CHUNK_SCHEMA = (
+    "series_id string, interval string, chunk_start timestamp, agg string, "
+    "n int, ts_bits binary, val_bits binary, raw_bytes long, enc_bytes long"
+)
+
+POINT_SCHEMA = (
+    "series_id string, interval string, agg string, "
+    "window_start timestamp, value long"
+)
+
+
+def encode_chunks(
+    rollup: "DataFrame", interval: str, chunk_points: int = 4096
+) -> "DataFrame":
+    """C1: rollup tier -> Gorilla chunk table, one row per
+    (series, agg, chunk). Long format via F.stack (JVM), grouped-map
+    encode via applyInPandas (Arrow)."""
+    from pyspark.sql import functions as F
+
+    sec = INTERVAL_SECONDS[interval]
+    chunk_sec = sec * chunk_points
+    stack_args = []
+    for agg in ("sum", "count", "min", "max"):
+        stack_args += [F.lit(agg), F.col(agg)]
+    long_df = rollup.select(
+        "series_id",
+        F.unix_timestamp("window_start").cast("long").alias("epoch"),
+        F.stack(F.lit(4), *stack_args).alias("agg", "value"),
+    ).withColumn(
+        "chunk_start", (F.floor(F.col("epoch") / chunk_sec) * chunk_sec).cast("long")
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("epoch")
+        chunk_start = int(pdf["chunk_start"].iloc[0])
+        ts_units = ((pdf["epoch"].to_numpy() - chunk_start) // sec).astype(np.int64)
+        words = pdf["value"].to_numpy().astype(np.int64).view(U64)
+        ts_bits, val_bits = encode_chunk_arrays(ts_units, words)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "interval": [interval],
+                "chunk_start": [pd.Timestamp(chunk_start, unit="s")],
+                "agg": [pdf["agg"].iloc[0]],
+                "n": [n],
+                "ts_bits": [ts_bits],
+                "val_bits": [val_bits],
+                "raw_bytes": [16 * n],  # 8B ts + 8B value per raw point
+                "enc_bytes": [len(ts_bits) + len(val_bits)],
+            }
+        )
+
+    return long_df.groupBy("series_id", "agg", "chunk_start").applyInPandas(
+        encode, CHUNK_SCHEMA
+    )
+
+
+def decode_chunks(chunks: "DataFrame") -> "DataFrame":
+    """C2: chunk table -> decoded points (read path / roundtrip)."""
+
+    def decode(batches):
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                sec = INTERVAL_SECONDS[row.interval]
+                ts_units, words = decode_chunk_arrays(
+                    bytes(row.ts_bits), bytes(row.val_bits), int(row.n)
+                )
+                epoch = int(row.chunk_start.timestamp()) + ts_units * sec
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "series_id": row.series_id,
+                            "interval": row.interval,
+                            "agg": row.agg,
+                            "window_start": pd.to_datetime(epoch, unit="s"),
+                            "value": words.view(np.int64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return chunks.mapInPandas(decode, POINT_SCHEMA)
+
+
+def compression_stats(chunks: "DataFrame") -> "DataFrame":
+    """C3: bytes/point and ratio per (interval, agg) -> metrics feed."""
+    from pyspark.sql import functions as F
+
+    return chunks.groupBy("interval", "agg").agg(
+        F.sum("n").alias("points"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        (F.sum("enc_bytes") / F.sum("n")).alias("bytes_per_point"),
+        (F.sum("raw_bytes") / F.sum("enc_bytes")).alias("ratio"),
+    )
