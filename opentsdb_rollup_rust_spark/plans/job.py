@@ -1,0 +1,252 @@
+"""§3.1 — the flagship tier-rollup job: resumable, lineage-tracked,
+explicitly partitioned (the engine's batch entry point).
+
+Pipeline per tier (BASELINE.json:6,14):
+
+  resume check (committed buckets from snapshot summaries, J4)
+    -> snapshot-pinned source scan (S6)
+    -> derive points (S3, base tier) or finer tier scan (cascade, A2)
+    -> bucket = pmod(xxhash64(series_id), B) (F2)
+    -> drop already-committed buckets
+    -> salted tumbling agg (A5; decomposable, skew-safe)
+    -> repartition(B, bucket) + sortWithinPartitions(series_id,
+       window_start) (O1 — monotone timestamps for the codec and for
+       parquet delta encoding)
+    -> append rollup tier; the commit records (src_snapshot, buckets)
+       in the snapshot summary ATOMICALLY with the data — resume truth
+       lives in the data table itself, so a crash anywhere leaves
+       either nothing or a fully-committed bucket set (exactly-once).
+    -> Gorilla chunk encode (C1) reads back ONLY the files this commit
+       added (no recompute), appends chunks with its own summary
+       (chunks resume independently if the job dies between the two).
+    -> lineage + metrics rows appended last (reporting; resume does
+       not depend on them).
+
+Scale notes: the salted agg's phase-1 partial aggregation collapses
+each task to ~|series x salts x windows| rows before any exchange; the
+wide rows (tokens arrays) never cross a shuffle — point derivation is
+a narrow map fused into the scan. At 10^12 sequences the knobs are
+n_buckets (final-layout parallelism) and salts (hot-series fan-out);
+both change only shuffle layout, never results (tested).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..codec.gorilla import compression_stats, encode_chunks
+from ..config import DEFAULT_TIERS, TierSpec
+from ..functions.hashing import series_hash_bucket
+from ..operators.points import derive_points
+from ..operators.rollup import cascade_reagg
+from ..operators.skew import salted_rollup
+from ..sources.store import METRICS_SCHEMA, ManifestStore
+
+ROLLUP_SCHEMA = (
+    "series_id string, window_start timestamp, interval string, "
+    "sum long, count long, min long, max long, bucket int"
+)
+
+
+@dataclass
+class JobResult:
+    run_id: str
+    tier: str
+    src_snapshot: int
+    buckets_done: list[int]
+    buckets_skipped: list[int]
+    rows_out: int
+    points_in: int
+    wall_ms: int
+    bytes_per_point: float
+
+
+def committed_buckets(store: ManifestStore, table: str, src_snapshot: int) -> set[int]:
+    """Buckets already committed for this source snapshot — read from
+    the table's own snapshot summaries (atomic with the data)."""
+    done: set[int] = set()
+    for s in store.snapshot_summaries(table):
+        if s.get("src_snapshot") == src_snapshot:
+            done.update(s.get("buckets", []))
+    return done
+
+
+def run_rollup_job(
+    spark: SparkSession,
+    store: ManifestStore,
+    tier: str,
+    n_buckets: int = 8,
+    salts: int = 8,
+    run_id: str | None = None,
+    encode: bool = True,
+    tiers: dict[str, TierSpec] | None = None,
+    fail_before_chunks: bool = False,
+) -> JobResult:
+    """Run one tier to completion (idempotent under re-runs).
+
+    ``fail_before_chunks`` simulates a crash between the rollup commit
+    and the chunk commit (resume test)."""
+    tiers = tiers or DEFAULT_TIERS
+    spec = tiers[tier]
+    run_id = run_id or uuid.uuid4().hex[:12]
+    rollup_table = f"rollup_{tier}"
+    chunks_table = f"chunks_{tier}"
+    t0 = time.monotonic()
+
+    # --- snapshot-pinned source (S6)
+    if spec.source is None:
+        src_snapshot = store.current_snapshot("sequences")
+        if src_snapshot is None:
+            raise RuntimeError("sequences table is empty")
+        src = store.read("sequences", src_snapshot)
+        rolled = salted_rollup(derive_points(src), tier, salts=salts)
+    else:
+        src_table = f"rollup_{spec.source}"
+        src_snapshot = store.current_snapshot(src_table)
+        if src_snapshot is None:
+            raise RuntimeError(f"{src_table} is empty — run tier {spec.source} first")
+        finer = store.read(src_table, src_snapshot)
+        rolled = cascade_reagg(finer.drop("bucket"), tier)
+
+    # --- resume (J4): drop buckets already committed for this snapshot
+    done = committed_buckets(store, rollup_table, src_snapshot)
+    rolled = rolled.withColumn("bucket", series_hash_bucket("series_id", n_buckets))
+    all_buckets = list(range(n_buckets))
+    todo = [b for b in all_buckets if b not in done]
+
+    rows_out = points_in = 0
+    rollup_snap = None
+    if todo:
+        if done:
+            rolled = rolled.where(~F.col("bucket").isin(sorted(done)))
+        # --- series-major layout (O1)
+        rolled = rolled.repartition(len(todo), "bucket").sortWithinPartitions(
+            "series_id", "window_start"
+        )
+        rollup_snap = store.append(
+            rollup_table,
+            rolled,
+            summary={"src_snapshot": src_snapshot, "buckets": todo,
+                     "run_id": run_id},
+        )
+
+    # --- chunks: encode from what the data table says is committed but
+    # the chunks table hasn't encoded yet (crash-safe second commit)
+    bytes_per_point = 0.0
+    if encode and not fail_before_chunks and store.exists(rollup_table):
+        chunk_done = committed_buckets(store, chunks_table, src_snapshot)
+        chunk_todo = sorted(committed_buckets(store, rollup_table, src_snapshot)
+                            - chunk_done)
+        if chunk_todo:
+            base = (
+                store.read_snapshot_delta(rollup_table, rollup_snap)
+                if rollup_snap is not None
+                else store.read(rollup_table)
+            )
+            base = base.where(F.col("bucket").isin(chunk_todo))
+            chunks = encode_chunks(base.drop("bucket"), tier, spec.chunk_points)
+            store.append(
+                chunks_table,
+                chunks,
+                summary={"src_snapshot": src_snapshot, "buckets": chunk_todo,
+                         "run_id": run_id},
+            )
+        if store.exists(chunks_table):
+            row = (
+                compression_stats(store.read(chunks_table))
+                .agg((F.sum("enc_bytes") / F.sum("points")).alias("bpp"))
+                .first()
+            )
+            bytes_per_point = float(row.bpp or 0.0)
+
+    # --- per-bucket stats from the WRITTEN files (no recompute)
+    per_bucket: dict[int, tuple[int, int]] = {}
+    if rollup_snap is not None:
+        written = store.read_snapshot_delta(rollup_table, rollup_snap)
+        per_bucket = {
+            r["bucket"]: (r["rows_out"], int(r["points_in"] or 0))
+            for r in written.groupBy("bucket")
+            .agg(F.count("*").alias("rows_out"), F.sum("count").alias("points_in"))
+            .collect()
+        }
+        rows_out = sum(v[0] for v in per_bucket.values())
+        points_in = sum(v[1] for v in per_bucket.values())
+
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    # --- lineage + metrics (reporting; resume does not depend on them)
+    if per_bucket:
+        ldf = spark.createDataFrame(
+            [
+                (run_id, tier, b, src_snapshot, pin, pout)
+                for b, (pout, pin) in sorted(per_bucket.items())
+            ],
+            "run_id string, tier string, bucket int, src_snapshot long, "
+            "rows_in long, rows_out long",
+        ).withColumn("committed_at", F.current_timestamp())
+        store.append("lineage", ldf)
+        pps = points_in / max(wall_ms / 1000.0, 1e-9)
+        store.append(
+            "metrics",
+            spark.createDataFrame(
+                [(run_id, tier, b, pps, bytes_per_point, wall_ms)
+                 for b in sorted(per_bucket)],
+                METRICS_SCHEMA,
+            ),
+        )
+
+    return JobResult(
+        run_id=run_id,
+        tier=tier,
+        src_snapshot=src_snapshot,
+        buckets_done=sorted(per_bucket),
+        buckets_skipped=sorted(done),
+        rows_out=rows_out,
+        points_in=points_in,
+        wall_ms=wall_ms,
+        bytes_per_point=bytes_per_point,
+    )
+
+
+def run_cascade(
+    spark: SparkSession,
+    store: ManifestStore,
+    tiers: dict[str, TierSpec] | None = None,
+    **kwargs,
+) -> list[JobResult]:
+    """Run every tier in dependency order (1m -> 1h -> 1d)."""
+    tiers = tiers or DEFAULT_TIERS
+    order: list[str] = []
+    remaining = dict(tiers)
+    while remaining:
+        for name, spec in list(remaining.items()):
+            if spec.source is None or spec.source in order:
+                order.append(name)
+                del remaining[name]
+    return [run_rollup_job(spark, store, t, tiers=tiers, **kwargs) for t in order]
+
+
+def apply_retention(
+    spark: SparkSession,
+    store: ManifestStore,
+    tier: str,
+    now_epoch: int,
+    tiers: dict[str, TierSpec] | None = None,
+) -> int:
+    """P3 — drop windows older than the tier's retention. Manifest
+    store: snapshot-replacing rewrite (on Iceberg this is a metadata
+    partition drop / DELETE WHERE). Returns rows kept, -1 = no-op."""
+    spec = (tiers or DEFAULT_TIERS)[tier]
+    if spec.retention_seconds is None or not store.exists(f"rollup_{tier}"):
+        return -1
+    cutoff = now_epoch - spec.retention_seconds
+    df = store.read(f"rollup_{tier}")
+    kept = df.where(F.unix_timestamp("window_start") >= cutoff)
+    n = kept.count()
+    store.overwrite(f"rollup_{tier}", kept)
+    return n

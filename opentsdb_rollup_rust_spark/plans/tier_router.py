@@ -1,0 +1,77 @@
+"""§3.2 — the continuous-aggregate read path + tier router.
+
+``read_rollup`` answers "give me series X between t0 and t1 at
+resolution R, gap-filled" — the OpenTSDB query-time surface (derived
+avg, fill policies) over the stored tiers.
+
+The router picks the cheapest tier that can answer a requested
+resolution: a query at 2h resolution reads the 1h tier (re-aggregated
+2x) rather than 120x of the 1m tier — the "answer coarse queries from
+coarse tiers" rewrite (cf. the Factor-Windows paper in PAPERS.md).
+This is a Python-level planner above Catalyst: it changes which table
+is scanned, then lets Catalyst push the time/series predicates into
+that scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_TIERS, INTERVAL_SECONDS, TierSpec
+from ..operators.gapfill import gap_fill
+from ..operators.rollup import cascade_reagg, derived_avg
+from ..sources.store import ManifestStore
+
+
+def route_tier(
+    resolution_seconds: int, tiers: dict[str, TierSpec] | None = None
+) -> str:
+    """Coarsest stored tier whose interval divides the requested
+    resolution (exact re-aggregation possible)."""
+    tiers = tiers or DEFAULT_TIERS
+    best = None
+    for name in tiers:
+        sec = INTERVAL_SECONDS[name]
+        if resolution_seconds % sec == 0 and (best is None or sec > best[1]):
+            best = (name, sec)
+    if best is None:
+        raise ValueError(
+            f"no stored tier divides resolution {resolution_seconds}s"
+        )
+    return best[0]
+
+
+def read_rollup(
+    store: ManifestStore,
+    resolution_seconds: int,
+    t0=None,
+    t1=None,
+    series_predicate=None,
+    fill: str = "none",
+    with_avg: bool = True,
+    tiers: dict[str, TierSpec] | None = None,
+) -> DataFrame:
+    """Query surface: route -> scan (pruned) -> re-agg -> fill -> avg."""
+    tier = route_tier(resolution_seconds, tiers)
+    df = store.read(f"rollup_{tier}").drop("bucket")
+    # predicates FIRST so they push into the parquet scan
+    if t0 is not None:
+        df = df.where(F.col("window_start") >= F.lit(t0))
+    if t1 is not None:
+        df = df.where(F.col("window_start") < F.lit(t1))
+    if series_predicate is not None:
+        df = df.where(series_predicate)
+    if resolution_seconds != INTERVAL_SECONDS[tier]:
+        # exact re-aggregation to the requested resolution
+        name = f"{resolution_seconds}s"
+        INTERVAL_SECONDS.setdefault(name, resolution_seconds)
+        df = cascade_reagg(df, name)
+        interval_name = name
+    else:
+        interval_name = tier
+    if fill != "none":
+        df = gap_fill(df, interval_name, fill)
+    if with_avg:
+        df = derived_avg(df)
+    return df

@@ -1,0 +1,130 @@
+"""M4 — snapshot store, resumable job, lineage, retention, router.
+
+Key golden test (BASELINE.md "resumability"): kill mid-job, re-run,
+assert 0 duplicate windows and lineage records the skip.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_rollup_rust_spark.operators.points import derive_points
+from opentsdb_rollup_rust_spark.operators.rollup import tumbling_rollup
+from opentsdb_rollup_rust_spark.plans.job import (
+    apply_retention,
+    committed_buckets,
+    run_cascade,
+    run_rollup_job,
+)
+from opentsdb_rollup_rust_spark.plans.tier_router import read_rollup, route_tier
+from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+from opentsdb_rollup_rust_spark.sources.synth import synth_sequences
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = ManifestStore(spark, str(tmp_path / "store"))
+    s.append("sequences", synth_sequences(spark, 500))
+    return s
+
+
+def test_store_snapshot_isolation(spark, store):
+    snap1 = store.current_snapshot("sequences")
+    store.append("sequences", synth_sequences(spark, 100))
+    assert store.read("sequences", snap1).count() == 500
+    assert store.read("sequences").count() == 600
+
+
+def test_full_cascade_matches_direct(spark, store):
+    results = run_cascade(spark, store, n_buckets=4, encode=False)
+    assert [r.tier for r in results] == ["1m", "1h", "1d"]
+    pts = derive_points(store.read("sequences"))
+    for tier in ("1m", "1h", "1d"):
+        stored = store.read(f"rollup_{tier}").drop("bucket")
+        direct = tumbling_rollup(pts, tier)
+        assert stored.exceptAll(direct).count() == 0
+        assert direct.exceptAll(stored).count() == 0
+
+
+def test_kill_and_resume_no_duplicates(spark, store):
+    """Crash between rollup commit and chunk commit; then re-run."""
+    r1 = run_rollup_job(
+        spark, store, "1m", n_buckets=4, encode=True, fail_before_chunks=True
+    )
+    assert r1.buckets_done == [0, 1, 2, 3]
+    assert not store.exists("chunks_1m")
+
+    r2 = run_rollup_job(spark, store, "1m", n_buckets=4, encode=True)
+    assert r2.buckets_skipped == [0, 1, 2, 3]  # resume skipped all data work
+    assert r2.rows_out == 0
+    assert store.exists("chunks_1m")  # ...but the missing chunks were encoded
+
+    # 0 duplicate windows
+    stored = store.read("rollup_1m")
+    dup = (
+        stored.groupBy("series_id", "window_start")
+        .agg(F.count("*").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert dup == 0
+    # and the data exactly matches a direct computation
+    direct = tumbling_rollup(derive_points(store.read("sequences")), "1m")
+    assert stored.drop("bucket").exceptAll(direct).count() == 0
+
+    # chunks decode back to the stored tier
+    from opentsdb_rollup_rust_spark.codec.gorilla import decode_chunks
+
+    decoded_n = decode_chunks(store.read("chunks_1m")).count()
+    assert decoded_n == stored.count() * 4  # 4 aggs per window
+
+
+def test_new_snapshot_triggers_reprocess(spark, store):
+    run_rollup_job(spark, store, "1m", n_buckets=4, encode=False)
+    n1 = store.read("rollup_1m").count()
+    store.append("sequences", synth_sequences(spark, 100))
+    r = run_rollup_job(spark, store, "1m", n_buckets=4, encode=False)
+    assert r.buckets_skipped == []  # new snapshot => all buckets redone
+    assert store.read("rollup_1m").count() > n1
+
+
+def test_lineage_and_metrics_rows(spark, store):
+    r = run_rollup_job(spark, store, "1m", n_buckets=4, encode=False)
+    lin = store.read("lineage")
+    assert lin.where(F.col("run_id") == r.run_id).count() == 4
+    met = store.read("metrics")
+    row = met.where(F.col("run_id") == r.run_id).first()
+    assert row.points_per_sec > 0
+    assert committed_buckets(store, "rollup_1m", r.src_snapshot) == {0, 1, 2, 3}
+
+
+def test_retention_drops_old_windows(spark, store):
+    run_rollup_job(spark, store, "1m", n_buckets=2, encode=False)
+    hi = store.read("rollup_1m").agg(
+        F.max(F.unix_timestamp("window_start"))
+    ).first()[0]
+    total = store.read("rollup_1m").count()
+    kept = apply_retention(spark, store, "1m", now_epoch=hi + 3 * 86400)
+    # 30-day horizon, 7-day retention anchored 3 days past the end
+    assert 0 < kept < total
+    assert store.read("rollup_1m").count() == kept
+
+
+def test_router_picks_coarsest_divisible(spark, store):
+    assert route_tier(60) == "1m"
+    assert route_tier(7200) == "1h"
+    assert route_tier(300) == "1m"
+    assert route_tier(2 * 86400) == "1d"
+    with pytest.raises(ValueError):
+        route_tier(90)
+
+
+def test_read_rollup_reaggregates(spark, store):
+    run_cascade(spark, store, n_buckets=2, encode=False)
+    two_h = read_rollup(store, 7200, fill="zero")
+    direct = tumbling_rollup(derive_points(store.read("sequences")), "1h")
+    # sum of counts preserved through routing+reagg+fill
+    assert (
+        two_h.agg(F.sum("count")).first()[0]
+        == direct.agg(F.sum("count")).first()[0]
+    )
+    assert "avg" in two_h.columns
