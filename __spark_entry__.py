@@ -573,6 +573,8 @@ def _q_udaf_hist(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from opentsdb_rollup_rust_spark.pipeline.queries import PIPELINE_QUERIES
+
     qs = {
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
@@ -615,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_stats": _q_codec_stats,
         "udaf_hist": _q_udaf_hist,
     }
+    qs.update(PIPELINE_QUERIES)
 
     def _pinned(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +630,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from opentsdb_rollup_rust_spark.pipeline.queries import PIPELINE_ORACLE_SQL
+
+    out = dict(PIPELINE_ORACLE_SQL)
+    out.update({
         "rollup_1m": _rollup_sql(60, "1m"),
         "rollup_1h": _rollup_sql(3600, "1h"),
         "rollup_1d": _rollup_sql(86400, "1d"),
@@ -843,4 +849,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(n_chars // 200 AS BIGINT) AS bucket,
                    count(*)::BIGINT AS n
             FROM documents GROUP BY 1, 2""",
-    }
+    })
+    return out

@@ -71,7 +71,9 @@ def main() -> None:
     n_seqs = max(n_seqs, 10_000)
     seq_path = f"/tmp/spark_graft_bench/seqs_{n_seqs}.parquet"
     if not os.path.exists(seq_path):  # untimed input materialization
-        synth_sequences(spark, n_seqs, partitions=cpus * 2).write.mode(
+        # fixed 64-file layout so every parallelism level reads the
+        # exact same input split structure (scaling-run fairness)
+        synth_sequences(spark, n_seqs, partitions=64).write.mode(
             "overwrite"
         ).parquet(seq_path)
 

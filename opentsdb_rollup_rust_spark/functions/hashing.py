@@ -22,6 +22,14 @@ def series_hash_bucket(series_id: Column | str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
 
+def md5_int60(col: Column | str) -> Column:
+    """Cross-engine-reproducible 60-bit unsigned hash: first 15 hex
+    chars of md5 as a long (fits int64 — never negative).
+    DuckDB twin: ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def md5_bucket(col: Column | str, n_buckets: int) -> Column:
     """Cross-engine-reproducible bucket: first 8 hex chars of md5 as a
     long, mod B. DuckDB twin: ('0x' || substr(md5(x),1,8))::BIGINT % B."""

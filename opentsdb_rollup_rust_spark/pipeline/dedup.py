@@ -1,0 +1,298 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. All DataFrame-API; the only shuffles are the LSH bucket joins
+— the standard trick that turns O(n^2) near-dup search into an
+equi-join on band keys, which is exactly what survives at 10^9+ docs.
+
+Scale notes (100 TB / 10^9 docs):
+- exact dedup: one hash-groupBy, partial agg collapses per-task first.
+- MinHash: signatures are per-row higher-order-function expressions
+  (no shuffle); the band explode multiplies rows by `bands` (small
+  constant); the candidate join shuffles on (band, key) — band keys
+  are md5-uniform so no skew by construction.
+- document-frequency cap (`max_df`): drop shingles/words occurring in
+  more than max_df docs before any inverted-index join — the standard
+  guard against hot-token skew blowing up the pair count.
+- verification (exact Jaccard on candidates) touches only candidate
+  pairs, not the n^2 space.
+
+Cross-engine determinism: every hash is md5-derived (md5_int60), so
+the DuckDB oracles reproduce signatures, band keys, and pair sets
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int60
+from .text import doc_words
+
+# Default LSH geometry: 16 hashes = 4 bands x 4 rows -> S-curve
+# threshold ~(1/4)^(1/4) ~= 0.71 Jaccard.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8-bit bands for the hamming candidate join
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document, as array<string>.
+    Guarded for docs shorter than k words (Spark's sequence(1,0) would
+    otherwise produce a *descending* range)."""
+    w = doc_words(text)
+    n = F.size(w)
+    mk = (
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]
+            ),
+        )
+    )
+    return F.array_distinct(
+        F.when(n >= F.lit(k), mk).otherwise(F.array(F.array_join(w, " ")))
+    )
+
+
+def exact_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy on the content hash. Returns one
+    row per duplicate cluster: (text_hash, n_docs, keeper) where
+    keeper = min(doc_id) — the canonical survivor."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
+    """MinHash signature: sig[i] = min over shingles of h_i(s), with
+    h_i(s) = md5_int60(s || '#' || i). Per-row expression — no shuffle,
+    k x |shingles| hashes per doc, all JVM-side."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: md5_int60(F.concat(s, F.lit("#"), i.cast("string"))),
+            )
+        ),
+    )
+
+
+def lsh_band_keys(
+    sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> Column:
+    """Band keys: md5 of each band's `rows` signature values (banded
+    so two docs collide iff one full band matches). Returns
+    array<struct<band int, key string>> to be exploded. Bands are a
+    small compile-time constant, so the loop unrolls into one codegen'd
+    array expression."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(sig, b * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b), distinct.
+
+    Plan shape: project(sig) -> explode(bands) -> self-equi-join on
+    (band, key) -> distinct. The join is the only shuffle; the
+    distinct collapses multi-band collisions."""
+    sig = minhash_signature(word_shingles(F.col(text_col)), k)
+    banded = docs.select(
+        F.col("doc_id"),
+        F.explode(lsh_band_keys(sig, bands, rows)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over distinct word shingles: bit j set iff the sum over
+    features of (2*bit_j(h(feature)) - 1) is >= 0. Pure per-row integer
+    expression — a map-only stage at ingest scale.
+
+    Shingles (not single words) are the feature set: with a small
+    shared vocabulary, word *sets* of unrelated documents overlap
+    heavily and word-level simhashes collide pathologically; k-word
+    shingles are document-specific, so unrelated docs sit ~bits/2
+    hamming apart while near-dups stay within a few bits."""
+    w = word_shingles(text)
+    hashes = F.transform(w, md5_int60)
+    bit_terms = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda s, h: s
+                + (
+                    F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")) * F.lit(2)
+                    - F.lit(1)
+                ),
+            )
+            >= 0,
+            F.lit(1 << j).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one
+    (bits/bands)-bit band (pigeonhole: hamming <= bands-1 guarantees a
+    shared band), verified by bit_count(xor) <= max_hamming.
+
+    Scale note: 8-bit bands give only 256 buckets per band — fine into
+    the ~10^5-doc range; at 10^8+ docs raise `bits` (e.g. 60) so band
+    keys stay selective, or band on (key, length-bucket)."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = docs.select(F.col("doc_id"), simhash(F.col(text_col), bits).alias("sh"))
+    banded = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_jaccard: float = 0.6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    jaccard = shared / (nA + nB - shared), computed from exact integer
+    shingle counts -> deterministic double, quantized to jac_q for
+    cross-engine comparison. ``max_df`` drops shingles present in more
+    than max_df docs before the self-join (hot-shingle skew guard)."""
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac_q",
+            F.floor(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+                * F.lit(1_000_000)
+            ).cast("long"),
+        )
+    )
+    return jac.where(F.col("jac_q") >= int(min_jaccard * 1_000_000)).select(
+        "doc_a", "doc_b", "shared", "jac_q"
+    )
+
+
+def with_planted_dupes(
+    docs: DataFrame,
+    text_col: str = "text",
+    every: int = 10,
+    id_offset: int = 10_000_000,
+    mutate: bool = True,
+) -> DataFrame:
+    """Deterministic duplicate planting for demos/tests: every
+    ``every``-th doc gets a copy (doc_id + id_offset); with
+    ``mutate=True`` the copy drops its last word (near-dup, Jaccard
+    ~ (n-k)/n — above any LSH threshold), otherwise it is byte-exact.
+    Mirrored exactly by the DuckDB oracles."""
+    mutated = docs.where(F.col("doc_id") % every == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(id_offset)
+    )
+    if mutate:
+        w = doc_words(F.col(text_col))
+        mutated = mutated.withColumn(
+            text_col,
+            F.array_join(F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "),
+        )
+    return docs.unionByName(mutated)

@@ -1,0 +1,424 @@
+"""Driver-facing demo queries + DuckDB oracle twins for the
+training-data pipeline operators (dedup / similarity / text /
+multimodal). Merged into __spark_entry__.queries() / oracle_sql().
+
+Every oracle replicates the *algorithm* (same md5-derived hashes, same
+integer quantization, same tie-breaks), so value-hash comparison is
+exact — including for the approximate operators (LSH band joins),
+where both engines must produce the identical candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    exact_dup_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_planted_dupes,
+)
+from .multimodal import attach_media_payload, extract_features
+from .similarity import (
+    LSH_PLANES_PER_TABLE,
+    LSH_TABLES,
+    N_PLANES,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    hyperplane_weights,
+    lsh_topk,
+    with_planted_vec_dupes,
+)
+from .text import text_profile
+
+EMB_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.trim(F.col("text")).alias("text"), "lang", "source", "n_chars"
+    )
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- text
+
+def q_text_tokens(spark, sf_dir):
+    from .text import token_counts
+
+    d = _docs(spark, sf_dir)
+    tc = token_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_word_tokens"].alias("n_word_tokens"),
+        tc["n_chars"].alias("n_text_chars"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from .text import quality_features
+
+    d = _docs(spark, sf_dir)
+    qf = quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        qf["n_words"].alias("n_words"),
+        qf["n_punct"].alias("n_punct"),
+        qf["mean_word_len_q"].alias("mean_word_len_q"),
+        qf["stop_ratio_q"].alias("stop_ratio_q"),
+        qf["quality_q"].alias("quality_q"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    from .text import lang_id
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.col("lang"), lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from .text import bag_fingerprint, rolling_fingerprint
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        rolling_fingerprint(F.col("text")).alias("fingerprint"),
+        bag_fingerprint(F.col("text")).alias("bag_fp"),
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf_dir):
+    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=False)
+    return exact_dup_clusters(d)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=True)
+    return minhash_lsh_pairs(d)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=True)
+    return simhash_pairs(d, max_hamming=4).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=True)
+    return ngram_jaccard_pairs(d, min_jaccard=0.5)
+
+
+def q_dedup_embed(spark, sf_dir):
+    e = with_planted_vec_dupes(_embs(spark, sf_dir), every=20)
+    return embedding_near_dup_pairs(e, dim=EMB_DIM, min_cos_q=990_000)
+
+
+# ---------------------------------------------------------------- similarity
+
+def q_ann_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=5).select(
+        "q_id", "neighbor_id", "cos_q", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    return lsh_topk(e, dim=EMB_DIM, k=3).select(
+        "q_id", "neighbor_id", "cos_q", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+def q_mm_features(spark, sf_dir):
+    media = attach_media_payload(_docs(spark, sf_dir))
+    return extract_features(media)
+
+
+PIPELINE_QUERIES = {
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_embed": q_dedup_embed,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "mm_features": q_mm_features,
+}
+
+
+# ================================================================ oracles
+# Shared SQL fragments. DuckDB notes: regexp_replace needs the 'g'
+# flag (Spark replaces all matches by default); hash60 mirrors
+# functions.hashing.md5_int60; list slicing is 1-based inclusive.
+
+_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _h60(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# documents with trimmed text (mirror of _docs)
+_D = "d AS (SELECT doc_id, trim(text) AS text, lang, source, n_chars FROM documents)"
+
+# planted near-dup corpus (mirror of with_planted_dupes(mutate=True))
+_PLANTED = f"""{_D},
+  w0 AS (SELECT doc_id, text, {_WORDS} AS w FROM d),
+  planted AS (
+    SELECT doc_id, text FROM d
+    UNION ALL
+    SELECT doc_id + 10000000,
+           array_to_string(w[1:greatest(len(w)-1, 1)], ' ')
+    FROM w0 WHERE doc_id % 10 = 0)"""
+
+# distinct 3-word shingles of the planted corpus
+_SHINGLES = f"""{_PLANTED},
+  pw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM planted),
+  sh AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(generate_series(1, len(w)-2),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS shingle
+        FROM pw)"""
+
+_STOPS_EN = "['the','a','of','is','and','to','in','it']"
+_LANG_STOPS = {
+    "en": _STOPS_EN,
+    "de": "['der','die','das','und','ist','nicht']",
+    "fr": "['le','la','et','les','des','un']",
+    "es": "['el','los','las','una','por','que']",
+}
+
+
+def _lang_hits(lang: str) -> str:
+    return (
+        f"len(list_filter(w, x -> list_contains({_LANG_STOPS[lang]}, x)))::BIGINT"
+    )
+
+
+def _quant_emb(col: str = "embedding") -> str:
+    return f"list_transform({col}, x -> CAST(FLOOR(x::DOUBLE * 1000) AS BIGINT))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _sql_cos_q(dot: str, n2a: str, n2b: str) -> str:
+    return (
+        f"CAST(FLOOR({dot}::DOUBLE / (sqrt({n2a}::DOUBLE) * sqrt({n2b}::DOUBLE)) "
+        f"* 1000000) AS BIGINT)"
+    )
+
+
+def _sql_bucket(qe: str) -> str:
+    """Random-hyperplane LSH bucket — weights inlined as literals,
+    identical to similarity.hyperplane_weights."""
+    ws = hyperplane_weights(N_PLANES, EMB_DIM)
+    terms = []
+    for p, row in enumerate(ws):
+        lit = "[" + ",".join(str(v) for v in row) + "]::BIGINT[]"
+        dot = f"list_sum(list_transform(generate_series(1, {EMB_DIM}), i -> {qe}[i] * ({lit})[i]))"
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_table_keys() -> str:
+    """Multi-table LSH banding as a UNION ALL over tables — mirror of
+    similarity.lsh_table_keys (table t uses planes [t*P, (t+1)*P))."""
+    ws = hyperplane_weights(LSH_TABLES * LSH_PLANES_PER_TABLE, EMB_DIM)
+    parts = []
+    for t in range(LSH_TABLES):
+        terms = []
+        for p in range(LSH_PLANES_PER_TABLE):
+            row = ws[t * LSH_PLANES_PER_TABLE + p]
+            lit = "[" + ",".join(str(v) for v in row) + "]::BIGINT[]"
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+                f"i -> qe[i] * ({lit})[i]))"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        parts.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(terms)}) AS key FROM pv"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# planted near-dup embeddings (mirror of with_planted_vec_dupes)
+_VPLANT = """ve AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000000,
+           list_prepend((embedding[1] + 0.001)::FLOAT, embedding[2:]) AS embedding
+    FROM embeddings WHERE vec_id % 20 = 0)"""
+
+
+def _prepared_vecs(src_cte: str, src: str) -> str:
+    return f"""{src_cte},
+  prep AS (SELECT vec_id, {_quant_emb()} AS qe FROM {src}),
+  pv AS (SELECT vec_id, qe, {_sql_dot('qe', 'qe')} AS n2 FROM prep)"""
+
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "text_tokens": f"""WITH {_D}
+        SELECT doc_id,
+               len({_WORDS})::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_word_tokens,
+               length(text)::BIGINT AS n_text_chars
+        FROM d""",
+    "text_quality": f"""WITH {_D},
+        t AS (SELECT doc_id, text, {_WORDS} AS w,
+                     length(text)::BIGINT AS n_chars2,
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct,
+                     length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS word_chars
+              FROM d),
+        s AS (SELECT doc_id, len(w)::BIGINT AS n_words, n_punct, n_chars2, word_chars,
+                     len(list_filter(w, x -> list_contains({_STOPS_EN}, x)))::BIGINT AS hits
+              FROM t)
+        SELECT doc_id, n_words, n_punct,
+               CAST(FLOOR(word_chars::DOUBLE / n_words::DOUBLE * 1000000) AS BIGINT)
+                 AS mean_word_len_q,
+               CAST(FLOOR(hits::DOUBLE / n_words::DOUBLE * 1000000) AS BIGINT)
+                 AS stop_ratio_q,
+               CAST(FLOOR((0.4 * (hits::DOUBLE / n_words::DOUBLE)
+                         + 0.3 * least(n_words::DOUBLE / 100.0, 1.0)
+                         + 0.3 * (1.0 - n_punct::DOUBLE / n_chars2::DOUBLE))
+                          * 1000000) AS BIGINT) AS quality_q
+        FROM s""",
+    "text_langid": f"""WITH {_D},
+        t AS (SELECT doc_id, lang, {_WORDS} AS w FROM d),
+        s AS (SELECT doc_id, lang,
+                     {_lang_hits('en')} AS s_en, {_lang_hits('de')} AS s_de,
+                     {_lang_hits('fr')} AS s_fr, {_lang_hits('es')} AS s_es
+              FROM t),
+        p AS (SELECT lang,
+                     CASE WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+                          WHEN s_de >= greatest(s_en, s_fr, s_es, 1) THEN 'de'
+                          WHEN s_fr >= greatest(s_en, s_de, s_es, 1) THEN 'fr'
+                          WHEN s_es >= greatest(s_en, s_de, s_fr, 1) THEN 'es'
+                          ELSE 'und' END AS pred_lang
+              FROM s)
+        SELECT lang, pred_lang, count(*)::BIGINT AS n FROM p GROUP BY 1, 2""",
+    "text_fingerprint": f"""WITH {_D},
+        t AS (SELECT doc_id, {_WORDS} AS w FROM d)
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(w, x -> {_h60('x')} % 1000000007)),
+                 (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint,
+               md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS bag_fp
+        FROM t""",
+    "dedup_exact": f"""WITH {_D},
+        planted AS (SELECT doc_id, text FROM d
+                    UNION ALL
+                    SELECT doc_id + 10000000, text FROM d WHERE doc_id % 10 = 0)
+        SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
+               min(doc_id) AS keeper
+        FROM planted GROUP BY 1 HAVING count(*) > 1""",
+    "dedup_minhash": f"""WITH {_SHINGLES},
+        mh AS (SELECT doc_id, i,
+                      min({_h60("shingle || '#' || i")}) AS mh
+               FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+               GROUP BY 1, 2),
+        bands AS (SELECT doc_id, i // 4 AS band,
+                         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
+                  FROM mh GROUP BY 1, 2)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""",
+    "dedup_simhash": f"""WITH {_SHINGLES},
+        wh AS (SELECT doc_id, {_h60('shingle')} AS h FROM sh),
+        bits AS (SELECT doc_id, j,
+                        CASE WHEN sum(2 * ((h >> j) & 1) - 1) >= 0
+                             THEN (1::BIGINT << j) ELSE 0 END AS bit
+                 FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+                 GROUP BY doc_id, j),
+        sim AS (SELECT doc_id, sum(bit)::BIGINT AS sh2 FROM bits GROUP BY 1),
+        banded AS (SELECT doc_id, sh2, b AS band, (sh2 >> (b * 8)) & 255 AS key
+                   FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sh2, b.sh2))::BIGINT AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh2, b.sh2)) <= 4""",
+    "dedup_jaccard": f"""WITH {_SHINGLES},
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          count(*)::BIGINT AS shared
+                   FROM sh a JOIN sh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+        j AS (SELECT doc_a, doc_b, shared,
+                     CAST(FLOOR(shared::DOUBLE
+                                / (na.n + nb.n - shared)::DOUBLE * 1000000)
+                          AS BIGINT) AS jac_q
+              FROM shared
+              JOIN sizes na ON na.doc_id = doc_a
+              JOIN sizes nb ON nb.doc_id = doc_b)
+        SELECT doc_a, doc_b, shared, jac_q FROM j WHERE jac_q >= 500000""",
+    "dedup_embed": f"""WITH {_prepared_vecs(_VPLANT, 've')},
+        pb AS (SELECT vec_id, qe, n2, {_sql_bucket('qe')} AS bucket FROM pv)
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_cos_q(_sql_dot('a.qe', 'b.qe'), 'a.n2', 'b.n2')} AS cos_q
+        FROM pb a JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_sql_cos_q(_sql_dot('a.qe', 'b.qe'), 'a.n2', 'b.n2')} >= 990000""",
+    "ann_topk": f"""WITH {_prepared_vecs('ve AS (SELECT vec_id, embedding FROM embeddings)', 've')},
+        q AS (SELECT vec_id AS q_id, qe AS q_qe, n2 AS q_n2 FROM pv WHERE vec_id < 10),
+        scored AS (SELECT q_id, vec_id AS neighbor_id,
+                          {_sql_cos_q(_sql_dot('qe', 'q_qe'), 'n2', 'q_n2')} AS cos_q
+                   FROM pv CROSS JOIN q WHERE vec_id <> q_id),
+        r AS (SELECT q_id, neighbor_id, cos_q,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_q DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT q_id, neighbor_id, cos_q, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5""",
+    "ann_lsh": f"""WITH {_prepared_vecs('ve AS (SELECT vec_id, embedding FROM embeddings)', 've')},
+        banded AS ({_sql_table_keys()}),
+        cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
+                 FROM banded a JOIN banded b
+                   ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id <> b.vec_id),
+        scored AS (SELECT q_id, neighbor_id,
+                          {_sql_cos_q(_sql_dot('qa.qe', 'nb.qe'), 'qa.n2', 'nb.n2')} AS cos_q
+                   FROM cand
+                   JOIN pv qa ON qa.vec_id = q_id
+                   JOIN pv nb ON nb.vec_id = neighbor_id),
+        r AS (SELECT q_id, neighbor_id, cos_q,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_q DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT q_id, neighbor_id, cos_q, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3""",
+    "mm_features": f"""WITH {_D}
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               (list_sum(list_transform(generate_series(1, length(text)),
+                  i -> ascii(substr(text, i, 1))))::BIGINT % 2147483647) AS checksum,
+               (octet_length(encode(text)) // 1024 + 1)::BIGINT AS n_frames
+        FROM d""",
+}

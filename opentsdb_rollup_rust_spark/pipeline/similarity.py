@@ -1,0 +1,274 @@
+"""Similarity search over embedding columns (array<float>):
+brute-force cosine top-k (the exactness baseline) and a
+random-hyperplane LSH-bucketed variant (the scale path), plus
+embedding-cosine near-duplicate detection.
+
+Exactness strategy: embeddings are quantized to integer thousandths
+first; dot products and squared norms are then exact int64 arithmetic
+(reorder-invariant), and cosine = dot / (sqrt(n2a) * sqrt(n2b)) is a
+double derived from identical integers in every engine — so DuckDB
+oracles match bit-for-bit. ``cos_q = floor(cosine * 1e6)`` is the
+comparison unit.
+
+Scale notes (10^9+ vectors):
+- brute-force: broadcast the (small) query set, map-side cross join —
+  no shuffle of the big side; per-partition top-k then global top-k
+  via the window only on the k*|queries| survivors would be the next
+  refinement at extreme scale.
+- LSH: 8 deterministic hyperplanes -> 256 buckets; candidate join is
+  an equi-join on the bucket id. Recall/cost tunes with n_planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int60
+
+QUANT = 1000  # embedding quantization: thousandths
+N_PLANES = 8
+PLANE_WEIGHT_MOD = 1001  # weights in [-500, 500]
+
+
+def quantize_embedding(emb: Column | str, scale: int = QUANT) -> Column:
+    """array<float> -> array<long> of floor(x * scale): every later
+    dot/norm is exact integer math."""
+    c = F.col(emb) if isinstance(emb, str) else emb
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def int_norm2(a: Column) -> Column:
+    return int_dot(a, a)
+
+
+def cosine_q(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """floor(1e6 * dot / (|a| * |b|)) from exact integer inputs."""
+    return F.floor(
+        dot.cast("double")
+        / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+        * F.lit(1_000_000)
+    ).cast("long")
+
+
+def _prepared(embeddings: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    q = quantize_embedding(emb_col)
+    return embeddings.select(
+        F.col("vec_id"),
+        q.alias("qe"),
+    ).withColumn("n2", int_norm2(F.col("qe")))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` defaults to the corpus itself filtered elsewhere; the
+    query side is broadcast (small by construction), so the big corpus
+    is never shuffled — the join is map-side, followed by a top-k
+    window partitioned by query (k*|queries| rows reach the shuffle)."""
+    corpus = _prepared(embeddings, emb_col)
+    if queries is None:
+        queries = embeddings
+    qs = _prepared(queries, emb_col).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("n2").alias("q_n2"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .withColumn("dot", int_dot(F.col("qe"), F.col("q_qe")))
+        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_q", "rank")
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes, reproducible in SQL:
+    w[p][i] = md5_int60('p|i') % 1001 - 500."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:15], 16)
+            row.append(h % PLANE_WEIGHT_MOD - PLANE_WEIGHT_MOD // 2)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(qe: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane LSH bucket id in [0, 2^n_planes): bit p set
+    iff dot(qe, w_p) >= 0. Weights are compile-time literals — the
+    whole bucket id is one codegen'd expression, no shuffle."""
+    ws = hyperplane_weights(n_planes, dim)
+    terms = []
+    for p, row in enumerate(ws):
+        warr = F.array(*[F.lit(v).cast("long") for v in row])
+        d = int_dot(qe, warr)
+        terms.append(
+            F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 4
+
+
+def lsh_table_keys(
+    qe: Column,
+    dim: int,
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES_PER_TABLE,
+) -> Column:
+    """Multi-table LSH keys: array<struct<tbl int, key long>> — table t
+    hashes with planes [t*P, (t+1)*P). Multiple independent tables are
+    the standard recall lever: a true neighbor is a candidate if it
+    agrees on ALL planes of ANY table, so recall = 1-(1-p^P)^T instead
+    of the single-table p^P."""
+    ws = hyperplane_weights(n_tables * planes_per_table, dim)
+    tables = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(planes_per_table):
+            row = ws[t * planes_per_table + p]
+            warr = F.array(*[F.lit(v).cast("long") for v in row])
+            terms.append(
+                F.when(int_dot(qe, warr) >= 0, F.lit(1 << p).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        key = terms[0]
+        for x in terms[1:]:
+            key = key + x
+        tables.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
+    return F.array(*tables)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES_PER_TABLE,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union candidates over the LSH tables, then
+    exact cosine rerank. Plan shape: project keys (map-only) ->
+    explode(T) -> self equi-join on (tbl, key) -> distinct pair ->
+    rerank window. The O(n^2) cross join never materializes; cost
+    scales with bucket occupancy, tuned by planes_per_table."""
+    prepared = _prepared(embeddings, emb_col).withColumn(
+        "keys", lsh_table_keys(F.col("qe"), dim, n_tables, planes_per_table)
+    )
+    banded = prepared.select(
+        "vec_id", "qe", "n2", F.explode("keys").alias("tk")
+    ).select("vec_id", "qe", "n2", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
+    a = banded.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("n2").alias("q_n2"),
+        "tbl",
+        "key",
+    )
+    b = banded.select("vec_id", "qe", "n2", "tbl", "key")
+    cand = (
+        a.join(b, ["tbl", "key"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_qe", "q_n2", "vec_id", "qe", "n2")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.withColumn(
+        "dot", int_dot(F.col("qe"), F.col("q_qe"))
+    ).withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_q", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    min_cos_q: int = 990_000,
+    n_planes: int = N_PLANES,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b) with
+    cosine >= min_cos_q/1e6, found via the LSH bucket equi-join.
+    Near-identical vectors land in the same bucket with probability
+    ~(1 - theta/pi)^n_planes ~ 1 for tiny angles."""
+    prepared = _prepared(embeddings, emb_col).withColumn(
+        "bucket", lsh_bucket(F.col("qe"), dim, n_planes)
+    )
+    a = prepared.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qe").alias("qe_a"),
+        F.col("n2").alias("n2_a"),
+        "bucket",
+    )
+    b = prepared.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qe").alias("qe_b"),
+        F.col("n2").alias("n2_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", int_dot(F.col("qe_a"), F.col("qe_b")))
+        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2_a"), F.col("n2_b")))
+        .where(F.col("cos_q") >= min_cos_q)
+        .select("vec_a", "vec_b", "cos_q")
+        .distinct()
+    )
+
+
+def with_planted_vec_dupes(
+    embeddings: DataFrame,
+    every: int = 20,
+    id_offset: int = 10_000_000,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Plant near-duplicate vectors: every ``every``-th vector is
+    copied (vec_id + id_offset) with +0.001 added to its first
+    element — cosine vs the original ~ 0.9999+. Mirrored in SQL."""
+    mutated = (
+        embeddings.where(F.col("vec_id") % every == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(id_offset))
+        .withColumn(
+            emb_col,
+            F.concat(
+                F.array((F.element_at(F.col(emb_col), 1) + F.lit(0.001)).cast("float")),
+                F.slice(F.col(emb_col), 2, 100_000),
+            ),
+        )
+    )
+    return embeddings.unionByName(mutated)

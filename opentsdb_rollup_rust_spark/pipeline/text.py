@@ -1,0 +1,161 @@
+"""Text analysis operators: tokenization, language-ID, quality
+scoring, rolling-hash fingerprints.
+
+All built-in expressions (whole-stage codegen, zero Python). Each
+operator is a narrow per-row map — no shuffle — so at 100 TB these
+run at scan speed and pipeline into whatever aggregation follows.
+
+Determinism: word hashes are md5-derived (cross-engine reproducible,
+see functions.hashing.md5_int60); ratios are doubles derived from
+exact integer counts, so DuckDB oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int60
+
+# Tiny per-language stopword tables for the n-gram/stopword heuristic.
+# Real deployments swap in bigger tables; the *shape* (broadcastable
+# lookup folded into a literal array) is the scale-relevant part.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "is", "and", "to", "in", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "es": ("el", "los", "las", "una", "por", "que"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 131
+
+
+def doc_words(text: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_counts(text: Column | str) -> dict[str, Column]:
+    """Token-counting suite: whitespace tokens, wordish tokens
+    (BPE-pretokenizer-style ``[a-z0-9]+`` pieces), and characters.
+    All exact longs."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_ws_tokens": F.size(doc_words(c)).cast("long"),
+        "n_word_tokens": F.size(F.regexp_extract_all(c, F.lit("[a-z0-9]+"), 0)).cast(
+            "long"
+        ),
+        "n_chars": F.length(c).cast("long"),
+    }
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``.
+    Integer hit count / integer token count -> deterministic double."""
+    w = doc_words(text)
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    return hits.cast("double") / F.size(w).cast("double")
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic core)."""
+    w = doc_words(text)
+    out: dict[str, Column] = {}
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.filter(w, lambda x: F.array_contains(arr, x))).cast(
+            "long"
+        )
+    return out
+
+
+def lang_id(text: Column | str, min_hits: int = 1) -> Column:
+    """Predicted language = argmax of lang_scores, ties broken by
+    fixed language order; 'und' when no language reaches min_hits."""
+    scores = lang_scores(text)
+    langs = list(LANG_STOPWORDS)
+    expr_best = F.lit("und")
+    for lang in reversed(langs):
+        cond = scores[lang] >= F.greatest(
+            *[scores[o] for o in langs if o != lang], F.lit(min_hits).cast("long")
+        )
+        # tie-break: an earlier language with an equal score overrides
+        expr_best = F.when(cond, F.lit(lang)).otherwise(expr_best)
+    return expr_best
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring components (all from exact integers):
+    length, word count, mean word length, punctuation ratio,
+    stopword ratio. ``quality_q`` is the composite, quantized to 1e-6
+    integer units so cross-engine comparison is exact."""
+    c = F.col(text) if isinstance(text, str) else text
+    w = doc_words(c)
+    n_chars = F.length(c).cast("long")
+    n_words = F.size(w).cast("long")
+    n_punct = F.length(F.regexp_replace(c, "[^.,!?;:]", "")).cast("long")
+    word_chars = F.length(F.regexp_replace(c, r"\s", "")).cast("long")
+    stop_r = stopword_ratio(c, "en")
+    punct_r = n_punct.cast("double") / n_chars.cast("double")
+    mean_wl = word_chars.cast("double") / n_words.cast("double")
+    score = (
+        F.lit(0.4) * stop_r
+        + F.lit(0.3) * F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_r)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "mean_word_len_q": F.floor(mean_wl * F.lit(1_000_000)).cast("long"),
+        "stop_ratio_q": F.floor(stop_r * F.lit(1_000_000)).cast("long"),
+        "quality_q": F.floor(score * F.lit(1_000_000)).cast("long"),
+    }
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over word hashes, acc' = (acc*131 + h(word)) mod 1e9+7.
+
+    h(word) = md5_int60(word) mod 1e9+7 keeps every intermediate
+    product < 2^38 — exact under ANSI mode, reproducible in DuckDB via
+    list_reduce. Sequential per row (F.aggregate is a left fold), but
+    embarrassingly parallel across rows — scan-speed at 100 TB."""
+    w = doc_words(text)
+    m = F.lit(FINGERPRINT_MOD)
+    return F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(FINGERPRINT_BASE) + F.pmod(md5_int60(x), m), m),
+    )
+
+
+def bag_fingerprint(text: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted
+    distinct word set — the exact-dedup key for shuffled/reflowed
+    copies of the same content."""
+    w = F.array_sort(F.array_distinct(doc_words(text)))
+    return F.md5(F.array_join(w, " "))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document profile: token counts + language +
+    quality + fingerprints. Pure projection — no shuffle."""
+    c = F.col(text_col)
+    tc = token_counts(c)
+    qf = quality_features(c)
+    return docs.select(
+        "doc_id",
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_word_tokens"].alias("n_word_tokens"),
+        qf["n_punct"].alias("n_punct"),
+        qf["mean_word_len_q"].alias("mean_word_len_q"),
+        qf["stop_ratio_q"].alias("stop_ratio_q"),
+        qf["quality_q"].alias("quality_q"),
+        lang_id(c).alias("pred_lang"),
+        rolling_fingerprint(c).alias("fingerprint"),
+        bag_fingerprint(c).alias("bag_fp"),
+    )

@@ -1,0 +1,215 @@
+"""ST1-ST4 — streaming rollups (SURVEY.md §2.9).
+
+Batch is the engine's primary mode (the reference is a batch rollup
+generator; late data is handled by re-running window ranges and
+overwriting tier partitions). The streaming surface mirrors the same
+semantics for continuous ingestion:
+
+- ST1 tumbling rollup: identical agg set to operators.rollup.A1
+  (sum/count/min/max, avg never stored); watermark bounds state so
+  late points within the watermark still fold into their window —
+  mirroring OpenTSDB's late-write-overwrites-rollup behavior
+  [docs.opentsdb.net "Rollup And Pre-Aggregates"].
+- ST2 sliding window, ST3 session window: same agg set, different
+  window assigners.
+- ST4 stateful forward-fill: a custom operator Spark lacks —
+  per-series state (last emitted window + last value) via
+  applyInPandasWithState; emits zero/carried rows for missing windows
+  between consecutive observed windows of a series.
+
+Scale notes: streaming state is partitioned by series_id (the same
+key the batch engine buckets on); watermark eviction bounds state to
+|active series| x |open windows|. The shuffle per micro-batch is the
+same partial+final hash agg Catalyst uses in batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..config import INTERVAL_SECONDS
+
+POINT_SCHEMA = StructType(
+    [
+        StructField("series_id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", LongType(), False),
+    ]
+)
+
+
+def read_points_stream(spark, path: str, max_files_per_trigger: int | None = None):
+    """File-based point stream (the sandbox stand-in for Kafka/Kinesis;
+    on a cluster swap `format('kafka')` — the downstream plan is
+    identical). Explicit schema: streaming sources never infer."""
+    reader = spark.readStream.schema(POINT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def _agg_select(grouped, interval: str):
+    return grouped.agg(
+        F.sum("value").alias("sum"),
+        F.count("value").alias("count"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    ).select(
+        "series_id",
+        F.col("window.start").alias("window_start"),
+        F.lit(interval).alias("interval"),
+        "sum",
+        "count",
+        "min",
+        "max",
+    )
+
+
+def streaming_tumbling_rollup(
+    points: DataFrame, interval: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """ST1: same semantics as operators.rollup.tumbling_rollup (A1).
+    F.window tumbling windows are epoch-aligned like the batch
+    time_bucket, so a completed stream equals the batch rollup exactly
+    (golden test in tests/test_streaming.py)."""
+    sec = INTERVAL_SECONDS[interval]
+    return _agg_select(
+        points.withWatermark("ts", watermark).groupBy(
+            "series_id", F.window("ts", f"{sec} seconds")
+        ),
+        interval,
+    )
+
+
+def streaming_sliding_rollup(
+    points: DataFrame,
+    length: str = "10 minutes",
+    slide: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST2: sliding windows — each point lands in length/slide windows."""
+    return _agg_select(
+        points.withWatermark("ts", watermark).groupBy(
+            "series_id", F.window("ts", length, slide)
+        ),
+        f"slide[{length}/{slide}]",
+    )
+
+
+def streaming_session_rollup(
+    points: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """ST3: session windows — a session closes after `gap` of series
+    silence. Returns session bounds + the stored agg set."""
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy("series_id", F.session_window("ts", gap))
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select(
+            "series_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "sum",
+            "count",
+            "min",
+            "max",
+        )
+    )
+
+
+FFILL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series_id", StringType(), False),
+        StructField("window_start", LongType(), False),  # epoch seconds
+        StructField("sum", LongType(), True),
+        StructField("filled", LongType(), False),  # 1 if gap-filled
+    ]
+)
+
+FFILL_STATE_SCHEMA = StructType(
+    [
+        StructField("last_window", LongType(), True),
+        StructField("last_sum", LongType(), True),
+    ]
+)
+
+
+def stateful_forward_fill(rollup_rows: DataFrame, interval: str) -> DataFrame:
+    """ST4: custom stateful operator — per-series forward-fill between
+    consecutive observed windows of a (possibly multi-batch) rollup
+    stream. State per series: (last emitted window, last sum).
+
+    Input: streaming rows (series_id, window_start timestamp, sum).
+    Output: observed rows (filled=0) plus carried rows (filled=1) for
+    every missing interval between the previous and current window.
+
+    applyInPandasWithState = Arrow-batched per-group stateful compute;
+    state is scoped to the series key, the same partitioning axis the
+    batch engine buckets on, so state shuffles once per micro-batch.
+    """
+    sec = INTERVAL_SECONDS[interval]
+
+    def fill(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (series_id,) = key
+        if state.exists:
+            last_w, last_s = state.get
+        else:
+            last_w, last_s = None, None
+        rows = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("window_start")
+        for _, r in batch.iterrows():
+            w = int(r["window_start"].timestamp())
+            s = int(r["sum"])
+            if last_w is not None:
+                g = last_w + sec
+                while g < w:
+                    rows.append((series_id, g, last_s, 1))
+                    g += sec
+            rows.append((series_id, w, s, 0))
+            last_w, last_s = w, s
+        state.update((last_w, last_s))
+        yield pd.DataFrame(
+            rows, columns=["series_id", "window_start", "sum", "filled"]
+        )
+
+    return rollup_rows.groupBy("series_id").applyInPandasWithState(
+        fill,
+        FFILL_OUTPUT_SCHEMA,
+        FFILL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_table(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming query to completion over currently-available
+    input (Trigger.AvailableNow) into an in-memory table — the test /
+    verification harness for the streaming surface."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
