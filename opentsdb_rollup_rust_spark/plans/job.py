@@ -86,6 +86,7 @@ def run_rollup_job(
     encode: bool = True,
     tiers: dict[str, TierSpec] | None = None,
     fail_before_chunks: bool = False,
+    derive_impl: str = "arrow",
 ) -> JobResult:
     """Run one tier to completion (idempotent under re-runs).
 
@@ -104,7 +105,9 @@ def run_rollup_job(
         if src_snapshot is None:
             raise RuntimeError("sequences table is empty")
         src = store.read("sequences", src_snapshot)
-        rolled = salted_rollup(derive_points(src), tier, salts=salts)
+        rolled = salted_rollup(
+            derive_points(src, impl=derive_impl), tier, salts=salts
+        )
     else:
         src_table = f"rollup_{spec.source}"
         src_snapshot = store.current_snapshot(src_table)
