@@ -181,6 +181,59 @@ def _q_agg_first_last(spark, sf_dir):
     )
 
 
+def _q_derive_points(spark, sf_dir):
+    """S3 demo with a DuckDB-reproducible token source: tokens[j] =
+    md5_int60(doc_id || '-' || j) % 997, length = n_chars % 8 + 1
+    (the production path uses xxhash64, which DuckDB lacks — the
+    operator logic under test is identical)."""
+    from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
+
+    d = _t(spark, sf_dir, "documents")
+    length = (F.pmod(F.col("n_chars"), F.lit(8)) + 1).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda j: F.pmod(
+            md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))),
+            F.lit(997),
+        ).cast("int"),
+    )
+    seqs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        "source",
+    )
+    from opentsdb_rollup_rust_spark.functions.arrays import token_array_stats
+
+    stats = token_array_stats("tokens")
+    return seqs.select(
+        "doc_id",
+        "source",
+        *[stats[s].alias(s) for s in ("n_tok", "tok_sum", "tok_min", "tok_max", "tok_first", "tok_last")],
+    )
+
+
+def _q_agg_percentile(spark, sf_dir):
+    """A9: exact p50/p95/p99 per series via discrete selection
+    (element at ceil(p*n) of the sorted values) — integer-exact, no
+    interpolation-float ambiguity across engines."""
+    pts = _event_points(spark, sf_dir)
+    g = pts.groupBy("series_id").agg(
+        F.sort_array(F.collect_list("value")).alias("vs"),
+        F.count("*").alias("n"),
+    )
+    def pick(p):
+        idx = F.ceil(F.col("n") * F.lit(p)).cast("int")
+        return F.element_at(F.col("vs"), idx)
+    return g.select(
+        "series_id",
+        pick(0.5).alias("p50"),
+        pick(0.95).alias("p95"),
+        pick(0.99).alias("p99"),
+        F.col("n"),
+    )
+
+
 def _q_agg_rollup_sets(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -584,7 +637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": _q_agg_salted,
         "agg_distinct": _q_agg_distinct,
         "agg_first_last": _q_agg_first_last,
+        "agg_percentile": _q_agg_percentile,
         "agg_rollup_sets": _q_agg_rollup_sets,
+        "derive_points": _q_derive_points,
         "win_topk": _q_win_topk,
         "win_delta": _q_win_delta,
         "win_moving": _q_win_moving,
@@ -665,6 +720,31 @@ def oracle_sql() -> dict[str, str]:
                    (min(struct_pack(ts := ts, value := value))).value AS first_val,
                    (max(struct_pack(ts := ts, value := value))).value AS last_val
             FROM pts GROUP BY 1, 2""",
+        "derive_points": """
+            WITH seqs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents)
+            SELECT doc_id, source,
+                   len(tokens)::BIGINT AS n_tok,
+                   list_sum(list_transform(tokens, x -> CAST(x AS BIGINT)))::BIGINT AS tok_sum,
+                   list_min(tokens)::BIGINT AS tok_min,
+                   list_max(tokens)::BIGINT AS tok_max,
+                   tokens[1]::BIGINT AS tok_first,
+                   tokens[-1]::BIGINT AS tok_last
+            FROM seqs""",
+        "agg_percentile": f"""{_PTS_CTE},
+            g AS (SELECT series_id, list_sort(list(value)) AS vs,
+                         count(*)::BIGINT AS n
+                  FROM pts GROUP BY 1)
+            SELECT series_id,
+                   vs[CAST(ceil(n * 0.5) AS INT)] AS p50,
+                   vs[CAST(ceil(n * 0.95) AS INT)] AS p95,
+                   vs[CAST(ceil(n * 0.99) AS INT)] AS p99,
+                   n
+            FROM g""",
         "agg_rollup_sets": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(FLOOR(l_extendedprice*100) AS BIGINT))::BIGINT AS revenue_cents,
