@@ -56,6 +56,27 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+def _shingled(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, shingles) with the words array materialized as a real
+    projection column first. CRITICAL for performance: composing
+    split -> shingle-build -> N hash functions as one nested expression
+    lets Catalyst inline the (expensive) child into every consumer
+    lambda — the regex split ends up re-evaluated O(k * n_hashes *
+    n_shingles) times per row (measured: 825s for 5500 docs). Staged
+    projections evaluate each intermediate once per row."""
+    d = docs.select(F.col("doc_id"), doc_words(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
+    mk = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]),
+    )
+    sh = F.array_distinct(
+        F.when(n >= F.lit(k), mk).otherwise(F.array(F.array_join(w, " ")))
+    )
+    return d.select("doc_id", sh.alias("shingles"))
+
+
 def exact_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via hash-groupBy on the content hash. Returns one
     row per duplicate cluster: (text_hash, n_docs, keeper) where
@@ -119,13 +140,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b), distinct.
 
-    Plan shape: project(sig) -> explode(bands) -> self-equi-join on
-    (band, key) -> distinct. The join is the only shuffle; the
-    distinct collapses multi-band collisions."""
-    sig = minhash_signature(word_shingles(F.col(text_col)), k)
-    banded = docs.select(
+    Plan shape: project(words) -> project(shingles) -> project(sig) ->
+    explode(bands) -> self-equi-join on (band, key) -> distinct. The
+    join is the only shuffle; the staged projections keep each
+    intermediate evaluated once per row (see _shingled)."""
+    shd = _shingled(docs, text_col)
+    sig_df = shd.select(
+        "doc_id", minhash_signature(F.col("shingles"), k).alias("sig")
+    )
+    banded = sig_df.select(
         F.col("doc_id"),
-        F.explode(lsh_band_keys(sig, bands, rows)).alias("bk"),
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = banded.alias("a")
     b = banded.alias("b")
@@ -151,6 +176,10 @@ def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
     hamming apart while near-dups stay within a few bits."""
     w = word_shingles(text)
     hashes = F.transform(w, md5_int60)
+    return _simhash_from_hashes(hashes, bits)
+
+
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
     bit_terms = [
         F.when(
             F.aggregate(
@@ -189,7 +218,13 @@ def simhash_pairs(
     keys stay selective, or band on (key, length-bucket)."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = docs.select(F.col("doc_id"), simhash(F.col(text_col), bits).alias("sh"))
+    # staged: shingles -> hashes -> bit sums (see _shingled for why)
+    hs = _shingled(docs, text_col).select(
+        "doc_id", F.transform(F.col("shingles"), md5_int60).alias("hs")
+    )
+    sh = hs.select(
+        F.col("doc_id"), _simhash_from_hashes(F.col("hs"), bits).alias("sh")
+    )
     banded = sh.select(
         "doc_id",
         "sh",
