@@ -88,7 +88,7 @@ def main() -> None:
     )
 
     # ---------------- headline: tier pipeline throughput ----------------
-    n_seqs = int(os.environ.get("BENCH_SEQS", str(int(sf * 4_000_000))))
+    n_seqs = int(os.environ.get("BENCH_SEQS", str(int(sf * 20_000_000))))
     n_seqs = max(n_seqs, 10_000)
     seq_path = f"/tmp/spark_graft_bench/seqs_{n_seqs}_f256.parquet"
     if not os.path.exists(seq_path):  # untimed input materialization
