@@ -63,11 +63,18 @@ def salted_rollup(points: DataFrame, interval: str, salts: int = 16) -> DataFram
 
 def topk_hot_series(points: DataFrame, k: int = 10) -> DataFrame:
     """W3: top-k series by point count — the skew detector. Ties break
-    on series_id for determinism."""
+    on series_id for determinism.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    top-k + driver merge of k rows per partition) — never the global
+    un-partitioned window round 1 flagged, which funnels ALL series
+    counts through one task. The rank window that follows sees only the
+    k surviving rows; its constant partition key keeps the partitionSpec
+    non-empty (no single-partition WindowExec warning)."""
     counts = points.groupBy("series_id").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("series_id"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("series_id")).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("series_id"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("series_id", "cnt", "rank")
     )

@@ -33,27 +33,45 @@ from .text import doc_words
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 8-bit bands for the hamming candidate join
+# MinHash permutations: each shingle is md5-hashed ONCE to h in [0, P),
+# then sig[i] = min (a_i*h + b_i) mod P — pure integer lambdas, no
+# per-permutation string hashing. P ~ 2^30 keeps a_i*h < 2^60 (exact
+# int64 in Spark and DuckDB alike).
+MINHASH_P = 1_000_000_007
+SIMHASH_BITS = 60  # md5_int60 supplies 60 meaningful bits
+SIMHASH_BANDS = 4  # 15-bit bands -> 32768 buckets/band: selective past 10^6 docs
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles of a document, as array<string>.
-    Guarded for docs shorter than k words (Spark's sequence(1,0) would
-    otherwise produce a *descending* range)."""
-    w = doc_words(text)
+def _shingles_from_words(w: Column, k: int = 3) -> Column:
+    """k-word shingles from a words array, built with zip_with over
+    shifted copies of the array instead of element_at inside a
+    transform lambda. The distinction matters: optimizer rules that
+    substitute an alias into this expression (InferFiltersFromGenerate
+    + filter pushdown do this with no multi-reference guard) duplicate
+    every reference to ``w`` — with element_at that put the regex split
+    INSIDE a per-element lambda, re-evaluating it O(k * n_shingles)
+    times per row (measured: explode(shingles) went from 0.3s to 22s at
+    sf0.1). Here ``w`` appears only a constant number of times at top
+    level, so even a fully-inlined copy costs O(k) extra splits.
+
+    zip_with pads the shorter (shifted) side with null; concat_ws
+    skips nulls, so the trailing entries are short grams that the
+    final slice drops. Guarded for docs shorter than k words."""
     n = F.size(w)
-    mk = (
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]
-            ),
+    acc = w
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(w, j + 1, n), lambda a, b: F.concat_ws(" ", a, b)
         )
-    )
+    mk = F.slice(acc, 1, n - F.lit(k - 1))
     return F.array_distinct(
         F.when(n >= F.lit(k), mk).otherwise(F.array(F.array_join(w, " ")))
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document, as array<string>."""
+    return _shingles_from_words(doc_words(text), k)
 
 
 def _shingled(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
@@ -65,16 +83,9 @@ def _shingled(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     n_shingles) times per row (measured: 825s for 5500 docs). Staged
     projections evaluate each intermediate once per row."""
     d = docs.select(F.col("doc_id"), doc_words(F.col(text_col)).alias("_w"))
-    w = F.col("_w")
-    n = F.size(w)
-    mk = F.transform(
-        F.sequence(F.lit(1), n - F.lit(k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j)) for j in range(k)]),
+    return d.select(
+        "doc_id", _shingles_from_words(F.col("_w"), k).alias("shingles")
     )
-    sh = F.array_distinct(
-        F.when(n >= F.lit(k), mk).otherwise(F.array(F.array_join(w, " ")))
-    )
-    return d.select("doc_id", sh.alias("shingles"))
 
 
 def exact_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -89,18 +100,42 @@ def exact_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
-    """MinHash signature: sig[i] = min over shingles of h_i(s), with
-    h_i(s) = md5_int60(s || '#' || i). Per-row expression — no shuffle,
-    k x |shingles| hashes per doc, all JVM-side."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: md5_int60(F.concat(s, F.lit("#"), i.cast("string"))),
-            )
-        ),
+def _mh_perm_consts(k: int = MINHASH_K) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation constants (a_i, b_i), derived
+    from md5 so the DuckDB oracle can inline the identical literals."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = [h60(f"mh_a#{i}") % (MINHASH_P - 1) + 1 for i in range(k)]
+    b = [h60(f"mh_b#{i}") % MINHASH_P for i in range(k)]
+    return a, b
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """Each shingle hashed ONCE: array<long> of md5_int60(s) mod P.
+    Stage this as its own projection column (see _shingled) so the k
+    permutation lambdas consume a bound column, not k re-evaluations
+    of the md5 chain."""
+    return F.transform(shingles, lambda s: md5_int60(s) % F.lit(MINHASH_P))
+
+
+def minhash_signature(hashes: Column, k: int = MINHASH_K) -> Column:
+    """MinHash signature over pre-hashed shingles: sig[i] = min over
+    h in hashes of (a_i*h + b_i) mod P. Pure integer lambdas — the md5
+    work happens once per shingle in shingle_hashes, not k times (the
+    interpreted-HOF trap flagged in round 1)."""
+    a, b = _mh_perm_consts(k)
+
+    def perm(ai: int, bi: int):
+        # closure (not default args): F.transform reads lambda arity
+        return lambda h: (
+            F.lit(ai).cast("long") * h + F.lit(bi).cast("long")
+        ) % F.lit(MINHASH_P)
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm(a[i], b[i]))) for i in range(k)]
     )
 
 
@@ -140,14 +175,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b), distinct.
 
-    Plan shape: project(words) -> project(shingles) -> project(sig) ->
-    explode(bands) -> self-equi-join on (band, key) -> distinct. The
-    join is the only shuffle; the staged projections keep each
-    intermediate evaluated once per row (see _shingled)."""
+    Plan shape: project(words) -> project(shingles) -> project(hashes)
+    -> project(sig) -> explode(bands) -> self-equi-join on (band, key)
+    -> distinct. The join is the only shuffle; the staged projections
+    keep each intermediate evaluated once per row (see _shingled)."""
     shd = _shingled(docs, text_col)
-    sig_df = shd.select(
-        "doc_id", minhash_signature(F.col("shingles"), k).alias("sig")
-    )
+    hs = shd.select("doc_id", shingle_hashes(F.col("shingles")).alias("hs"))
+    sig_df = hs.select("doc_id", minhash_signature(F.col("hs"), k).alias("sig"))
     banded = sig_df.select(
         F.col("doc_id"),
         F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
@@ -213,9 +247,11 @@ def simhash_pairs(
     (bits/bands)-bit band (pigeonhole: hamming <= bands-1 guarantees a
     shared band), verified by bit_count(xor) <= max_hamming.
 
-    Scale note: 8-bit bands give only 256 buckets per band — fine into
-    the ~10^5-doc range; at 10^8+ docs raise `bits` (e.g. 60) so band
-    keys stay selective, or band on (key, length-bucket)."""
+    Scale note: 60 bits / 4 bands = 15-bit bands -> 32768 buckets per
+    band, so candidate sets stay selective well past 10^6 docs (the
+    round-1 32-bit/8-bit-band geometry went quadratic at ~10^5). Pairs
+    with hamming in (bands-1, max_hamming] are found best-effort via
+    band collisions — the standard SimHash-LSH recall trade."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     # staged: shingles -> hashes -> bit sums (see _shingled for why)
@@ -256,38 +292,58 @@ def simhash_pairs(
     )
 
 
+DEFAULT_MAX_DF = 20
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     k: int = 3,
     min_jaccard: float = 0.6,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted-index join.
+    """Exact n-gram Jaccard near-dup pairs via a true inverted index.
 
     jaccard = shared / (nA + nB - shared), computed from exact integer
     shingle counts -> deterministic double, quantized to jac_q for
-    cross-engine comparison. ``max_df`` drops shingles present in more
-    than max_df docs before the self-join (hot-shingle skew guard)."""
-    sh = docs.select(
-        F.col("doc_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    cross-engine comparison.
+
+    Plan shape (ONE pass over the shingles): explode ->
+    groupBy(shingle) collecting the posting list -> df filter ->
+    { per-doc sizes by re-exploding postings ; candidate pairs by
+    expanding each posting list's a<b combinations in-row }. The
+    expensive shingle projection feeds exactly one exchange (reused by
+    both consumers); round 1's formulation re-derived the exploded
+    shingle table four times through a self-join. ``max_df`` (ON by
+    default) caps posting-list length, bounding the in-row pair
+    expansion at df^2 and keeping a single stop-shingle from going
+    quadratic; sizes are computed AFTER the filter, so jaccard is over
+    the filtered shingle sets in both engines."""
+    sh = _shingled(docs, text_col, k).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
+    posts = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
     if max_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        posts = posts.where(F.size("docs") <= max_df)
+    sizes = (
+        posts.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x: F.transform(
+                    F.col("docs"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
     shared = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posts.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))

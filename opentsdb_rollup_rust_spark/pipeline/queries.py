@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    DEFAULT_MAX_DF,
+    MINHASH_K,
+    MINHASH_P,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    _mh_perm_consts,
     exact_dup_clusters,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -44,6 +50,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _mp(df: DataFrame) -> DataFrame:
+    """Spread rows across the cluster before expression-heavy map work.
+    The testdata parquet is a single row group (<= 2 input splits), so
+    without this the shingle/hash/dot-product projections — the actual
+    cost of the dedup/ANN pipelines — run at parallelism 2 regardless
+    of core count. At production scale the scan has thousands of
+    splits and this shuffle of raw rows is noise (AQE coalesces it)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------- text
@@ -106,31 +122,34 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=True)
+    d = with_planted_dupes(_mp(_docs(spark, sf_dir)), every=10, mutate=True)
     return minhash_lsh_pairs(d)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=True)
-    return simhash_pairs(d, max_hamming=4).select(
+    # 60-bit simhash: planted near-dups land at hamming <= ~13; 7 keeps
+    # precision while the 15-bit bands keep the candidate join selective
+    d = with_planted_dupes(_mp(_docs(spark, sf_dir)), every=10, mutate=True)
+    return simhash_pairs(d, max_hamming=7).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=True)
-    return ngram_jaccard_pairs(d, min_jaccard=0.5)
+    # max_df guard ON (hot-shingle skew protection), mirrored in the oracle
+    d = with_planted_dupes(_mp(_docs(spark, sf_dir)), every=10, mutate=True)
+    return ngram_jaccard_pairs(d, min_jaccard=0.5, max_df=DEFAULT_MAX_DF)
 
 
 def q_dedup_embed(spark, sf_dir):
-    e = with_planted_vec_dupes(_embs(spark, sf_dir), every=20)
+    e = with_planted_vec_dupes(_mp(_embs(spark, sf_dir)), every=20)
     return embedding_near_dup_pairs(e, dim=EMB_DIM, min_cos_q=990_000)
 
 
 # ---------------------------------------------------------------- similarity
 
 def q_ann_topk(spark, sf_dir):
-    e = _embs(spark, sf_dir)
+    e = _mp(_embs(spark, sf_dir))
     q = e.where(F.col("vec_id") < 10)
     return brute_force_topk(e, q, k=5).select(
         "q_id", "neighbor_id", "cos_q", F.col("rank").cast("int").alias("rank")
@@ -138,7 +157,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    e = _embs(spark, sf_dir)
+    e = _mp(_embs(spark, sf_dir))
     return lsh_topk(e, dim=EMB_DIM, k=3).select(
         "q_id", "neighbor_id", "cos_q", F.col("rank").cast("int").alias("rank")
     )
@@ -201,6 +220,15 @@ _SHINGLES = f"""{_PLANTED},
                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                 ELSE [array_to_string(w, ' ')] END)) AS shingle
         FROM pw)"""
+
+# minhash affine-permutation constants, inlined as VALUES rows so the
+# oracle uses bit-identical integers to dedup._mh_perm_consts
+_MH_A, _MH_B = _mh_perm_consts(MINHASH_K)
+_MH_CONSTS = ", ".join(
+    f"({i}, {_MH_A[i]}, {_MH_B[i]})" for i in range(MINHASH_K)
+)
+_SH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_SH_MASK = (1 << _SH_BAND_BITS) - 1
 
 _STOPS_EN = "['the','a','of','is','and','to','in','it']"
 _LANG_STOPS = {
@@ -339,10 +367,10 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                min(doc_id) AS keeper
         FROM planted GROUP BY 1 HAVING count(*) > 1""",
     "dedup_minhash": f"""WITH {_SHINGLES},
-        mh AS (SELECT doc_id, i,
-                      min({_h60("shingle || '#' || i")}) AS mh
-               FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
-               GROUP BY 1, 2),
+        wh AS (SELECT doc_id, {_h60('shingle')} % {MINHASH_P} AS hp FROM sh),
+        consts AS (SELECT * FROM (VALUES {_MH_CONSTS}) AS t(i, a, b)),
+        mh AS (SELECT doc_id, i, min((a * hp + b) % {MINHASH_P}) AS mh
+               FROM wh CROSS JOIN consts GROUP BY 1, 2),
         bands AS (SELECT doc_id, i // 4 AS band,
                          md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
                   FROM mh GROUP BY 1, 2)
@@ -354,21 +382,25 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         bits AS (SELECT doc_id, j,
                         CASE WHEN sum(2 * ((h >> j) & 1) - 1) >= 0
                              THEN (1::BIGINT << j) ELSE 0 END AS bit
-                 FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+                 FROM wh CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
                  GROUP BY doc_id, j),
         sim AS (SELECT doc_id, sum(bit)::BIGINT AS sh2 FROM bits GROUP BY 1),
-        banded AS (SELECT doc_id, sh2, b AS band, (sh2 >> (b * 8)) & 255 AS key
-                   FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b))
+        banded AS (SELECT doc_id, sh2, b AS band,
+                          (sh2 >> (b * {_SH_BAND_BITS})) & {_SH_MASK} AS key
+                   FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b))
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.sh2, b.sh2))::BIGINT AS hamming
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh2, b.sh2)) <= 4""",
+        WHERE bit_count(xor(a.sh2, b.sh2)) <= 7""",
     "dedup_jaccard": f"""WITH {_SHINGLES},
-        sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        keep AS (SELECT shingle FROM sh GROUP BY 1
+                 HAVING count(*) <= {DEFAULT_MAX_DF}),
+        shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shf GROUP BY 1),
         shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           count(*)::BIGINT AS shared
-                   FROM sh a JOIN sh b
+                   FROM shf a JOIN shf b
                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                    GROUP BY 1, 2),
         j AS (SELECT doc_a, doc_b, shared,

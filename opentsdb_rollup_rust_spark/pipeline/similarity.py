@@ -180,32 +180,39 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: union candidates over the LSH tables, then
     exact cosine rerank. Plan shape: project keys (map-only) ->
-    explode(T) -> self equi-join on (tbl, key) -> distinct pair ->
-    rerank window. The O(n^2) cross join never materializes; cost
-    scales with bucket occupancy, tuned by planes_per_table."""
-    prepared = _prepared(embeddings, emb_col).withColumn(
-        "keys", lsh_table_keys(F.col("qe"), dim, n_tables, planes_per_table)
+    explode(T) of (vec_id, tbl, key) ONLY -> self equi-join on
+    (tbl, key) -> distinct id pair -> join the vectors back on each
+    side -> rerank window. The O(n^2) cross join never materializes,
+    and — critically at scale — the T-way row multiplication and the
+    (tbl, key) shuffle carry 3 narrow columns, never the embedding
+    payload; vectors are re-joined only for the |candidates| rerank
+    rows (round 1 flagged the payload riding the 8x explode)."""
+    prepared = _prepared(embeddings, emb_col)
+    banded = (
+        prepared.withColumn(
+            "keys", lsh_table_keys(F.col("qe"), dim, n_tables, planes_per_table)
+        )
+        .select("vec_id", F.explode("keys").alias("tk"))
+        .select("vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
     )
-    banded = prepared.select(
-        "vec_id", "qe", "n2", F.explode("keys").alias("tk")
-    ).select("vec_id", "qe", "n2", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
-    a = banded.select(
+    a = banded.select(F.col("vec_id").alias("q_id"), "tbl", "key")
+    cand = (
+        a.join(banded, ["tbl", "key"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    qs = prepared.select(
         F.col("vec_id").alias("q_id"),
         F.col("qe").alias("q_qe"),
         F.col("n2").alias("q_n2"),
-        "tbl",
-        "key",
     )
-    b = banded.select("vec_id", "qe", "n2", "tbl", "key")
-    cand = (
-        a.join(b, ["tbl", "key"])
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_qe", "q_n2", "vec_id", "qe", "n2")
-        .dropDuplicates(["q_id", "vec_id"])
+    scored = (
+        cand.join(prepared, "vec_id")
+        .join(qs, "q_id")
+        .withColumn("dot", int_dot(F.col("qe"), F.col("q_qe")))
+        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
     )
-    scored = cand.withColumn(
-        "dot", int_dot(F.col("qe"), F.col("q_qe"))
-    ).withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -56,6 +56,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InferFiltersFromGenerate duplicates the generator's input
+        # expression into a pre-filter (size>0 AND isnotnull) that
+        # filter-pushdown then inlines through every projection alias
+        # with no multi-reference guard — for expensive array
+        # expressions (shingling, band keys) the "optimization" costs
+        # far more than the empty-row skip it buys. Our explodes are
+        # over arrays that are non-empty by construction.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", mem)
         .config("spark.driver.extraJavaOptions", java_opts)
@@ -74,3 +85,7 @@ def pin_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
