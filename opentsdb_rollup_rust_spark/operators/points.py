@@ -47,7 +47,8 @@ def derive_points(
         computes all five array stats with np.*.reduceat directly on
         the Arrow list buffers (zero-copy values + offsets), measured
         ~10x faster than "sql" at local[32]. Golden test pins
-        arrow == sql exactly (tests/test_synth.py).
+        arrow == sql exactly (tests/test_synth.py::
+        test_derive_points_arrow_matches_sql).
     """
     if impl == "arrow":
         return _derive_points_arrow(sequences, keep_doc_id)
@@ -118,6 +119,15 @@ def _derive_points_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
                 # reduceat is undefined on empty slices; the generator
                 # guarantees n_tok >= 1, so this is a safety net only
                 raise ValueError("empty token arrays not supported by arrow impl")
+            if off[0] != 0 or off[-1] != len(flat):
+                # reduceat folds the final segment to the END of the
+                # values buffer; a sliced / non-canonical ListArray whose
+                # offsets don't span the buffer would silently corrupt
+                # the last row's stats — fail loudly instead
+                raise ValueError(
+                    f"non-canonical list buffers: offsets [{off[0]}, {off[-1]}] "
+                    f"vs values length {len(flat)}"
+                )
             cols = {
                 "n_tok": n,
                 "tok_sum": np.add.reduceat(flat, starts),

@@ -21,7 +21,7 @@ which is simpler and near-free given the narrow phase-1 output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import INTERVAL_SECONDS
@@ -68,13 +68,22 @@ def topk_hot_series(points: DataFrame, k: int = 10) -> DataFrame:
     orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
     top-k + driver merge of k rows per partition) — never the global
     un-partitioned window round 1 flagged, which funnels ALL series
-    counts through one task. The rank window that follows sees only the
-    k surviving rows; its constant partition key keeps the partitionSpec
-    non-empty (no single-partition WindowExec warning)."""
+    counts through one task. Rank over the k survivors is derived as
+    1 + |strictly better rows| via a broadcast self-join of the k-row
+    result (no Window node at all — a constant partition key does not
+    survive constant folding, so any window here would regress to the
+    single-partition WindowExec)."""
     counts = points.groupBy("series_id").agg(F.count("*").alias("cnt"))
     top = counts.orderBy(F.desc("cnt"), F.asc("series_id")).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("series_id"))
+    better = top.select(
+        F.col("cnt").alias("b_cnt"), F.col("series_id").alias("b_sid")
+    )
+    beats = (F.col("b_cnt") > F.col("cnt")) | (
+        (F.col("b_cnt") == F.col("cnt")) & (F.col("b_sid") < F.col("series_id"))
+    )
     return (
-        top.withColumn("rank", F.row_number().over(w))
+        top.join(F.broadcast(better), beats, "left")
+        .groupBy("series_id", "cnt")
+        .agg((F.count("b_sid") + 1).cast("int").alias("rank"))
         .select("series_id", "cnt", "rank")
     )

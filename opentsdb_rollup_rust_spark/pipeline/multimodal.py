@@ -66,10 +66,14 @@ def decode_payload(payload: bytes, modality: str):
 
 def _fake_decoder(payload: bytes, modality: str) -> dict:
     """Deterministic stand-in for decode: byte stats + frame-sampling
-    arithmetic. Used by tests and the demo query."""
+    arithmetic. Used by tests and the demo query. The checksum sums
+    Unicode CODEPOINTS of the UTF-8-decoded payload (the demo payload
+    is encoded text), matching the DuckDB oracle's per-character
+    ascii() sum for any input — a raw byte sum would silently diverge
+    on the first multi-byte character."""
     return {
         "n_bytes": len(payload),
-        "checksum": sum(payload) % 2_147_483_647,
+        "checksum": sum(map(ord, payload.decode("utf-8"))) % 2_147_483_647,
         "n_frames": len(payload) // 1024 + 1,
     }
 

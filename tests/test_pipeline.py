@@ -228,7 +228,8 @@ def test_mm_extract_features_checksum_matches_python(docs):
         payload = r["text"].encode("utf-8")
         f = feats[r["doc_id"]]
         assert f["n_bytes"] == len(payload)
-        assert f["checksum"] == sum(payload) % 2_147_483_647
+        # codepoint sum — exact for non-ASCII too (oracle uses ascii())
+        assert f["checksum"] == sum(map(ord, r["text"])) % 2_147_483_647
         assert f["n_frames"] == len(payload) // 1024 + 1
 
 

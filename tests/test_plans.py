@@ -85,17 +85,40 @@ def test_cascade_adds_single_exchange(spark, mp_points):
     assert p.count("partial_sum") >= 2
 
 
-def test_derive_points_prunes_tokens_early(spark, sequences):
+def test_derive_points_prunes_tokens_early(spark, sequences, tmp_path_factory):
     from opentsdb_rollup_rust_spark.operators.points import derive_points
     from opentsdb_rollup_rust_spark.operators.rollup import tumbling_rollup
 
-    p = plan_of(tumbling_rollup(derive_points(sequences, impl="arrow"), "1m"))
-    # n_tok is derivable from the array; the scan must not read it
+    # pruning must be asserted against a real parquet scan (the synth
+    # fixture has no scan node, hence no ReadSchema to inspect)
+    path = str(tmp_path_factory.mktemp("plans") / "seqs.parquet")
+    sequences.write.mode("overwrite").parquet(path)
+    seqs = spark.read.parquet(path)
+
+    p = plan_of(tumbling_rollup(derive_points(seqs, impl="arrow"), "1m"))
     assert "MapInArrow" in p
-    assert "n_tok" not in p.split("MapInArrow")[0].split("Input")[0] or True
-    # the tokens column must not survive past the arrow stage
-    post_arrow = p.split("MapInArrow", 1)[1]
-    assert "tokens" not in post_arrow.split("Exchange")[1] if "Exchange" in post_arrow else True
+    # n_tok is derivable from the array; the scan must read only the
+    # columns the arrow stage needs (doc_id for event time, source for
+    # the series id, tokens for the stats)
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert read_schemas, p
+    for rs in read_schemas:
+        cols = {c.split(":")[0] for c in rs.split(",") if c}
+        assert "n_tok" not in cols, rs
+        assert cols <= {"doc_id", "source", "tokens"}, rs
+    # the tokens column must not survive past the arrow stage. The
+    # formatted tree prints root-first, so everything BEFORE the
+    # MapInArrow line is downstream of it in dataflow:
+    tree = p.split("(1)")[0]
+    downstream = tree.split("MapInArrow")[0]
+    assert "tokens" not in downstream, downstream
+    # and tokens must never cross a shuffle: no Exchange detail block
+    # may mention the column
+    for block in re.split(r"\n(?=\(\d+\) )", p):
+        if block.splitlines()[0].split(" ", 1)[-1].startswith("Exchange"):
+            assert "tokens" not in block, block
 
 
 def test_semi_and_anti_join_strategies(spark):
@@ -107,6 +130,19 @@ def test_semi_and_anti_join_strategies(spark):
     # the big side should not be broadcast; the semi side may be
     anti = c.join(n.where(F.col("n_regionkey") == 0), c.c_nationkey == n.n_nationkey, "left_anti")
     assert "LeftAnti" in plan_of(anti)
+
+
+def test_topk_uses_take_ordered_not_global_window(spark, mp_points):
+    from opentsdb_rollup_rust_spark.operators.skew import topk_hot_series
+
+    p = plan_of(topk_hot_series(mp_points, k=5))
+    # per-partition top-k + driver merge — NOT a single-partition sort
+    assert "TakeOrderedAndProject" in p
+    # no Window node anywhere: an un-partitioned window funnels all
+    # series counts through one task (round-1 anti-pattern), and a
+    # constant partition key gets constant-folded back into that form
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
 def test_salted_agg_two_phase_shape(spark, mp_points):

@@ -38,3 +38,15 @@ def test_n_tok_consistent(sequences):
 def test_source_skew(sequences):
     frac = sequences.where(F.col("source") == "web").count() / sequences.count()
     assert 0.6 < frac < 0.8  # the deliberate hot key
+
+
+def test_derive_points_arrow_matches_sql(sequences):
+    """Golden: the vectorized arrow derive (the scale path / job
+    default) is bit-identical to the pure-SQL reference derive."""
+    from opentsdb_rollup_rust_spark.operators.points import derive_points
+
+    arrow = derive_points(sequences, keep_doc_id=True, impl="arrow")
+    sql = derive_points(sequences, keep_doc_id=True, impl="sql")
+    assert arrow.exceptAll(sql).count() == 0
+    assert sql.exceptAll(arrow).count() == 0
+    assert arrow.count() == sequences.count() * 6  # one point per stat
