@@ -140,6 +140,27 @@ def test_regular_series_one_bit_per_ts():
     assert len(tb) <= (14 + (n - 1) * 1 + 7) // 8 + 1
 
 
+def test_decode_throughput_floor():
+    """The decode path sits on the chunk-table read path; pin the
+    single-fetch-per-field reader's throughput so a regression back
+    toward the per-bit loop (round 1: ~0.07 Mpts/s) fails loudly.
+    Floor is ~3x under the measured 0.85 Mpts/s to stay unflaky."""
+    import time
+
+    rng = np.random.RandomState(7)
+    n = 4096
+    ts = np.arange(n, dtype=np.int64)
+    words = rng.randint(0, 1_000_000, n).astype(np.int64).view(np.uint64)
+    tb, vb = encode_chunk_arrays(ts, words)
+    decode_chunk_arrays(tb, vb, n)  # warm
+    t0 = time.monotonic()
+    reps = 10
+    for _ in range(reps):
+        decode_chunk_arrays(tb, vb, n)
+    mpts = n * reps / (time.monotonic() - t0) / 1e6
+    assert mpts >= 0.25, f"decode throughput regressed: {mpts:.3f} Mpts/s"
+
+
 # --------------------------------------------------------- Spark integration
 
 def test_spark_encode_decode_roundtrip(spark, points):
