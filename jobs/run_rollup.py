@@ -29,7 +29,7 @@ from opentsdb_rollup_rust_spark.plans.job import (  # noqa: E402
     run_rollup_job,
 )
 from opentsdb_rollup_rust_spark.session import get_spark  # noqa: E402
-from opentsdb_rollup_rust_spark.sources.store import ManifestStore  # noqa: E402
+from opentsdb_rollup_rust_spark.sources.store import make_store  # noqa: E402
 from opentsdb_rollup_rust_spark.sources.synth import synth_sequences  # noqa: E402
 
 
@@ -49,7 +49,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"rollup-{args.tier}", master=args.master)
-    store = ManifestStore(spark, args.root)
+    # real Iceberg catalog when the runtime jar is present, manifest
+    # store otherwise — identical surface either way
+    store = make_store(spark, args.root)
 
     if args.synthesize:
         snap = store.append("sequences", synth_sequences(spark, args.synthesize))

@@ -241,15 +241,18 @@ def apply_retention(
     now_epoch: int,
     tiers: dict[str, TierSpec] | None = None,
 ) -> int:
-    """P3 — drop windows older than the tier's retention. Manifest
-    store: snapshot-replacing rewrite (on Iceberg this is a metadata
-    partition drop / DELETE WHERE). Returns rows kept, -1 = no-op."""
+    """P3 — drop windows older than the tier's retention via the
+    store's footer-stat pruning: whole files entirely past retention
+    are dropped from the snapshot WITHOUT a read or rewrite (the
+    Iceberg partition-drop analogue); only cutoff-straddling files are
+    rewritten. Returns rows kept, -1 = no-op."""
     spec = (tiers or DEFAULT_TIERS)[tier]
-    if spec.retention_seconds is None or not store.exists(f"rollup_{tier}"):
+    table = f"rollup_{tier}"
+    if spec.retention_seconds is None or not store.exists(table):
         return -1
     cutoff = now_epoch - spec.retention_seconds
-    df = store.read(f"rollup_{tier}")
-    kept = df.where(F.unix_timestamp("window_start") >= cutoff)
-    n = kept.count()
-    store.overwrite(f"rollup_{tier}", kept)
-    return n
+    store.prune_older_than(table, "window_start", cutoff)
+    try:
+        return store.read(table).count()
+    except KeyError:  # every file aged out — table is empty
+        return 0

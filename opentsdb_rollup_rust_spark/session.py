@@ -56,6 +56,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # int64 micros, NOT the legacy INT96 default: INT96 columns get
+        # no parquet min/max statistics, which kills footer-based
+        # retention pruning (store.prune_older_than) and row-group skip
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # InferFiltersFromGenerate duplicates the generator's input
         # expression into a pre-filter (size>0 AND isnotnull) that
         # filter-pushdown then inlines through every projection alias
@@ -89,3 +93,4 @@ def pin_session_conf(spark: SparkSession) -> None:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -152,3 +152,295 @@ class ManifestStore:
 
     def exists(self, table: str) -> bool:
         return self._load_manifest(table)["current"] is not None
+
+    # ----------------------------------------------------------- retention
+
+    def expand_files(self, paths: list[str]) -> list[str]:
+        """Snapshot paths (files or directories) -> concrete parquet
+        data files."""
+        out: list[str] = []
+        for p in paths:
+            if os.path.isdir(p):
+                for root, _dirs, fs in os.walk(p):
+                    out.extend(
+                        os.path.join(root, f)
+                        for f in sorted(fs)
+                        if f.endswith(".parquet")
+                    )
+            else:
+                out.append(p)
+        return out
+
+    def prune_older_than(self, table: str, ts_col: str, cutoff_epoch: int) -> dict:
+        """Retention as a metadata-first operation (the Iceberg
+        partition-drop analogue): classify every data file by its
+        parquet FOOTER min/max of ``ts_col`` — files entirely older
+        than the cutoff leave the new snapshot without being read or
+        rewritten, files entirely newer carry over untouched, and only
+        straddling files are scanned and rewritten with the filter
+        applied. Round 1 recomputed and rewrote the whole table.
+
+        Dropped files stay on disk because older snapshots still
+        reference them (Iceberg keeps them until expire_snapshots);
+        the new current snapshot simply stops listing them."""
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest(table)
+        if m["current"] is None:
+            return {"snapshot": None, "dropped": [], "kept": [], "rewritten": []}
+        files = self.expand_files(self._snapshot_paths(m, m["current"]))
+        kept: list[str] = []
+        dropped: list[str] = []
+        straddle: list[str] = []
+        for f in files:
+            lo, hi = _footer_min_max(f, ts_col)
+            if hi is not None and hi < cutoff_epoch:
+                dropped.append(f)
+            elif lo is not None and lo >= cutoff_epoch:
+                kept.append(f)
+            else:  # straddles the cutoff, or no usable stats
+                straddle.append(f)
+        if not dropped and not straddle:
+            return {
+                "snapshot": m["current"],
+                "dropped": [],
+                "kept": kept,
+                "rewritten": [],
+            }
+        snap_id = self._new_snap_id(m)
+        new_paths = list(kept)
+        if straddle:
+            filtered = self.spark.read.parquet(*straddle).where(
+                F.unix_timestamp(F.col(ts_col)) >= F.lit(cutoff_epoch)
+            )
+            new_paths += self._write_data(table, filtered, snap_id)
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "paths": new_paths,
+                "ts": time.time(),
+                "summary": {
+                    "retention_cutoff": cutoff_epoch,
+                    "files_dropped": len(dropped),
+                    "files_rewritten": len(straddle),
+                },
+            }
+        )
+        m["current"] = snap_id
+        self._commit_manifest(table, m)
+        return {
+            "snapshot": snap_id,
+            "dropped": dropped,
+            "kept": kept,
+            "rewritten": straddle,
+        }
+
+
+def _footer_min_max(path: str, col_name: str) -> tuple[float | None, float | None]:
+    """(min, max) of a column across a file's row groups, in epoch
+    seconds, read from parquet footer statistics only. (None, None)
+    when stats are unavailable — callers must treat that as 'could
+    contain anything' and rewrite."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = md.schema.names
+    if col_name not in names:
+        return None, None
+    ci = names.index(col_name)
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        mn, mx = _stat_epoch(st.min), _stat_epoch(st.max)
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi
+
+
+def _stat_epoch(v) -> float:
+    from datetime import datetime, timezone
+
+    if isinstance(v, datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return v.timestamp()
+    return float(v)
+
+
+# ------------------------------------------------------------ real Iceberg
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def make_store(
+    spark: SparkSession,
+    root: str,
+    catalog: str = "rollup_cat",
+    namespace: str = "rollup",
+):
+    """Backend factory: a real Iceberg catalog when the runtime jar is
+    present (cluster deployments), the manifest store otherwise (this
+    sandbox ships no Iceberg jar — SURVEY.md Appendix A). Both expose
+    the identical surface, so callers (plans/job.py, jobs/run_rollup.py)
+    never branch."""
+    if iceberg_available(spark):
+        return IcebergStore(spark, catalog=catalog, namespace=namespace, root=root)
+    return ManifestStore(spark, root)
+
+
+class IcebergStore:
+    """ManifestStore's surface over a real Iceberg catalog.
+
+    Mapping of the snapshot model:
+      append()            -> df.writeTo(t).append() with
+                             snapshot-property.* write options carrying
+                             the commit summary (resume markers commit
+                             ATOMICALLY with the data, same as the
+                             manifest swap)
+      current_snapshot()  -> latest snapshot_id from the t.snapshots
+                             metadata table (ids are random longs, not
+                             sequential — resume only needs equality)
+      read(snapshot_id)   -> spark.read.option('snapshot-id', ...)
+      read_snapshot_delta -> incremental append scan
+                             (start-snapshot-id = parent, end = snap)
+      prune_older_than    -> DELETE WHERE ts < cutoff: Iceberg drops
+                             whole data files by column stats and
+                             rewrites only straddlers — the same
+                             file-granularity behavior ManifestStore
+                             implements by hand over parquet footers
+      overwrite           -> createOrReplace
+
+    Requires a configured catalog, e.g.::
+
+        spark.sql.catalog.rollup_cat = org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.rollup_cat.type = hadoop
+        spark.sql.catalog.rollup_cat.warehouse = <root>
+
+    Untestable in this sandbox (no jar) — exercised by
+    tests/test_store_backends.py, which skips when the probe fails.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: str = "rollup_cat",
+        namespace: str = "rollup",
+        root: str | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        if root and not spark.conf.get(f"spark.sql.catalog.{catalog}", None):
+            spark.conf.set(
+                f"spark.sql.catalog.{catalog}",
+                "org.apache.iceberg.spark.SparkCatalog",
+            )
+            spark.conf.set(f"spark.sql.catalog.{catalog}.type", "hadoop")
+            spark.conf.set(f"spark.sql.catalog.{catalog}.warehouse", root)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _qual(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    # ------------------------------------------------------------- surface
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qual(table))
+
+    def current_snapshot(self, table: str) -> int | None:
+        if not self.exists(table):
+            return None
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._qual(table)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return int(row.snapshot_id) if row else None
+
+    def append(self, table: str, df: DataFrame, summary: dict | None = None) -> int:
+        import json
+
+        q = self._qual(table)
+        if not self.exists(table):
+            df.limit(0).writeTo(q).create()
+        w = df.writeTo(q)
+        for k, v in (summary or {}).items():
+            w = w.option(f"snapshot-property.{k}", json.dumps(v))
+        w.append()
+        snap = self.current_snapshot(table)
+        assert snap is not None
+        return snap
+
+    def snapshot_summaries(self, table: str) -> list[dict]:
+        import json
+
+        if not self.exists(table):
+            return []
+        out = []
+        for r in self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self._qual(table)}.snapshots "
+            "ORDER BY committed_at"
+        ).collect():
+            d: dict = {"id": int(r.snapshot_id)}
+            for k, v in (r.summary or {}).items():
+                try:
+                    d[k] = json.loads(v)
+                except (ValueError, TypeError):
+                    d[k] = v
+            out.append(d)
+        return out
+
+    def read(
+        self, table: str, snapshot_id: int | None = None, schema: str | None = None
+    ) -> DataFrame:
+        if not self.exists(table):
+            if schema is None:
+                raise KeyError(f"table {table} is empty and no schema given")
+            return self.spark.createDataFrame([], schema)
+        r = self.spark.read
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", str(snapshot_id))
+        return r.table(self._qual(table))
+
+    def read_snapshot_delta(self, table: str, snap_id: int) -> DataFrame:
+        row = self.spark.sql(
+            f"SELECT parent_id FROM {self._qual(table)}.snapshots "
+            f"WHERE snapshot_id = {snap_id}"
+        ).first()
+        if row is None:
+            raise KeyError(f"snapshot {snap_id} not found")
+        r = self.spark.read.format("iceberg").option("end-snapshot-id", str(snap_id))
+        if row.parent_id is not None:
+            r = r.option("start-snapshot-id", str(int(row.parent_id)))
+            return r.load(self._qual(table))
+        return self.spark.read.option("snapshot-id", str(snap_id)).table(
+            self._qual(table)
+        )
+
+    def overwrite(self, table: str, df: DataFrame) -> int:
+        df.writeTo(self._qual(table)).createOrReplace()
+        snap = self.current_snapshot(table)
+        assert snap is not None
+        return snap
+
+    def prune_older_than(self, table: str, ts_col: str, cutoff_epoch: int) -> dict:
+        self.spark.sql(
+            f"DELETE FROM {self._qual(table)} "
+            f"WHERE unix_timestamp({ts_col}) < {cutoff_epoch}"
+        )
+        return {
+            "snapshot": self.current_snapshot(table),
+            "dropped": [],  # Iceberg handles file classification itself
+            "kept": [],
+            "rewritten": [],
+        }

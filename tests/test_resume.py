@@ -109,6 +109,58 @@ def test_retention_drops_old_windows(spark, store):
     assert store.read("rollup_1m").count() == kept
 
 
+def test_retention_prunes_files_without_rewrite(spark, tmp_path):
+    """Footer-stat pruning: daily appends (the production commit
+    pattern) age out as whole files — dropped from the snapshot with
+    no read/rewrite; files entirely inside retention are carried over
+    byte-identically; only a cutoff-straddling file is rewritten."""
+    import os
+
+    s = ManifestStore(spark, str(tmp_path / "rstore"))
+    day = 86400
+
+    def mk(day_idx, n=10, span=1):
+        rows = [
+            ("s1", float(day_idx * day + i * (span * day) // n))
+            for i in range(n)
+        ]
+        return (
+            spark.createDataFrame(rows, "series_id string, epoch double")
+            .select(
+                "series_id",
+                F.timestamp_seconds(F.col("epoch")).alias("window_start"),
+            )
+            .coalesce(1)
+        )
+
+    s.append("t", mk(0))  # day 0 — fully expired
+    s.append("t", mk(1))  # day 1 — fully expired
+    s.append("t", mk(2, span=2))  # days 2-3 — straddles the cutoff
+    s.append("t", mk(4))  # day 4 — fully retained
+    files_before = s.expand_files(
+        s._snapshot_paths(s._load_manifest("t"), s.current_snapshot("t"))
+    )
+    mtimes = {f: os.path.getmtime(f) for f in files_before}
+
+    cutoff = 3 * day
+    res = s.prune_older_than("t", "window_start", cutoff)
+
+    assert len(res["dropped"]) == 2  # day-0 and day-1 files, never read
+    assert len(res["rewritten"]) == 1  # only the day-2-3 straddler
+    assert len(res["kept"]) == 1  # day-4 file untouched
+    # kept file is the SAME path with the SAME mtime (no rewrite)
+    kept = res["kept"][0]
+    assert os.path.getmtime(kept) == mtimes[kept]
+    # dropped files left the snapshot but remain on disk (older
+    # snapshots still reference them, Iceberg-style)
+    for f in res["dropped"]:
+        assert os.path.exists(f)
+    rows = s.read("t").select(F.unix_timestamp("window_start").alias("e"))
+    lo, hi, n = rows.agg(F.min("e"), F.max("e"), F.count("*")).first()
+    assert lo >= cutoff
+    assert n == 10 + 5  # day-4 append + surviving half of the straddler
+
+
 def test_router_picks_coarsest_divisible(spark, store):
     assert route_tier(60) == "1m"
     assert route_tier(7200) == "1h"
