@@ -213,6 +213,48 @@ def _q_derive_points(spark, sf_dir):
     )
 
 
+def _q_rollup_fused(spark, sf_dir):
+    """A1/A5/S3 fused scale path (rollup.fused_rollup_wide) over a
+    DuckDB-reproducible wide source: same md5-token sequences as
+    derive_points, event time = EPOCH_BASE + md5_int60(doc_id) %
+    HORIZON (the production path's xxhash64 has no DuckDB twin).
+    Exercises the wide-form agg + unpivot the tier job runs at scale,
+    salted, against an exact relational oracle."""
+    from opentsdb_rollup_rust_spark.config import (
+        EPOCH_BASE_SECONDS,
+        HORIZON_SECONDS,
+        TOKEN_STATS,
+    )
+    from opentsdb_rollup_rust_spark.functions.arrays import token_array_stats
+    from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
+    from opentsdb_rollup_rust_spark.operators.rollup import fused_rollup_wide
+
+    d = _t(spark, sf_dir, "documents")
+    length = (F.pmod(F.col("n_chars"), F.lit(8)) + 1).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda j: F.pmod(
+            md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))),
+            F.lit(997),
+        ).cast("int"),
+    )
+    seqs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        "source",
+    )
+    stats = token_array_stats("tokens")
+    wide = seqs.select(
+        "source",
+        (F.lit(EPOCH_BASE_SECONDS) + F.pmod(md5_int60(F.col("doc_id")), F.lit(HORIZON_SECONDS))).alias("ts_sec"),
+        *[stats[s].alias(s) for s in TOKEN_STATS],
+    )
+    fused = fused_rollup_wide(wide, "1h", salts=4)
+    return fused.select(
+        "series_id", _epoch(), F.col("interval"), "sum", "count", "min", "max"
+    )
+
+
 def _q_agg_percentile(spark, sf_dir):
     """A9: exact p50/p95/p99 per series via discrete selection
     (element at ceil(p*n) of the sorted values) — integer-exact, no
@@ -640,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile": _q_agg_percentile,
         "agg_rollup_sets": _q_agg_rollup_sets,
         "derive_points": _q_derive_points,
+        "rollup_fused": _q_rollup_fused,
         "win_topk": _q_win_topk,
         "win_delta": _q_win_delta,
         "win_moving": _q_win_moving,
@@ -684,6 +727,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: _pinned(v) for k, v in qs.items()}
 
 
+def _rollup_fused_sql() -> str:
+    from opentsdb_rollup_rust_spark.config import (
+        EPOCH_BASE_SECONDS,
+        HORIZON_SECONDS,
+        SERIES_SEP,
+        TOKEN_STATS,
+    )
+
+    agg_cols = ",\n                   ".join(
+        f"sum({s})::BIGINT AS s_{s}, min({s}) AS mn_{s}, max({s}) AS mx_{s}"
+        for s in TOKEN_STATS
+    )
+    arms = "\n            UNION ALL ".join(
+        f"SELECT source || '{SERIES_SEP}' || '{s}' AS series_id, w_start, "
+        f"'1h' AS \"interval\", s_{s} AS \"sum\", cnt AS \"count\", "
+        f"mn_{s} AS \"min\", mx_{s} AS \"max\" FROM agg"
+        for s in TOKEN_STATS
+    )
+    return f"""
+            WITH seqs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents),
+            wide AS (
+              SELECT source,
+                     {EPOCH_BASE_SECONDS} + (('0x' || substr(md5(doc_id), 1, 15))::BIGINT % {HORIZON_SECONDS}) AS ts_sec,
+                     len(tokens)::BIGINT AS n_tok,
+                     list_sum(list_transform(tokens, x -> CAST(x AS BIGINT)))::BIGINT AS tok_sum,
+                     list_min(tokens)::BIGINT AS tok_min,
+                     list_max(tokens)::BIGINT AS tok_max,
+                     tokens[1]::BIGINT AS tok_first,
+                     tokens[-1]::BIGINT AS tok_last
+              FROM seqs),
+            agg AS (
+              SELECT source, CAST(FLOOR(ts_sec/3600)*3600 AS BIGINT) AS w_start,
+                   {agg_cols},
+                   count(*)::BIGINT AS cnt
+              FROM wide GROUP BY 1, 2)
+            {arms}"""
+
+
+_ROLLUP_FUSED_SQL = _rollup_fused_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from opentsdb_rollup_rust_spark.pipeline.queries import PIPELINE_ORACLE_SQL
 
@@ -720,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
                    (min(struct_pack(ts := ts, value := value))).value AS first_val,
                    (max(struct_pack(ts := ts, value := value))).value AS last_val
             FROM pts GROUP BY 1, 2""",
+        "rollup_fused": _ROLLUP_FUSED_SQL,
         "derive_points": """
             WITH seqs AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,

@@ -64,10 +64,9 @@ def main() -> None:
     import __spark_entry__ as E
     from opentsdb_rollup_rust_spark.session import get_spark
     from opentsdb_rollup_rust_spark.sources.synth import synth_sequences
-    from opentsdb_rollup_rust_spark.operators.points import derive_points
     from opentsdb_rollup_rust_spark.operators.rollup import (
         cascade_reagg,
-        tumbling_rollup,
+        fused_tier_rollup,
     )
     from opentsdb_rollup_rust_spark.codec.gorilla import (
         compression_stats,
@@ -108,10 +107,10 @@ def main() -> None:
 
     def pipeline() -> float:
         # mirrors the tier job: materialize the 1m tier once (persist =
-        # the tier write), then cascade 1h/1d from it — derive runs once
+        # the tier write), then cascade 1h/1d from it — derive runs once.
+        # fused_tier_rollup = the job's wide-form derive+agg scale path
         t0 = time.monotonic()
-        pts = derive_points(seqs, impl="arrow")  # scale path: Arrow
-        r1m = tumbling_rollup(pts, "1m").persist()
+        r1m = fused_tier_rollup(seqs, "1m", impl="arrow").persist()
         _sink(r1m)
         _sink(cascade_reagg(cascade_reagg(r1m, "1h"), "1d"))
         r1m.unpersist()
@@ -124,7 +123,7 @@ def main() -> None:
     # steal) that contaminate medians; scaling_run.py compares mins
     pipeline_min = min(all_runs[warmup:])
 
-    r1m = tumbling_rollup(derive_points(seqs, impl="arrow"), "1m").persist()
+    r1m = fused_tier_rollup(seqs, "1m", impl="arrow").persist()
     rolled_1m = r1m.count()
     t0 = time.monotonic()
     chunks = encode_chunks(r1m, "1m")

@@ -73,6 +73,27 @@ def derive_points(
     return wide.select(*cols)
 
 
+def derive_wide(
+    sequences: DataFrame, keep_doc_id: bool = False, impl: str = "arrow"
+) -> DataFrame:
+    """One row per sequence: ([doc_id,] source, ts_sec, <TOKEN_STATS>).
+
+    The WIDE form of the metric stream — rollup.fused_tier_rollup
+    aggregates this directly so the 6x row explosion to long format
+    (and the per-point series_id string build) happens only on the
+    aggregated output, never on the raw points."""
+    if impl == "arrow":
+        return _derive_wide_arrow(sequences, keep_doc_id)
+    stats = token_array_stats("tokens")
+    pass_cols = [F.col("doc_id")] if keep_doc_id else []
+    return sequences.select(
+        *pass_cols,
+        F.col("source"),
+        F.unix_timestamp(event_time("doc_id")).alias("ts_sec"),
+        *[stats[s].alias(s) for s in TOKEN_STATS],
+    )
+
+
 def _derive_points_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
     """Vectorized token-stat extraction on the Arrow buffers.
 
@@ -84,6 +105,30 @@ def _derive_points_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
     narrow passthrough columns plus the token buffers, and the stack
     to long format happens back in codegen'd expressions.
     """
+    wide = _derive_wide_arrow(sequences, keep_doc_id)
+    pass_cols = ["doc_id"] if keep_doc_id else []
+
+    stack_args: list[Column] = []
+    for name in TOKEN_STATS:
+        stack_args.append(F.lit(name))
+        stack_args.append(F.col(name))
+    long = wide.select(
+        *pass_cols,
+        F.col("source"),
+        F.timestamp_seconds(F.col("ts_sec")).alias("ts"),
+        F.stack(F.lit(len(TOKEN_STATS)), *stack_args).alias("stat", "value"),
+    )
+    cols = [
+        F.concat_ws(SERIES_SEP, F.col("source"), F.col("stat")).alias("series_id"),
+        F.col("ts"),
+        F.col("value").cast("long").alias("value"),
+    ]
+    if keep_doc_id:
+        cols.insert(0, F.col("doc_id"))
+    return long.select(*cols)
+
+
+def _derive_wide_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
     import numpy as np
     import pyarrow as pa
 
@@ -111,8 +156,15 @@ def _derive_points_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
             if isinstance(tokens, pa.ChunkedArray):
                 tokens = tokens.combine_chunks()
             la = tokens
-            off = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            # keep the values buffer in its NATIVE int32: upcasting 60
+            # tokens/row to int64 up front doubles the bytes streamed
+            # through DRAM — and this box's memory bandwidth, not CPU,
+            # is what stops scaling at high core counts (membw scales
+            # 0.51 at 8->32 cores vs 0.79 for pure compute). reduceat
+            # accumulates in int64 via dtype=; only the tiny per-row
+            # outputs get widened.
+            off = la.offsets.to_numpy(zero_copy_only=False)
+            flat = la.values.to_numpy(zero_copy_only=False)
             starts, ends = off[:-1], off[1:]
             n = (ends - starts).astype(np.int64)
             if len(flat) == 0 or (n == 0).any():
@@ -130,11 +182,11 @@ def _derive_points_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
                 )
             cols = {
                 "n_tok": n,
-                "tok_sum": np.add.reduceat(flat, starts),
-                "tok_min": np.minimum.reduceat(flat, starts),
-                "tok_max": np.maximum.reduceat(flat, starts),
-                "tok_first": flat[starts],
-                "tok_last": flat[ends - 1],
+                "tok_sum": np.add.reduceat(flat, starts, dtype=np.int64),
+                "tok_min": np.minimum.reduceat(flat, starts).astype(np.int64),
+                "tok_max": np.maximum.reduceat(flat, starts).astype(np.int64),
+                "tok_first": flat[starts].astype(np.int64),
+                "tok_last": flat[ends - 1].astype(np.int64),
             }
             arrays = [b.column(b.schema.get_field_index(c)) for c in pass_cols]
             arrays.append(b.column(b.schema.get_field_index("source")))
@@ -142,23 +194,4 @@ def _derive_points_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
             arrays += [pa.array(cols[s], type=pa.int64()) for s in TOKEN_STATS]
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema_arrow)
 
-    wide = pre.mapInArrow(stats_batches, out_schema)
-
-    stack_args: list[Column] = []
-    for name in TOKEN_STATS:
-        stack_args.append(F.lit(name))
-        stack_args.append(F.col(name))
-    long = wide.select(
-        *pass_cols,
-        F.col("source"),
-        F.timestamp_seconds(F.col("ts_sec")).alias("ts"),
-        F.stack(F.lit(len(TOKEN_STATS)), *stack_args).alias("stat", "value"),
-    )
-    cols = [
-        F.concat_ws(SERIES_SEP, F.col("source"), F.col("stat")).alias("series_id"),
-        F.col("ts"),
-        F.col("value").cast("long").alias("value"),
-    ]
-    if keep_doc_id:
-        cols.insert(0, F.col("doc_id"))
-    return long.select(*cols)
+    return pre.mapInArrow(stats_batches, out_schema)

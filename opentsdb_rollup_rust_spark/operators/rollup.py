@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import INTERVAL_SECONDS
+from ..config import INTERVAL_SECONDS, SERIES_SEP, TOKEN_STATS
 from ..functions.timeutil import time_bucket
 
 ROLLUP_COLS = ("series_id", "window_start", "interval", "sum", "count", "min", "max")
@@ -79,6 +79,96 @@ def cascade_reagg(finer: DataFrame, interval: str) -> DataFrame:
             "min",
             "max",
         )
+    )
+
+
+def fused_tier_rollup(
+    sequences: DataFrame, interval: str, salts: int = 0, impl: str = "arrow"
+) -> DataFrame:
+    """Derive + base-tier rollup fused in WIDE form — the job/bench
+    scale path.
+
+    Result is EXACTLY salted_rollup(derive_points(seqs), interval)
+    (golden: tests/test_rollup.py::test_fused_rollup_matches_long_form)
+    but the plan is 6x narrower where it matters: the aggregation
+    consumes one row per SEQUENCE (all 6 token stats as parallel agg
+    buffers) instead of one row per point, the group key is
+    (source, epoch-long) instead of a per-point concat'd series_id
+    string, and the 6x unpivot + series_id build run only on the
+    |series x windows| aggregated rows. All aggregates are
+    decomposable, so Catalyst's partial agg still collapses per-task
+    before the (tiny) shuffle.
+
+    ``salts`` > 0 spreads the hot source key (70% 'web') over a
+    two-phase agg exactly like operators.skew.salted_rollup."""
+    from .points import derive_wide
+
+    return fused_rollup_wide(derive_wide(sequences, impl=impl), interval, salts)
+
+
+def fused_rollup_wide(
+    wide: DataFrame, interval: str, salts: int = 0
+) -> DataFrame:
+    """The agg+unpivot core of fused_tier_rollup over an already-wide
+    frame (source, ts_sec, <TOKEN_STATS>) — split out so the driver
+    correctness gate can feed it a DuckDB-reproducible wide source
+    (__spark_entry__ rollup_fused)."""
+    sec = INTERVAL_SECONDS[interval]
+    win = (F.floor(F.col("ts_sec") / F.lit(sec).cast("long")) * sec).cast("long")
+
+    def stat_aggs(src: dict[str, str]) -> list:
+        aggs = []
+        for s in TOKEN_STATS:
+            aggs += [
+                F.sum(src["sum"].format(s)).alias(f"sum_{s}"),
+                F.min(src["min"].format(s)).alias(f"min_{s}"),
+                F.max(src["max"].format(s)).alias(f"max_{s}"),
+            ]
+        return aggs
+
+    if salts > 0:
+        phase1 = (
+            wide.withColumn("salt", F.pmod(F.xxhash64("ts_sec"), F.lit(salts)))
+            .groupBy("source", win.alias("win"), "salt")
+            .agg(
+                *stat_aggs({"sum": "{0}", "min": "{0}", "max": "{0}"}),
+                F.count("*").alias("cnt"),
+            )
+        )
+        agg = phase1.groupBy("source", "win").agg(
+            *stat_aggs({"sum": "sum_{0}", "min": "min_{0}", "max": "max_{0}"}),
+            F.sum("cnt").alias("cnt"),
+        )
+    else:
+        agg = wide.groupBy("source", win.alias("win")).agg(
+            *stat_aggs({"sum": "{0}", "min": "{0}", "max": "{0}"}),
+            F.count("*").alias("cnt"),
+        )
+
+    stack_args = []
+    for s in TOKEN_STATS:
+        stack_args += [
+            F.lit(s),
+            F.col(f"sum_{s}"),
+            F.col(f"min_{s}"),
+            F.col(f"max_{s}"),
+        ]
+    long = agg.select(
+        "source",
+        "win",
+        "cnt",
+        F.stack(F.lit(len(TOKEN_STATS)), *stack_args).alias(
+            "stat", "sum", "min", "max"
+        ),
+    )
+    return long.select(
+        F.concat_ws(SERIES_SEP, F.col("source"), F.col("stat")).alias("series_id"),
+        F.timestamp_seconds(F.col("win")).alias("window_start"),
+        F.lit(interval).alias("interval"),
+        F.col("sum").cast("long").alias("sum"),
+        F.col("cnt").cast("long").alias("count"),
+        F.col("min").cast("long").alias("min"),
+        F.col("max").cast("long").alias("max"),
     )
 
 

@@ -42,9 +42,7 @@ from pyspark.sql import functions as F
 from ..codec.gorilla import compression_stats, encode_chunks
 from ..config import DEFAULT_TIERS, TierSpec
 from ..functions.hashing import series_hash_bucket
-from ..operators.points import derive_points
-from ..operators.rollup import cascade_reagg
-from ..operators.skew import salted_rollup
+from ..operators.rollup import cascade_reagg, fused_tier_rollup
 from ..sources.store import METRICS_SCHEMA, ManifestStore
 
 ROLLUP_SCHEMA = (
@@ -105,9 +103,10 @@ def run_rollup_job(
         if src_snapshot is None:
             raise RuntimeError("sequences table is empty")
         src = store.read("sequences", src_snapshot)
-        rolled = salted_rollup(
-            derive_points(src, impl=derive_impl), tier, salts=salts
-        )
+        # fused wide-form derive+rollup: aggregates one row per sequence
+        # (6 stat buffers) instead of one per point; identical result to
+        # salted_rollup(derive_points(...)) by golden test
+        rolled = fused_tier_rollup(src, tier, salts=salts, impl=derive_impl)
     else:
         src_table = f"rollup_{spec.source}"
         src_snapshot = store.current_snapshot(src_table)

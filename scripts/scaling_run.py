@@ -60,6 +60,34 @@ def hw_throughput(procs: int, n: int = 12_000_000) -> float:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
 
 
+def _stream(n: int) -> float:
+    import numpy as np
+
+    a = np.random.randint(0, 1000, 20_000_000).astype(np.int32)  # ~80 MB
+    s = 0
+    for _ in range(n):
+        s += int(a.astype(np.int64).sum())  # stream read+write+read
+    return float(s)
+
+
+def membw_throughput(procs: int, passes: int = 6) -> float:
+    """passes/sec of `procs` memory-STREAMING processes — the box's
+    DRAM-bandwidth ceiling. A columnar scan/rollup engine's resource
+    profile sits between this and the pure-compute ceiling: shared
+    memory channels saturate long before 32 cores, and — like the
+    all-core turbo down-clock — this confound does not exist on a real
+    cluster, where added executor NODES bring their own DRAM."""
+    os.sched_setaffinity(0, set(range(procs)))
+    try:
+        with mp.Pool(procs) as p:
+            t0 = time.monotonic()
+            p.map(_stream, [passes] * procs)
+            dt = time.monotonic() - t0
+        return procs * passes / dt
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
+
+
 # ---------------------------------------------------------- bench runs
 
 def run_bench(cpus: int, seqs: int, warmup: int, reps: int) -> dict:
@@ -92,12 +120,15 @@ def main() -> None:
     lo, hi = args.levels
     factor = hi / lo
 
-    print("measuring hardware ceiling...", file=sys.stderr)
+    print("measuring hardware ceilings...", file=sys.stderr)
     hw = {c: hw_throughput(c) for c in (lo, hi)}
     hw_eff = (hw[hi] / hw[lo]) / factor
+    mb = {c: membw_throughput(c) for c in (lo, hi)}
+    mb_eff = (mb[hi] / mb[lo]) / factor
     print(
-        f"hw ceiling: {hw[lo]/1e6:.0f} -> {hw[hi]/1e6:.0f} Mops/s, "
-        f"eff={hw_eff:.3f}",
+        f"compute ceiling: {hw[lo]/1e6:.0f} -> {hw[hi]/1e6:.0f} Mops/s, "
+        f"eff={hw_eff:.3f}; membw ceiling: {mb[lo]:.1f} -> {mb[hi]:.1f} "
+        f"passes/s, eff={mb_eff:.3f}",
         file=sys.stderr,
     )
 
@@ -123,6 +154,7 @@ def main() -> None:
         "unit": "ratio",
         "normalized_to_hw_ceiling": round(norm_eff, 3),
         "hw_ceiling_eff": round(hw_eff, 3),
+        "membw_ceiling_eff": round(mb_eff, 3),
         "levels": {str(lo): pps[lo], str(hi): pps[hi]},
         "bytes_per_point": bpp,
         "n_sequences": args.seqs,
@@ -147,23 +179,36 @@ level.
 local[{lo}] vs local[{hi}] is the sandbox proxy for N vs 4N executors
 (task brief: no real cluster available here).
 
-## Single-box confound, measured
+## Single-box confounds, measured (no Spark anywhere in either probe)
 
-Activating {hi} cores instead of {lo} lowers this VM's all-core turbo
-frequency: raw-CPU scaling (plain python multiprocessing, no Spark)
-measures **{hw[lo]/1e6:.0f} -> {hw[hi]/1e6:.0f} Mops/s = efficiency
-{hw_eff:.3f}** — the ceiling ANY workload can reach at {lo}->{hi} on
-this box. A real cluster does not have this confound (new executor
-nodes do not down-clock existing ones), so the cluster-relevant number
-is the engine's efficiency normalized to the hardware ceiling.
+Two shared resources cap what ANY workload can scale to at
+{lo}->{hi} cores on this one box, and neither exists on a real
+cluster (added executor NODES bring their own turbo headroom and
+their own DRAM channels):
+
+1. **All-core turbo down-clock** — pure-register arithmetic in plain
+   python multiprocessing scales **{hw[lo]/1e6:.0f} ->
+   {hw[hi]/1e6:.0f} Mops/s = {hw_eff:.3f}**.
+2. **DRAM bandwidth saturation** — the same harness streaming 80 MB
+   numpy arrays (read+write+read per pass) scales **{mb[lo]:.1f} ->
+   {mb[hi]:.1f} passes/s = {mb_eff:.3f}**. Memory channels saturate
+   well before 32 cores.
+
+A columnar scan+rollup engine's resource profile is a mix of the two
+(parquet decode and Arrow transfer are bandwidth-heavy; hashing and
+aggregation are compute), so its single-box ceiling lies BETWEEN
+{mb_eff:.3f} and {hw_eff:.3f}. We report raw efficiency plus the
+compute-ceiling normalization; the bandwidth ceiling is reported so
+the raw number can be read against what the box permits.
 
 ## Results
 
 | measure | local[{lo}] | local[{hi}] | efficiency |
 |---|---|---|---|
-| hardware ceiling (no Spark) | {hw[lo]/1e6:.0f} Mops/s | {hw[hi]/1e6:.0f} Mops/s | {hw_eff:.3f} |
+| compute ceiling (no Spark) | {hw[lo]/1e6:.0f} Mops/s | {hw[hi]/1e6:.0f} Mops/s | {hw_eff:.3f} |
+| DRAM-bandwidth ceiling (no Spark) | {mb[lo]:.1f} passes/s | {mb[hi]:.1f} passes/s | {mb_eff:.3f} |
 | engine rolled-up points/sec | {pps[lo]:.0f} | {pps[hi]:.0f} | **{eff:.3f}** |
-| engine, normalized to hw ceiling | | | **{norm_eff:.3f}** (target >= 0.8) |
+| engine, normalized to compute ceiling | | | **{norm_eff:.3f}** (target >= 0.8) |
 
 Pipeline wall clocks per rep (first {args.warmup} = warmup):
 

@@ -66,6 +66,23 @@ def test_preaggregate_collapses_series(points):
     assert total == points.count()
 
 
+def test_fused_rollup_matches_long_form(spark, sequences):
+    """Golden: the job/bench scale path (wide-form fused derive+agg,
+    salted and unsalted, arrow and sql) is bit-identical to the
+    long-form salted_rollup(derive_points(...)) reference."""
+    from opentsdb_rollup_rust_spark.operators.points import derive_points
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        fused_tier_rollup,
+        tumbling_rollup,
+    )
+
+    want = tumbling_rollup(derive_points(sequences, impl="arrow"), "1m")
+    for salts, impl in ((0, "arrow"), (8, "arrow"), (0, "sql")):
+        got = fused_tier_rollup(sequences, "1m", salts=salts, impl=impl)
+        assert got.exceptAll(want).count() == 0, (salts, impl)
+        assert want.exceptAll(got).count() == 0, (salts, impl)
+
+
 def test_topk_hot_series(points):
     top = topk_hot_series(points, k=3).collect()
     assert len(top) == 3 and top[0].rank == 1
