@@ -28,12 +28,15 @@ from .dedup import (
 )
 from .multimodal import attach_media_payload, extract_features
 from .similarity import (
+    IVF_LISTS,
+    IVF_PROBE,
     LSH_PLANES_PER_TABLE,
     LSH_TABLES,
     N_PLANES,
     brute_force_topk,
     embedding_near_dup_pairs,
     hyperplane_weights,
+    ivf_topk,
     lsh_topk,
     with_planted_vec_dupes,
 )
@@ -163,6 +166,13 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    e = _mp(_embs(spark, sf_dir))
+    return ivf_topk(e, dim=EMB_DIM, k=3).select(
+        "q_id", "neighbor_id", "cos_q", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_mm_features(spark, sf_dir):
@@ -182,6 +192,7 @@ PIPELINE_QUERIES = {
     "dedup_embed": q_dedup_embed,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "mm_features": q_mm_features,
 }
 
@@ -433,6 +444,35 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
                  FROM banded a JOIN banded b
                    ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id <> b.vec_id),
+        scored AS (SELECT q_id, neighbor_id,
+                          {_sql_cos_q(_sql_dot('qa.qe', 'nb.qe'), 'qa.n2', 'nb.n2')} AS cos_q
+                   FROM cand
+                   JOIN pv qa ON qa.vec_id = q_id
+                   JOIN pv nb ON nb.vec_id = neighbor_id),
+        r AS (SELECT q_id, neighbor_id, cos_q,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_q DESC, neighbor_id) AS rank
+              FROM scored)
+        SELECT q_id, neighbor_id, cos_q, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 3""",
+    "ann_ivf": f"""WITH {_prepared_vecs('ve AS (SELECT vec_id, embedding FROM embeddings)', 've')},
+        dims AS (SELECT vec_id % {IVF_LISTS} AS lst, i AS pos, qe[i] AS v
+                 FROM pv CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS i)),
+        cent AS (SELECT lst, list(c ORDER BY pos) AS cent
+                 FROM (SELECT lst, pos, CAST(FLOOR(avg(v)) AS BIGINT) AS c
+                       FROM dims GROUP BY lst, pos) GROUP BY lst),
+        dists AS (SELECT pv.vec_id, cent.lst,
+                         list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                           i -> (qe[i] - cent[i]) * (qe[i] - cent[i]))) AS d2
+                  FROM pv CROSS JOIN cent),
+        assign AS (SELECT vec_id, lst,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY d2, lst) AS r
+                   FROM dists),
+        corpus AS (SELECT vec_id, lst FROM assign WHERE r = 1),
+        probes AS (SELECT vec_id AS q_id, lst FROM assign WHERE r <= {IVF_PROBE}),
+        cand AS (SELECT DISTINCT p.q_id, c.vec_id AS neighbor_id
+                 FROM probes p JOIN corpus c USING (lst)
+                 WHERE c.vec_id <> p.q_id),
         scored AS (SELECT q_id, neighbor_id,
                           {_sql_cos_q(_sql_dot('qa.qe', 'nb.qe'), 'qa.n2', 'nb.n2')} AS cos_q
                    FROM cand

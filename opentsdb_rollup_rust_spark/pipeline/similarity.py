@@ -221,6 +221,111 @@ def lsh_topk(
     )
 
 
+IVF_LISTS = 16
+IVF_PROBE = 4
+
+
+def ivf_centroids(prepared: DataFrame, n_lists: int = IVF_LISTS) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed list s = vec_id %
+    n_lists, centroid[i] = floor(avg(qe[i])) over the seed members —
+    exact int64 from identical IEEE double division in every engine.
+    Element-wise array aggregation via posexplode -> groupBy(list, pos)
+    -> re-assemble sorted; |lists| x dim rows only."""
+    return (
+        prepared.select(
+            (F.col("vec_id") % n_lists).alias("lst"),
+            F.posexplode("qe").alias("pos", "v"),
+        )
+        .groupBy("lst", "pos")
+        .agg(F.floor(F.avg("v")).cast("long").alias("c"))
+        .groupBy("lst")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    prepared: DataFrame, centroids: DataFrame, n_keep: int = 1
+) -> DataFrame:
+    """(vec_id, lst, rank) — each vector's n_keep nearest inverted
+    lists by exact squared distance (ties on list id). The centroid
+    table is tiny (n_lists rows) and broadcast, so assignment is a
+    map-only pass over the corpus."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("lst"))
+    return (
+        prepared.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", _sq_dist(F.col("qe"), F.col("cent")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n_keep)
+        .select("vec_id", "lst", "rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = IVF_LISTS,
+    n_probe: int = IVF_PROBE,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_lists`` inverted lists (each vector filed under its nearest
+    centroid), probe each query's ``n_probe`` nearest lists, exact
+    cosine rerank of the probed candidates.
+
+    Scale shape: centroid build touches |lists x dim| aggregated rows;
+    assignment and probing are map-only against the broadcast centroid
+    table; the candidate join is an equi-join on the list id, so cost
+    scales with n_probe/n_lists of the corpus per query instead of the
+    O(n^2) cross join. The standard recall/cost dial is (n_lists,
+    n_probe). Same integer-exact quantization as the LSH path, so the
+    DuckDB oracle reproduces centroids, assignments, and top-k
+    bit-for-bit."""
+    prepared = _prepared(embeddings, emb_col)
+    cents = ivf_centroids(prepared, n_lists)
+    corpus_assign = ivf_assign(prepared, cents, n_keep=1).select("vec_id", "lst")
+    probes = ivf_assign(prepared, cents, n_keep=n_probe).select(
+        F.col("vec_id").alias("q_id"), "lst"
+    )
+    cand = (
+        probes.join(corpus_assign, "lst")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    qs = prepared.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("n2").alias("q_n2"),
+    )
+    scored = (
+        cand.join(prepared, "vec_id")
+        .join(qs, "q_id")
+        .withColumn("dot", int_dot(F.col("qe"), F.col("q_qe")))
+        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_q", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

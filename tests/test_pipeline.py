@@ -143,6 +143,27 @@ def test_lsh_topk_agrees_with_brute_force_in_bucket(embs):
     assert hits / len(bf) >= 0.5, f"recall@5={hits}/{len(bf)}"
 
 
+def test_ivf_topk_recall_vs_brute_force(embs):
+    from opentsdb_rollup_rust_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = embs.where(F.col("vec_id") < 20)
+    bf = {
+        r["q_id"]: r["neighbor_id"] for r in brute_force_topk(embs, q, k=1).collect()
+    }
+    ivf = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ivf_topk(embs, dim=64, k=5).collect()
+        if r["q_id"] < 20
+    }
+    hits = sum(1 for qid, nid in bf.items() if (qid, nid) in ivf)
+    # near-random 64-dim embeddings are the hard case for a coarse
+    # quantizer; require a sane floor, not perfection
+    assert hits / len(bf) >= 0.3, f"recall@5={hits}/{len(bf)}"
+
+
 def test_brute_force_topk_is_exact(embs, spark):
     from opentsdb_rollup_rust_spark.pipeline.similarity import brute_force_topk
 
