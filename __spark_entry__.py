@@ -256,23 +256,34 @@ def _q_rollup_fused(spark, sf_dir):
 
 
 def _q_agg_percentile(spark, sf_dir):
-    """A9: exact p50/p95/p99 per series via discrete selection
-    (element at ceil(p*n) of the sorted values) — integer-exact, no
-    interpolation-float ambiguity across engines."""
+    """A9: exact p50/p95/p99 per series via discrete selection (the
+    value at rank ceil(p*n) of the sorted values) — integer-exact, no
+    interpolation-float ambiguity across engines.
+
+    Rank-based formulation (row_number + conditional agg), NOT
+    collect_list: the per-series sort is a spillable WindowExec, so a
+    hot series costs disk instead of an unbounded in-memory array
+    (round-1 VERDICT flagged the collect_list variant). The value at a
+    given rank is well-defined under ties, so non-deterministic tie
+    order cannot change the result."""
     pts = _event_points(spark, sf_dir)
-    g = pts.groupBy("series_id").agg(
-        F.sort_array(F.collect_list("value")).alias("vs"),
-        F.count("*").alias("n"),
-    )
-    def pick(p):
-        idx = F.ceil(F.col("n") * F.lit(p)).cast("int")
-        return F.element_at(F.col("vs"), idx)
-    return g.select(
+    w = Window.partitionBy("series_id").orderBy("value")
+    r = pts.select(
         "series_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("series_id")).alias("n"),
+    )
+
+    def pick(p):
+        at = F.ceil(F.col("n") * F.lit(p)).cast("int")
+        return F.max(F.when(F.col("rn") == at, F.col("value")))
+
+    return r.groupBy("series_id").agg(
         pick(0.5).alias("p50"),
         pick(0.95).alias("p95"),
         pick(0.99).alias("p99"),
-        F.col("n"),
+        F.max("n").alias("n"),
     )
 
 

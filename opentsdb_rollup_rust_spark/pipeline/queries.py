@@ -173,6 +173,38 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """End-to-end training-data cleaning pass composing the pipeline
+    operators the way a real corpus build does:
+      exact dedup (keep-first)  ->  quality filter  ->
+      per (source, predicted language) corpus stats.
+    The planted exact duplicates are dropped by the dedup stage, so
+    the aggregate equals the clean corpus — double-counted if dedup
+    regresses, shifted if the quality gate drifts."""
+    from .text import lang_id, quality_features, token_counts
+
+    d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=False)
+    keepers = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = d.join(keepers, "doc_id", "left_semi")
+    qf = quality_features(F.col("text"))
+    tc = token_counts(F.col("text"))
+    prof = survivors.select(
+        "source",
+        lang_id(F.col("text")).alias("pred_lang"),
+        qf["quality_q"].alias("quality_q"),
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+    ).where(F.col("quality_q") >= 450_000)
+    return prof.groupBy("source", "pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_tokens"),
+        F.floor(F.avg("quality_q")).cast("long").alias("mean_quality_q"),
+    )
+
+
 # ---------------------------------------------------------------- multimodal
 
 def q_mm_features(spark, sf_dir):
@@ -193,6 +225,7 @@ PIPELINE_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "pipeline_clean": q_pipeline_clean,
     "mm_features": q_mm_features,
 }
 
@@ -484,6 +517,40 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
               FROM scored)
         SELECT q_id, neighbor_id, cos_q, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 3""",
+    "pipeline_clean": f"""WITH {_D},
+        planted AS (SELECT doc_id, text, lang, source FROM d
+                    UNION ALL
+                    SELECT doc_id + 10000000, text, lang, source FROM d
+                    WHERE doc_id % 10 = 0),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM planted GROUP BY md5(text)),
+        surv AS (SELECT p.* FROM planted p JOIN keepers USING (doc_id)),
+        t AS (SELECT doc_id, source, text, {_WORDS} AS w,
+                     length(text)::BIGINT AS n_chars2,
+                     length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct
+              FROM surv),
+        sc AS (SELECT doc_id, source, w, n_punct, n_chars2,
+                      len(w)::BIGINT AS n_words, len(w)::BIGINT AS n_ws_tokens,
+                      {_lang_hits('en')} AS s_en, {_lang_hits('de')} AS s_de,
+                      {_lang_hits('fr')} AS s_fr, {_lang_hits('es')} AS s_es,
+                      len(list_filter(w, x -> list_contains({_STOPS_EN}, x)))::BIGINT AS hits
+               FROM t),
+        prof AS (SELECT source,
+                        CASE WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+                             WHEN s_de >= greatest(s_en, s_fr, s_es, 1) THEN 'de'
+                             WHEN s_fr >= greatest(s_en, s_de, s_es, 1) THEN 'fr'
+                             WHEN s_es >= greatest(s_en, s_de, s_fr, 1) THEN 'es'
+                             ELSE 'und' END AS pred_lang,
+                        CAST(FLOOR((0.4 * (hits::DOUBLE / n_words::DOUBLE)
+                                  + 0.3 * least(n_words::DOUBLE / 100.0, 1.0)
+                                  + 0.3 * (1.0 - n_punct::DOUBLE / n_chars2::DOUBLE))
+                                   * 1000000) AS BIGINT) AS quality_q,
+                        n_ws_tokens
+                 FROM sc)
+        SELECT source, pred_lang, count(*)::BIGINT AS n_docs,
+               sum(n_ws_tokens)::BIGINT AS total_tokens,
+               CAST(FLOOR(avg(quality_q)) AS BIGINT) AS mean_quality_q
+        FROM prof WHERE quality_q >= 450000
+        GROUP BY 1, 2""",
     "mm_features": f"""WITH {_D}
         SELECT doc_id,
                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

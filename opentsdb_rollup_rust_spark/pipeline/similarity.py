@@ -136,6 +136,39 @@ def lsh_bucket(qe: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return out
 
 
+def exact_rerank_topk(
+    cand: DataFrame, prepared: DataFrame, k: int, dim: int
+) -> DataFrame:
+    """Shared exact-cosine rerank: candidate (q_id, vec_id) pairs ->
+    per-query top-k by cos_q. Vectors are joined back on each side, so
+    the ids-only candidates stay narrow through the shuffles; the
+    dot/cosine stays JVM-side (zip_with/aggregate expressions).
+
+    Measured note: a numpy mapInArrow rerank was tried and REVERTED —
+    shipping both 64-long vectors per candidate pair through Arrow IPC
+    (~1 KB/pair) cost more than the interpreted-lambda dot it saved
+    (9.4s vs 6.7s at sf0.1). The HOF dot is evaluated once per pair on
+    data already JVM-resident; Python pays two serializations first."""
+    qs = prepared.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("n2").alias("q_n2"),
+    )
+    scored = (
+        cand.join(prepared, "vec_id")
+        .join(qs, "q_id")
+        .withColumn("dot", int_dot(F.col("qe"), F.col("q_qe")))
+        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
+        .select("q_id", "vec_id", "cos_q")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_q", "rank")
+    )
+
+
 LSH_TABLES = 8
 LSH_PLANES_PER_TABLE = 4
 
@@ -202,23 +235,7 @@ def lsh_topk(
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    qs = prepared.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("qe").alias("q_qe"),
-        F.col("n2").alias("q_n2"),
-    )
-    scored = (
-        cand.join(prepared, "vec_id")
-        .join(qs, "q_id")
-        .withColumn("dot", int_dot(F.col("qe"), F.col("q_qe")))
-        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_q", "rank")
-    )
+    return exact_rerank_topk(cand, prepared, k, dim)
 
 
 IVF_LISTS = 16
@@ -297,33 +314,19 @@ def ivf_topk(
     bit-for-bit."""
     prepared = _prepared(embeddings, emb_col)
     cents = ivf_centroids(prepared, n_lists)
-    corpus_assign = ivf_assign(prepared, cents, n_keep=1).select("vec_id", "lst")
-    probes = ivf_assign(prepared, cents, n_keep=n_probe).select(
-        F.col("vec_id").alias("q_id"), "lst"
-    )
+    # one assignment pass serves both roles: rank 1 = the corpus filing,
+    # ranks 1..n_probe = the query-side probe set (identical subtree ->
+    # the window/exchange is computed once and reused)
+    assign = ivf_assign(prepared, cents, n_keep=n_probe)
+    corpus_assign = assign.where(F.col("rank") == 1).select("vec_id", "lst")
+    probes = assign.select(F.col("vec_id").alias("q_id"), "lst")
     cand = (
         probes.join(corpus_assign, "lst")
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    qs = prepared.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("qe").alias("q_qe"),
-        F.col("n2").alias("q_n2"),
-    )
-    scored = (
-        cand.join(prepared, "vec_id")
-        .join(qs, "q_id")
-        .withColumn("dot", int_dot(F.col("qe"), F.col("q_qe")))
-        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2"), F.col("q_n2")))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_q", "rank")
-    )
+    return exact_rerank_topk(cand, prepared, k, dim)
 
 
 def embedding_near_dup_pairs(
