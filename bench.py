@@ -29,7 +29,9 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32 — also used for shuffle partitions),
      BENCH_SEQS         (override synthetic sequence count),
      BENCH_WARMUP/BENCH_REPS (pipeline warmup / timed reps: 2 / 3),
-     BENCH_QUERIES      (comma-list subset; default all; "none" skips).
+     BENCH_QUERIES      (comma-list subset; default all; "none" skips),
+     BENCH_QUERY_REPS   (per-query reps, best-of reported; default 2 —
+                         rep 1 pays one-time python-worker/JIT costs).
 """
 
 from __future__ import annotations
@@ -137,14 +139,21 @@ def main() -> None:
     # ---------------- per-query walls at sf_dir ----------------
     only = os.environ.get("BENCH_QUERIES")
     only_set = set(only.split(",")) if only else None
+    q_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     qtimes: dict[str, float] = {}
     for name, fn in E.queries().items():
         if only_set and name not in only_set:
             continue
-        t0 = time.monotonic()
         try:
-            _sink(fn(spark, sf_dir))
-            qtimes[name] = round(time.monotonic() - t0, 3)
+            # best-of-reps: the first execution pays query-specific
+            # one-time costs (python worker spin-up, codec/JSON parser
+            # init, stage JIT) that say nothing about the plan
+            runs = []
+            for _ in range(q_reps):
+                t0 = time.monotonic()
+                _sink(fn(spark, sf_dir))
+                runs.append(time.monotonic() - t0)
+            qtimes[name] = round(min(runs), 3)
         except Exception as exc:  # a failing query must not kill the bench
             qtimes[name] = -1.0
             print(f"bench: query {name} failed: {exc}", file=sys.stderr)
