@@ -145,6 +145,30 @@ def test_topk_uses_take_ordered_not_global_window(spark, mp_points):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_fused_rollup_plan_shape(spark, sequences, tmp_path_factory):
+    from opentsdb_rollup_rust_spark.operators.rollup import fused_tier_rollup
+
+    path = str(tmp_path_factory.mktemp("plans") / "seqs_fused.parquet")
+    sequences.write.mode("overwrite").parquet(path)
+    seqs = spark.read.parquet(path)
+
+    p0 = plan_of(fused_tier_rollup(seqs, "1m", salts=0))
+    # the wide agg must partial-aggregate all 6 stat buffers map-side
+    # and shuffle exactly once; the 6x unpivot happens above the agg
+    assert "partial_sum" in p0 and "partial_min" in p0 and "partial_max" in p0
+    assert n_exchanges(p0) == 1
+    # scan reads only what the arrow stage needs — never n_tok
+    import re
+
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", p0):
+        cols = {c.split(":")[0] for c in rs.split(",") if c}
+        assert cols <= {"doc_id", "source", "tokens"}, rs
+    # salted variant folds through a second (narrow) exchange
+    p8 = plan_of(fused_tier_rollup(seqs, "1m", salts=8))
+    assert n_exchanges(p8) == 2
+    assert "SortAggregate" not in p8
+
+
 def test_salted_agg_two_phase_shape(spark, mp_points):
     from opentsdb_rollup_rust_spark.operators.skew import salted_rollup
 

@@ -66,6 +66,22 @@ def test_preaggregate_collapses_series(points):
     assert total == points.count()
 
 
+def test_targeted_salting_matches_unsalted(points):
+    """Golden: salting only the detected hot series changes shuffle
+    layout, never results; detector -> targeted agg is the intended
+    composition."""
+    from opentsdb_rollup_rust_spark.operators.skew import (
+        targeted_salted_rollup,
+        topk_hot_series,
+    )
+
+    hot = [r["series_id"] for r in topk_hot_series(points, k=3).collect()]
+    got = targeted_salted_rollup(points, "1h", hot, salts=8)
+    want = tumbling_rollup(points, "1h")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_fused_rollup_matches_long_form(spark, sequences):
     """Golden: the job/bench scale path (wide-form fused derive+agg,
     salted and unsalted, arrow and sql) is bit-identical to the
