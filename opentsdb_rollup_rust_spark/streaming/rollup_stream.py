@@ -200,6 +200,55 @@ def stateful_forward_fill(rollup_rows: DataFrame, interval: str) -> DataFrame:
     )
 
 
+def commit_stream_batch(store, table: str, df: DataFrame, batch_id: int) -> bool:
+    """The sink's exactly-once guard: append ``df`` with the stream
+    batch id recorded atomically in the snapshot summary, UNLESS that
+    batch id is already committed (crash between sink write and
+    checkpoint commit -> Structured Streaming replays the batch).
+    Returns True if the batch was committed, False if skipped."""
+    done = {s.get("stream_batch_id") for s in store.snapshot_summaries(table)}
+    if batch_id in done:
+        return False
+    store.append(table, df, summary={"stream_batch_id": batch_id})
+    return True
+
+
+def stream_rollup_to_store(
+    stream_rollup: DataFrame,
+    store,
+    table: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """ST5: continuous tier maintenance — append-mode streaming rollup
+    into the snapshot store, exactly-once per micro-batch.
+
+    In append mode the tumbling rollup emits only windows FINALIZED by
+    the watermark, so every appended row is immutable — the streaming
+    twin of the batch tier write. Exactly-once: the store commit
+    records the stream batch id atomically with the data (snapshot
+    summary), and a batch replayed after a crash between the sink
+    write and the checkpoint commit is detected there and skipped —
+    the same data-table-is-the-resume-truth design as the batch job
+    (plans/job.py).
+
+    Runs with Trigger.AvailableNow: each invocation drains currently
+    available input and stops — restartable tier maintenance rather
+    than an always-on query (also exactly what tests need)."""
+
+    q = (
+        stream_rollup.writeStream.foreachBatch(
+            lambda df, batch_id: commit_stream_batch(store, table, df, batch_id)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_to_memory_table(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming query to completion over currently-available
     input (Trigger.AvailableNow) into an in-memory table — the test /

@@ -100,3 +100,65 @@ def test_stateful_forward_fill(spark, tmp_path):
     assert got[("s1", e + 10800)] == (40, 0)
     assert got[("s2", e + 3600)] == (7, 0)
     assert len(got) == 5
+
+
+def test_stream_to_store_exactly_once(spark, points, points_dir, tmp_path):
+    """ST5: append-mode stream -> snapshot store. Finalized windows
+    land exactly once; a crash-replayed micro-batch is detected via
+    the batch-id marker in the snapshot summary and skipped; restart
+    with the same checkpoint appends nothing new for drained input."""
+    from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        stream_rollup_to_store,
+    )
+
+    store = ManifestStore(spark, str(tmp_path / "sstore"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_points_stream(spark, points_dir)
+        stream_rollup_to_store(
+            streaming_tumbling_rollup(stream, "1h", watermark="0 seconds"),
+            store,
+            "rollup_stream_1h",
+            ckpt,
+        )
+
+    run()
+    got = store.read("rollup_stream_1h")
+    # append mode emits only windows the final watermark (= max event
+    # time) has passed: window_end <= max(ts)
+    max_ts = points.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    want = tumbling_rollup(points, "1h").where(
+        F.unix_timestamp("window_start") + 3600 <= max_ts
+    )
+    assert_df_equal(got, want)
+
+    n1 = got.count()
+    snaps1 = len(store.snapshot_summaries("rollup_stream_1h"))
+
+    # restart on the same (fully drained) checkpoint: nothing new
+    run()
+    assert store.read("rollup_stream_1h").count() == n1
+
+    # crash-replay simulation: the sink's guard must refuse a batch id
+    # that is already recorded in a snapshot summary
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        commit_stream_batch,
+    )
+
+    done = {
+        s.get("stream_batch_id")
+        for s in store.snapshot_summaries("rollup_stream_1h")
+        if s.get("stream_batch_id") is not None
+    }
+    replay_id = next(iter(done))
+    before = store.current_snapshot("rollup_stream_1h")
+    df = store.read("rollup_stream_1h").limit(5)
+    assert commit_stream_batch(store, "rollup_stream_1h", df, replay_id) is False
+    assert store.current_snapshot("rollup_stream_1h") == before
+    assert store.read("rollup_stream_1h").count() == n1
+    # ...and accept a genuinely new one
+    assert commit_stream_batch(store, "rollup_stream_1h", df, 10_000) is True
+    assert store.read("rollup_stream_1h").count() == n1 + 5
+    assert len(store.snapshot_summaries("rollup_stream_1h")) == snaps1 + 1
