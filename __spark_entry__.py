@@ -27,10 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from opentsdb_rollup_rust_spark.session import pin_session_conf
-from opentsdb_rollup_rust_spark.operators.points import derive_points
 from opentsdb_rollup_rust_spark.operators.rollup import (
     cascade_reagg,
     derived_avg,
+    fused_tier_rollup,
     preaggregate,
     tumbling_rollup,
 )
@@ -113,8 +113,9 @@ def entry(spark: SparkSession) -> DataFrame:
     with read-time avg — the full M0+M1 pipeline."""
     pin_session_conf(spark)
     seqs = _seqs_from_documents(spark, "/root/testdata/sf0.001")
-    pts = derive_points(seqs)
-    r1m = tumbling_rollup(pts, "1m")
+    # the job's fused wide-form scale path; == tumbling_rollup(
+    # derive_points(seqs), "1m") by golden test
+    r1m = fused_tier_rollup(seqs, "1m")
     r1h = cascade_reagg(r1m, "1h")
     filled = gap_fill(r1h, "1h", "zero")
     return derived_avg(filled).orderBy("series_id", "window_start")
