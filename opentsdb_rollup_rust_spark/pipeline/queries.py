@@ -76,6 +76,7 @@ def q_text_tokens(spark, sf_dir):
         "doc_id",
         tc["n_ws_tokens"].alias("n_ws_tokens"),
         tc["n_word_tokens"].alias("n_word_tokens"),
+        tc["n_bpe_tokens"].alias("n_bpe_tokens"),
         tc["n_chars"].alias("n_text_chars"),
     )
 
@@ -274,6 +275,13 @@ _MH_CONSTS = ", ".join(
 _SH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 _SH_MASK = (1 << _SH_BAND_BITS) - 1
 
+# GPT-2-ish pre-tokenizer pattern as a DuckDB string literal (single
+# quotes doubled); same leftmost-first alternation in RE2 as in Spark's
+# Java regex, so piece counts match exactly
+from .text import BPE_PIECE_RE as _BPE_RE  # noqa: E402
+
+_BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
+
 _STOPS_EN = "['the','a','of','is','and','to','in','it']"
 _LANG_STOPS = {
     "en": _STOPS_EN,
@@ -359,6 +367,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id,
                len({_WORDS})::BIGINT AS n_ws_tokens,
                len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_word_tokens,
+               len(regexp_extract_all(text, {_BPE_SQL}))::BIGINT AS n_bpe_tokens,
                length(text)::BIGINT AS n_text_chars
         FROM d""",
     "text_quality": f"""WITH {_D},

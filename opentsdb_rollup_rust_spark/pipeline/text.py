@@ -37,16 +37,28 @@ def doc_words(text: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+# GPT-2-style pre-tokenizer piece pattern, simplified to drop the
+# lookaheads (ordered alternation is leftmost-first in BOTH Java regex
+# (Spark) and RE2 (DuckDB), so counts match cross-engine exactly):
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace.
+BPE_PIECE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+
+
 def token_counts(text: Column | str) -> dict[str, Column]:
     """Token-counting suite: whitespace tokens, wordish tokens
-    (BPE-pretokenizer-style ``[a-z0-9]+`` pieces), and characters.
-    All exact longs."""
+    (``[a-z0-9]+`` pieces), GPT-2-ish pre-tokenizer pieces (the
+    training-data "token budget" proxy), and characters. All exact
+    longs."""
     c = F.col(text) if isinstance(text, str) else text
     return {
         "n_ws_tokens": F.size(doc_words(c)).cast("long"),
         "n_word_tokens": F.size(F.regexp_extract_all(c, F.lit("[a-z0-9]+"), 0)).cast(
             "long"
         ),
+        "n_bpe_tokens": F.size(
+            F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), 0)
+        ).cast("long"),
         "n_chars": F.length(c).cast("long"),
     }
 
