@@ -5,10 +5,11 @@ Pipeline per tier (BASELINE.json:6,14):
 
   resume check (committed buckets from snapshot summaries, J4)
     -> snapshot-pinned source scan (S6)
-    -> derive points (S3, base tier) or finer tier scan (cascade, A2)
+    -> fused wide derive+agg (A11 = S3+A1+A5: per-sequence token stats
+       -> salted groupBy(source, window) over 6 stat buffers -> unpivot
+       to tier rows; base tier) or finer tier scan (cascade, A2)
     -> bucket = pmod(xxhash64(series_id), B) (F2)
     -> drop already-committed buckets
-    -> salted tumbling agg (A5; decomposable, skew-safe)
     -> repartition(B, bucket) + sortWithinPartitions(series_id,
        window_start) (O1 — monotone timestamps for the codec and for
        parquet delta encoding)
