@@ -89,7 +89,10 @@ def main() -> None:
     )
 
     # ---------------- headline: tier pipeline throughput ----------------
-    n_seqs = int(os.environ.get("BENCH_SEQS", str(int(sf * 20_000_000))))
+    # 60M seqs/sf: big enough that per-rep fixed costs (job submit,
+    # stage barriers) stay under ~10% of wall — 20M/sf understated
+    # throughput ~2x vs the 24M-seq BASELINE.md protocol run
+    n_seqs = int(os.environ.get("BENCH_SEQS", str(int(sf * 60_000_000))))
     n_seqs = max(n_seqs, 10_000)
     seq_path = f"/tmp/spark_graft_bench/seqs_{n_seqs}_f256.parquet"
     if not os.path.exists(seq_path):  # untimed input materialization
