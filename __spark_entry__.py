@@ -182,11 +182,12 @@ def _q_agg_first_last(spark, sf_dir):
     )
 
 
-def _q_derive_points(spark, sf_dir):
-    """S3 demo with a DuckDB-reproducible token source: tokens[j] =
-    md5_int60(doc_id || '-' || j) % 997, length = n_chars % 8 + 1
-    (the production path uses xxhash64, which DuckDB lacks — the
-    operator logic under test is identical)."""
+def _md5_token_seqs(spark, sf_dir):
+    """Shared DuckDB-reproducible token source for derive_points and
+    rollup_fused: tokens[j] = md5_int60(doc_id || '-' || j) % 997,
+    length = n_chars % 8 + 1 (the production path uses xxhash64, which
+    DuckDB lacks — the operator logic under test is identical). Keep
+    in lockstep with the `seqs` CTE in both oracle SQL strings."""
     from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
 
     d = _t(spark, sf_dir, "documents")
@@ -198,12 +199,17 @@ def _q_derive_points(spark, sf_dir):
             F.lit(997),
         ).cast("int"),
     )
-    seqs = d.select(
+    return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         tokens.alias("tokens"),
         F.size(tokens).cast("int").alias("n_tok"),
         "source",
     )
+
+
+def _q_derive_points(spark, sf_dir):
+    """S3 demo over the shared md5-token source (_md5_token_seqs)."""
+    seqs = _md5_token_seqs(spark, sf_dir)
     from opentsdb_rollup_rust_spark.functions.arrays import token_array_stats
 
     stats = token_array_stats("tokens")

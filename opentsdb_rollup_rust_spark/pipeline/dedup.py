@@ -319,27 +319,49 @@ def ngram_jaccard_pairs(
     expansion at df^2 and keeping a single stop-shingle from going
     quadratic; sizes are computed AFTER the filter, so jaccard is over
     the filtered shingle sets in both engines."""
+    if max_df is None:
+        # the in-row pair expansion is bounded by max_df^2; without the
+        # guard one hot stop-shingle materializes |df|^2 structs inside
+        # a single row (executor OOM, not a graceful spill) — refuse
+        # loudly rather than degrade at 10^9 docs
+        raise ValueError(
+            "ngram_jaccard_pairs requires max_df (the hot-shingle guard); "
+            f"the default is {DEFAULT_MAX_DF}"
+        )
     sh = _shingled(docs, text_col, k).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    posts = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
-    if max_df is not None:
-        posts = posts.where(F.size("docs") <= max_df)
+    posts = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs")).where(
+        F.size("docs") <= max_df
+    )
     sizes = (
         posts.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_sh"))
     )
-    pair_arr = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("docs"),
-                lambda x: F.transform(
-                    F.col("docs"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                ),
-            )
-        ),
-        lambda p: p["a"] < p["b"],
+
+    def pair_with(i: Column):
+        # normalized (least, greatest): collect_list order is arbitrary,
+        # pair identity must not depend on it
+        x = F.element_at(F.col("docs"), i)
+        return lambda y: F.struct(
+            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+        )
+
+    # only the upper triangle is materialized (i < j positions), so the
+    # in-row allocation is df*(df-1)/2 structs, not df^2 then filter.
+    # greatest(n-1, 1): Spark's sequence(1, 0) would be the DESCENDING
+    # [1, 0]; with the clamp a df=1 posting yields i=1 whose slice is
+    # empty -> zero pairs, and the element_at(docs, i) inside the inner
+    # lambda is never evaluated
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("docs") - 1, F.lit(1))),
+            lambda i: F.transform(
+                F.slice(F.col("docs"), i + F.lit(1), F.size("docs")),
+                pair_with(i),
+            ),
+        )
     )
     shared = (
         posts.select(F.explode(pair_arr).alias("p"))

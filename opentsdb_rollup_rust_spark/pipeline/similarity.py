@@ -136,9 +136,7 @@ def lsh_bucket(qe: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return out
 
 
-def exact_rerank_topk(
-    cand: DataFrame, prepared: DataFrame, k: int, dim: int
-) -> DataFrame:
+def exact_rerank_topk(cand: DataFrame, prepared: DataFrame, k: int) -> DataFrame:
     """Shared exact-cosine rerank: candidate (q_id, vec_id) pairs ->
     per-query top-k by cos_q. Vectors are joined back on each side, so
     the ids-only candidates stay narrow through the shuffles; the
@@ -235,7 +233,7 @@ def lsh_topk(
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    return exact_rerank_topk(cand, prepared, k, dim)
+    return exact_rerank_topk(cand, prepared, k)
 
 
 IVF_LISTS = 16
@@ -326,7 +324,7 @@ def ivf_topk(
         .select("q_id", "vec_id")
         .dropDuplicates(["q_id", "vec_id"])
     )
-    return exact_rerank_topk(cand, prepared, k, dim)
+    return exact_rerank_topk(cand, prepared, k)
 
 
 def embedding_near_dup_pairs(

@@ -361,6 +361,16 @@ class IcebergStore:
     def current_snapshot(self, table: str) -> int | None:
         if not self.exists(table):
             return None
+        # the main branch ref IS the current snapshot — exact even when
+        # two commits land in the same committed_at millisecond (the
+        # create+append pair in append() does exactly that), where an
+        # ORDER BY committed_at could return the wrong id
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._qual(table)}.refs "
+            "WHERE name = 'main'"
+        ).first()
+        if row is not None:
+            return int(row.snapshot_id)
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {self._qual(table)}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
@@ -434,9 +444,18 @@ class IcebergStore:
         return snap
 
     def prune_older_than(self, table: str, ts_col: str, cutoff_epoch: int) -> dict:
+        from datetime import datetime, timezone
+
+        # compare the RAW column against a timestamp literal: wrapping
+        # the column in unix_timestamp() would make the predicate
+        # non-evaluable against Iceberg's file column stats, degrading
+        # the metadata-only file drop into a full copy-on-write rewrite
+        cutoff = datetime.fromtimestamp(cutoff_epoch, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
         self.spark.sql(
             f"DELETE FROM {self._qual(table)} "
-            f"WHERE unix_timestamp({ts_col}) < {cutoff_epoch}"
+            f"WHERE {ts_col} < TIMESTAMP '{cutoff}'"
         )
         return {
             "snapshot": self.current_snapshot(table),

@@ -218,7 +218,6 @@ def stream_rollup_to_store(
     store,
     table: str,
     checkpoint: str,
-    output_mode: str = "append",
 ):
     """ST5: continuous tier maintenance — append-mode streaming rollup
     into the snapshot store, exactly-once per micro-batch.
@@ -236,12 +235,16 @@ def stream_rollup_to_store(
     available input and stops — restartable tier maintenance rather
     than an always-on query (also exactly what tests need)."""
 
+    # append mode is hardcoded: the exactly-once argument above relies
+    # on every emitted row being a FINALIZED window that never re-emits;
+    # update/complete modes would re-emit changed windows under fresh
+    # batch ids and accumulate conflicting rows in the store
     q = (
         stream_rollup.writeStream.foreachBatch(
             lambda df, batch_id: commit_stream_batch(store, table, df, batch_id)
         )
         .option("checkpointLocation", checkpoint)
-        .outputMode(output_mode)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
