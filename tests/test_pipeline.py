@@ -81,6 +81,43 @@ def test_ngram_jaccard_exact_on_planted(docs):
         assert r["jac_q"] >= 840_000, r
 
 
+def test_jaccard_corner_cases(spark):
+    """Posting-list formulation corners: identical docs (jaccard 1),
+    docs shorter than k words (single-shingle fallback), df=1 postings
+    (no in-row pairs — the descending-sequence guard), and the
+    max_df boundary dropping a hot shingle from sizes AND pairs."""
+    from opentsdb_rollup_rust_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact dup of 1
+            (3, "xy zz"),  # < k words -> one shingle "xy zz"
+            (4, "xy zz"),  # dup of 3
+            (5, "solo only here once"),  # shares nothing
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r for r in
+            ngram_jaccard_pairs(docs, min_jaccard=0.5, max_df=20).collect()}
+    assert set(rows) == {(1, 2), (3, 4)}
+    assert rows[(1, 2)]["jac_q"] == 1_000_000
+    assert rows[(3, 4)]["jac_q"] == 1_000_000
+
+    # hot-shingle guard: a shingle in 3 docs with max_df=2 is dropped
+    # everywhere, killing pairs that relied on it
+    hot = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c")], "doc_id long, text string"
+    )
+    assert ngram_jaccard_pairs(hot, min_jaccard=0.5, max_df=2).count() == 0
+    assert ngram_jaccard_pairs(hot, min_jaccard=0.5, max_df=3).count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(hot, max_df=None)
+
+
 def test_simhash_pairs_match_planted(docs):
     from opentsdb_rollup_rust_spark.pipeline.dedup import (
         simhash_pairs,
