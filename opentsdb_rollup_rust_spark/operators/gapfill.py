@@ -5,6 +5,7 @@ Fill policies mirror the OpenTSDB downsampler fill policies
   none  — missing windows absent (no spine join at all)
   zero  — value columns 0, count 0
   null  — spine row present, typed nulls
+  nan   — query-output render: missing values as NaN doubles (count 0)
   ffill — forward-fill: carry last observed value per series
 
 Step 1 (J1): dense per-series window spine LEFT JOIN observed windows.
@@ -28,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..config import INTERVAL_SECONDS
 
-FILL_POLICIES = ("none", "zero", "null", "ffill")
+FILL_POLICIES = ("none", "zero", "null", "nan", "ffill")
 
 
 def window_spine(rollup: DataFrame, interval: str) -> DataFrame:
@@ -65,6 +66,20 @@ def gap_fill(rollup: DataFrame, interval: str, policy: str = "zero") -> DataFram
     if policy == "null":
         return joined.select(
             "series_id", "window_start", "interval", "sum", "count", "min", "max"
+        )
+    if policy == "nan":
+        # OpenTSDB's NaN fill is query-output semantics: missing values
+        # surface as NaN doubles (count stays an exact 0 long). Never
+        # stored — tiers keep exact longs; this is a read-path render.
+        nan = F.lit(float("nan"))
+        return joined.select(
+            "series_id",
+            "window_start",
+            "interval",
+            F.coalesce(F.col("sum").cast("double"), nan).alias("sum"),
+            F.coalesce("count", F.lit(0).cast("long")).alias("count"),
+            F.coalesce(F.col("min").cast("double"), nan).alias("min"),
+            F.coalesce(F.col("max").cast("double"), nan).alias("max"),
         )
     if policy == "zero":
         # count 0 marks the window as synthetic; min/max 0 matches the

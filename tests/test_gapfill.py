@@ -47,6 +47,16 @@ def test_null(sparse):
     assert got[5] == (15, 1, 15, 15)
 
 
+def test_nan(sparse):
+    import math
+
+    got = _by_minute(gap_fill(sparse, "1m", "nan"))
+    s, c, lo, hi = got[2]
+    assert math.isnan(s) and math.isnan(lo) and math.isnan(hi)
+    assert c == 0  # count stays an exact long
+    assert got[5] == (15.0, 1, 15.0, 15.0)  # observed values render as doubles
+
+
 def test_ffill(sparse):
     got = _by_minute(gap_fill(sparse, "1m", "ffill"))
     assert got[2] == (11, 1, 11, 11)  # carried from window 1
