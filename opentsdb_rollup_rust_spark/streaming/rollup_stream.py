@@ -152,6 +152,24 @@ FFILL_STATE_SCHEMA = StructType(
 )
 
 
+def _ffill_batch(series_id, batch: pd.DataFrame, last_w, last_s, sec: int):
+    """Shared forward-fill core for ST4/ST6: fold one sorted batch of
+    (window_start, sum) rows into (rows, new_state). Pinned by the ST4
+    golden test; ST6 adds only API plumbing around it."""
+    rows = []
+    for _, r in batch.sort_values("window_start").iterrows():
+        w = int(r["window_start"].timestamp())
+        s = int(r["sum"])
+        if last_w is not None:
+            g = last_w + sec
+            while g < w:
+                rows.append((series_id, g, last_s, 1))
+                g += sec
+        rows.append((series_id, w, s, 0))
+        last_w, last_s = w, s
+    return rows, last_w, last_s
+
+
 def stateful_forward_fill(rollup_rows: DataFrame, interval: str) -> DataFrame:
     """ST4: custom stateful operator — per-series forward-fill between
     consecutive observed windows of a (possibly multi-batch) rollup
@@ -173,19 +191,8 @@ def stateful_forward_fill(rollup_rows: DataFrame, interval: str) -> DataFrame:
             last_w, last_s = state.get
         else:
             last_w, last_s = None, None
-        rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values("window_start")
-        for _, r in batch.iterrows():
-            w = int(r["window_start"].timestamp())
-            s = int(r["sum"])
-            if last_w is not None:
-                g = last_w + sec
-                while g < w:
-                    rows.append((series_id, g, last_s, 1))
-                    g += sec
-            rows.append((series_id, w, s, 0))
-            last_w, last_s = w, s
+        rows, last_w, last_s = _ffill_batch(series_id, batch, last_w, last_s, sec)
         state.update((last_w, last_s))
         yield pd.DataFrame(
             rows, columns=["series_id", "window_start", "sum", "filled"]
@@ -197,6 +204,64 @@ def stateful_forward_fill(rollup_rows: DataFrame, interval: str) -> DataFrame:
         FFILL_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """transformWithState needs google.protobuf in the Python workers
+    (its state-server protocol); absent in this sandbox."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_forward_fill_tws(rollup_rows: DataFrame, interval: str) -> DataFrame:
+    """ST6: the ST4 forward-fill on Spark 4's transformWithState API
+    (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState, backed by the RocksDB state store at scale
+    (spark.sql.streaming.stateStore.providerClass must be the RocksDB
+    provider). The fill logic is the SAME _ffill_batch core ST4's
+    golden test pins; only the state plumbing differs. The API needs
+    google.protobuf in the Python workers (tws_available probes it) —
+    absent in this sandbox, so the parity test skips here and runs on
+    any standard deployment."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    sec = INTERVAL_SECONDS[interval]
+
+    class FFill(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ffill", FFILL_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (series_id,) = key
+            if self._state.exists():
+                last_w, last_s = self._state.get()
+            else:
+                last_w, last_s = None, None
+            batch = pd.concat(list(rows), ignore_index=True)
+            out, last_w, last_s = _ffill_batch(
+                series_id, batch, last_w, last_s, sec
+            )
+            self._state.update((last_w, last_s))
+            yield pd.DataFrame(
+                out, columns=["series_id", "window_start", "sum", "filled"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return rollup_rows.groupBy("series_id").transformWithStateInPandas(
+        statefulProcessor=FFill(),
+        outputStructType=FFILL_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
 
 
