@@ -236,20 +236,7 @@ def _q_rollup_fused(spark, sf_dir):
     from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
     from opentsdb_rollup_rust_spark.operators.rollup import fused_rollup_wide
 
-    d = _t(spark, sf_dir, "documents")
-    length = (F.pmod(F.col("n_chars"), F.lit(8)) + 1).cast("int")
-    tokens = F.transform(
-        F.sequence(F.lit(0), length - 1),
-        lambda j: F.pmod(
-            md5_int60(F.concat(F.col("doc_id").cast("string"), F.lit("-"), j.cast("string"))),
-            F.lit(997),
-        ).cast("int"),
-    )
-    seqs = d.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        tokens.alias("tokens"),
-        "source",
-    )
+    seqs = _md5_token_seqs(spark, sf_dir)
     stats = token_array_stats("tokens")
     wide = seqs.select(
         "source",

@@ -331,8 +331,22 @@ def ngram_jaccard_pairs(
     sh = _shingled(docs, text_col, k).select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    posts = sh.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs")).where(
-        F.size("docs") <= max_df
+    # the df guard must run BEFORE collect_list: a count aggregation is
+    # constant-memory per group (partial agg), while collect_list of a
+    # hot shingle's 10^7 doc ids would OOM inside one group before any
+    # size() filter could evaluate. Both branches shuffle `sh` by
+    # shingle with identical subtrees, so ReuseExchange computes the
+    # shingle projection once.
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    posts = (
+        sh.join(keep, "shingle")
+        .groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
     )
     sizes = (
         posts.select(F.explode("docs").alias("doc_id"))

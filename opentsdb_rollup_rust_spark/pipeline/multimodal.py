@@ -71,9 +71,14 @@ def _fake_decoder(payload: bytes, modality: str) -> dict:
     is encoded text), matching the DuckDB oracle's per-character
     ascii() sum for any input — a raw byte sum would silently diverge
     on the first multi-byte character."""
+    # surrogateescape keeps the decoder total on arbitrary binary
+    # payloads (invalid bytes map deterministically to U+DC80+byte);
+    # for valid UTF-8 text it is the plain codepoint sum the oracle
+    # computes with ascii()
     return {
         "n_bytes": len(payload),
-        "checksum": sum(map(ord, payload.decode("utf-8"))) % 2_147_483_647,
+        "checksum": sum(map(ord, payload.decode("utf-8", "surrogateescape")))
+        % 2_147_483_647,
         "n_frames": len(payload) // 1024 + 1,
     }
 

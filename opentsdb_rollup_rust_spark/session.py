@@ -94,8 +94,11 @@ def pin_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # merge, never clobber: the host session may exclude its own rules
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rules = [r for r in current.split(",") if r]
+    if rule not in rules:
+        rules.append(rule)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

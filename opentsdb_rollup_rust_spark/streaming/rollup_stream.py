@@ -265,14 +265,32 @@ def stateful_forward_fill_tws(rollup_rows: DataFrame, interval: str) -> DataFram
     )
 
 
-def commit_stream_batch(store, table: str, df: DataFrame, batch_id: int) -> bool:
+def latest_stream_batch(store, table: str) -> int:
+    """Highest stream batch id recorded in the table's snapshot
+    summaries, -1 if none."""
+    ids = [
+        s["stream_batch_id"]
+        for s in store.snapshot_summaries(table)
+        if s.get("stream_batch_id") is not None
+    ]
+    return max(ids) if ids else -1
+
+
+def commit_stream_batch(
+    store, table: str, df: DataFrame, batch_id: int, max_seen: int | None = None
+) -> bool:
     """The sink's exactly-once guard: append ``df`` with the stream
-    batch id recorded atomically in the snapshot summary, UNLESS that
-    batch id is already committed (crash between sink write and
-    checkpoint commit -> Structured Streaming replays the batch).
-    Returns True if the batch was committed, False if skipped."""
-    done = {s.get("stream_batch_id") for s in store.snapshot_summaries(table)}
-    if batch_id in done:
+    batch id recorded atomically in the snapshot summary, UNLESS the
+    id is already committed (crash between sink write and checkpoint
+    commit -> Structured Streaming replays the batch). Micro-batch ids
+    are monotonically increasing per checkpoint, so 'already committed'
+    is batch_id <= the highest recorded id; callers on a hot loop pass
+    ``max_seen`` (cached once per query start) to keep the check O(1)
+    per batch instead of re-reading all summaries. Returns True if the
+    batch was committed, False if skipped."""
+    if max_seen is None:
+        max_seen = latest_stream_batch(store, table)
+    if batch_id <= max_seen:
         return False
     store.append(table, df, summary={"stream_batch_id": batch_id})
     return True
@@ -303,11 +321,19 @@ def stream_rollup_to_store(
     # append mode is hardcoded: the exactly-once argument above relies
     # on every emitted row being a FINALIZED window that never re-emits;
     # update/complete modes would re-emit changed windows under fresh
-    # batch ids and accumulate conflicting rows in the store
+    # batch ids and accumulate conflicting rows in the store.
+    # The highest committed batch id is read ONCE at query start and
+    # advanced in-memory — only a restart's first batch can be a
+    # replay, so per-batch summary scans (O(batches^2) over a stream's
+    # lifetime) buy nothing.
+    state = {"max": latest_stream_batch(store, table)}
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        if commit_stream_batch(store, table, df, batch_id, state["max"]):
+            state["max"] = batch_id
+
     q = (
-        stream_rollup.writeStream.foreachBatch(
-            lambda df, batch_id: commit_stream_batch(store, table, df, batch_id)
-        )
+        stream_rollup.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
         .trigger(availableNow=True)

@@ -61,29 +61,35 @@ def hw_throughput(procs: int, n: int = 12_000_000) -> float:
 
 
 def _stream(n: int) -> float:
+    """Returns the worker's INNER streaming wall time for n passes —
+    the ~80 MB array build (RNG + astype, compute-bound) happens before
+    the timed window so setup cost can't bias the bandwidth number."""
     import numpy as np
 
     a = np.random.randint(0, 1000, 20_000_000).astype(np.int32)  # ~80 MB
     s = 0
+    t0 = time.monotonic()
     for _ in range(n):
         s += int(a.astype(np.int64).sum())  # stream read+write+read
-    return float(s)
+    dt = time.monotonic() - t0
+    assert s >= 0
+    return dt
 
 
-def membw_throughput(procs: int, passes: int = 6) -> float:
+def membw_throughput(procs: int, passes: int = 8) -> float:
     """passes/sec of `procs` memory-STREAMING processes — the box's
     DRAM-bandwidth ceiling. A columnar scan/rollup engine's resource
     profile sits between this and the pure-compute ceiling: shared
     memory channels saturate long before 32 cores, and — like the
     all-core turbo down-clock — this confound does not exist on a real
-    cluster, where added executor NODES bring their own DRAM."""
+    cluster, where added executor NODES bring their own DRAM.
+    Throughput uses the slowest worker's inner window (the period when
+    all workers contend), not the Pool wall that includes setup."""
     os.sched_setaffinity(0, set(range(procs)))
     try:
         with mp.Pool(procs) as p:
-            t0 = time.monotonic()
-            p.map(_stream, [passes] * procs)
-            dt = time.monotonic() - t0
-        return procs * passes / dt
+            dts = p.map(_stream, [passes] * procs)
+        return procs * passes / max(dts)
     finally:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
 
