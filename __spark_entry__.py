@@ -182,12 +182,15 @@ def _q_agg_first_last(spark, sf_dir):
     )
 
 
-def _md5_token_seqs(spark, sf_dir):
-    """Shared DuckDB-reproducible token source for derive_points and
-    rollup_fused: tokens[j] = md5_int60(doc_id || '-' || j) % 997,
-    length = n_chars % 8 + 1 (the production path uses xxhash64, which
-    DuckDB lacks — the operator logic under test is identical). Keep
-    in lockstep with the `seqs` CTE in both oracle SQL strings."""
+def _md5_token_seqs(spark, sf_dir, numeric_id: bool = False):
+    """Shared DuckDB-reproducible token source for derive_points,
+    rollup_fused, pack_materialize and tok_topk: tokens[j] =
+    md5_int60(doc_id || '-' || j) % 997, length = n_chars % 8 + 1 (the
+    production path uses xxhash64, which DuckDB lacks — the operator
+    logic under test is identical). Keep in lockstep with the `seqs`
+    CTE in the oracle SQL strings. ``numeric_id`` keeps doc_id BIGINT
+    (pack_materialize orders by it; string order "10" < "2" differs
+    from numeric) while the token hash stays on the string form."""
     from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
 
     d = _t(spark, sf_dir, "documents")
@@ -199,8 +202,13 @@ def _md5_token_seqs(spark, sf_dir):
             F.lit(997),
         ).cast("int"),
     )
+    id_col = (
+        F.col("doc_id").cast("long")
+        if numeric_id
+        else F.col("doc_id").cast("string")
+    )
     return d.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+        id_col.alias("doc_id"),
         tokens.alias("tokens"),
         F.size(tokens).cast("int").alias("n_tok"),
         "source",
@@ -247,6 +255,47 @@ def _q_rollup_fused(spark, sf_dir):
     return fused.select(
         "series_id", _epoch(), F.col("interval"), "sum", "count", "min", "max"
     )
+
+
+def _q_pack_materialize(spark, sf_dir):
+    """K1 end-to-end: concat-and-chunk packing of the md5-token
+    sequences, then chunk materialization — the actual packed context
+    windows (chunk_id, tokens, n_tok). Token arrays cross exactly one
+    shuffle (the gather join on doc_id); the packing plan itself moves
+    lengths only."""
+    from opentsdb_rollup_rust_spark.pipeline.packing import (
+        concat_pack_spans,
+        materialize_chunks,
+    )
+
+    seqs = _md5_token_seqs(spark, sf_dir, numeric_id=True)
+    spans = concat_pack_spans(
+        seqs,
+        capacity=64,
+        bucket_expr=F.floor(F.col("doc_id") / F.lit(128)).cast("long"),
+    )
+    return materialize_chunks(spans, seqs)
+
+
+def _q_tok_topk(spark, sf_dir):
+    """Heavy hitters: top-10 most frequent tokens per source, exact.
+    Two-phase (source, token) count — partial agg collapses per task,
+    the shuffle is bounded by |sources| x |vocab| — then a per-source
+    window rank over at most |vocab| rows per partition (partitioned
+    window; never the global-window trap). With an unbounded vocab at
+    100 TB the same plan holds because the agg output, not the scan,
+    bounds the window input; a sketch (count-min / SpaceSaving) would
+    only be needed if even (source, token) cardinality blew up."""
+    seqs = _md5_token_seqs(spark, sf_dir)
+    counts = (
+        seqs.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    return counts.select(
+        "source", "tok", "cnt", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 10)
 
 
 def _q_agg_percentile(spark, sf_dir):
@@ -642,6 +691,37 @@ def _q_codec_roundtrip(spark, sf_dir):
     )
 
 
+#: [t0, t1) for the pruned-read demo — Jan 10 .. Jan 20 UTC, the
+#: middle third of the events table's fixed 30-day span, so with
+#: 64-window chunks (~2.7 days at 1h) most chunks are pruned unread.
+_PRUNE_T0, _PRUNE_T1 = 1704844800, 1705708800
+
+
+def _q_codec_pruned_read(spark, sf_dir):
+    """C2 read path with chunk pruning: encode the 1h rollup into
+    64-point chunks, answer a 10-day range query by dropping whole
+    chunks on chunk_start metadata BEFORE decode + exact residual
+    filter after. The oracle computes the range rollup directly, so a
+    value match proves pruning loses nothing at either chunk edge."""
+    from opentsdb_rollup_rust_spark.codec.gorilla import (
+        encode_chunks,
+        pruned_read,
+    )
+
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    chunks = encode_chunks(r1h, "1h", chunk_points=64)
+    dec = pruned_read(chunks, _PRUNE_T0, _PRUNE_T1, chunk_points=64)
+    back = (
+        dec.groupBy("series_id", "window_start")
+        .pivot("agg", ["sum", "count", "min", "max"])
+        .agg(F.first("value"))
+    )
+    return back.select(
+        "series_id", _epoch(), F.lit("1h").alias("interval"),
+        "sum", "count", "min", "max",
+    )
+
+
 def _q_codec_stats(spark, sf_dir):
     from opentsdb_rollup_rust_spark.codec.gorilla import (
         compression_stats,
@@ -688,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup_sets": _q_agg_rollup_sets,
         "derive_points": _q_derive_points,
         "rollup_fused": _q_rollup_fused,
+        "pack_materialize": _q_pack_materialize,
+        "tok_topk": _q_tok_topk,
         "win_topk": _q_win_topk,
         "win_delta": _q_win_delta,
         "win_moving": _q_win_moving,
@@ -717,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_math": _q_fn_math,
         "fn_map": _q_fn_map,
         "codec_roundtrip": _q_codec_roundtrip,
+        "codec_pruned_read": _q_codec_pruned_read,
         "codec_stats": _q_codec_stats,
         "udaf_hist": _q_udaf_hist,
     }
@@ -783,6 +866,48 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(PIPELINE_ORACLE_SQL)
     out.update({
+        "pack_materialize": """
+            WITH seqs AS (
+              SELECT doc_id::BIGINT AS doc_id,
+                     list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents),
+            d AS (SELECT doc_id, tokens, len(tokens)::BIGINT AS n_tok FROM seqs),
+            o AS (SELECT doc_id, tokens, n_tok,
+                         (sum(n_tok) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tok)::BIGINT AS off
+                  FROM d),
+            s AS (SELECT doc_id, tokens, n_tok, off,
+                         unnest(generate_series(off // 64, (off + n_tok - 1) // 64))
+                           AS chunk_id
+                  FROM o),
+            spans AS (SELECT chunk_id::BIGINT AS chunk_id,
+                             (greatest(off, chunk_id * 64) - chunk_id * 64)::BIGINT
+                               AS chunk_pos,
+                             tokens[(greatest(off, chunk_id * 64) - off + 1)::BIGINT
+                                    : (least(off + n_tok, (chunk_id + 1) * 64) - off)::BIGINT]
+                               AS piece
+                      FROM s)
+            SELECT chunk_id,
+                   flatten(list(piece ORDER BY chunk_pos)) AS tokens,
+                   len(flatten(list(piece ORDER BY chunk_pos)))::BIGINT AS n_tok
+            FROM spans GROUP BY chunk_id""",
+        "tok_topk": """
+            WITH seqs AS (
+              SELECT source,
+                     list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents),
+            c AS (SELECT source, unnest(tokens) AS tok FROM seqs),
+            g AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM c GROUP BY 1, 2),
+            r AS (SELECT source, tok, cnt,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY cnt DESC, tok ASC) AS rank
+                  FROM g)
+            SELECT source, tok, cnt, rank FROM r WHERE rank <= 10""",
         "rollup_1m": _rollup_sql(60, "1m"),
         "rollup_1h": _rollup_sql(3600, "1h"),
         "rollup_1d": _rollup_sql(86400, "1d"),
@@ -1019,6 +1144,8 @@ def oracle_sql() -> dict[str, str]:
                      AS n_users
             FROM events GROUP BY 1""",
         "codec_roundtrip": _rollup_sql(3600, "1h"),
+        "codec_pruned_read": f"""SELECT * FROM ({_rollup_sql(3600, "1h")})
+            WHERE w_start >= {_PRUNE_T0} AND w_start < {_PRUNE_T1}""",
         # codec_stats: rows-only (depends on codec internals by design)
         "udaf_hist": """
             SELECT source, CAST(n_chars // 200 AS BIGINT) AS bucket,

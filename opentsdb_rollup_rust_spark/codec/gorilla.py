@@ -406,6 +406,43 @@ def decode_chunks(chunks: "DataFrame") -> "DataFrame":
     return chunks.mapInPandas(decode, POINT_SCHEMA)
 
 
+def pruned_read(
+    chunks: "DataFrame",
+    t0: int,
+    t1: int,
+    chunk_points: int = 4096,
+) -> "DataFrame":
+    """Range read over the chunk table: [t0, t1) epoch seconds.
+
+    The expensive step of the read path is decode (Python/Arrow), so
+    whole chunks are pruned FIRST on chunk-level metadata — a chunk at
+    ``chunk_start`` covers [chunk_start, chunk_start + interval *
+    chunk_points) — and only survivors are decoded, then the decoded
+    windows get the exact residual filter. On a parquet/Iceberg chunk
+    table the metadata predicate is a plain column filter: it pushes
+    to the scan (footer min/max row-group skip; TIMESTAMP_MICROS so
+    the stats exist — see sources.store), so at 100 TB the decode cost
+    scales with |range|, not |table|.
+    """
+    from pyspark.sql import functions as F
+
+    span = F.element_at(
+        F.create_map(
+            *[
+                x
+                for k, v in INTERVAL_SECONDS.items()
+                for x in (F.lit(k), F.lit(v * chunk_points))
+            ]
+        ),
+        F.col("interval"),
+    ).cast("long")
+    cs = F.unix_timestamp("chunk_start").cast("long")
+    kept = chunks.filter((cs < F.lit(t1)) & (cs + span > F.lit(t0)))
+    dec = decode_chunks(kept)
+    ws = F.unix_timestamp("window_start").cast("long")
+    return dec.filter((ws >= F.lit(t0)) & (ws < F.lit(t1)))
+
+
 def compression_stats(chunks: "DataFrame") -> "DataFrame":
     """C3: bytes/point and ratio per (interval, agg) -> metrics feed."""
     from pyspark.sql import functions as F

@@ -2,7 +2,9 @@
 tables: deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard,
 embedding cosine), similarity search (brute-force + LSH ANN), text
 analysis (language-ID, quality scoring, token counting, rolling-hash
-fingerprints), and multimodal binary-column plumbing.
+fingerprints), multimodal binary-column plumbing, and token-sequence
+packing (concat-and-chunk context windows via distributed prefix sum;
+greedy whole-doc bins via hash-bucketed applyInPandas).
 
 Everything is DataFrame-API (JVM-side, codegen) except the multimodal
 feature extractor, which is Arrow-batched ``mapInPandas`` by design

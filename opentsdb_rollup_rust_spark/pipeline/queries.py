@@ -40,6 +40,13 @@ from .similarity import (
     lsh_topk,
     with_planted_vec_dupes,
 )
+from .packing import (
+    GREEDY_BUCKETS,
+    GREEDY_CAPACITY,
+    PACK_CAPACITY,
+    concat_pack_spans,
+    greedy_pack_bins,
+)
 from .text import text_profile
 
 EMB_DIM = 64
@@ -213,6 +220,34 @@ def q_mm_features(spark, sf_dir):
     return extract_features(media)
 
 
+def q_pack_concat(spark, sf_dir):
+    """K1 demo: concat-and-chunk packing of the documents table into
+    PACK_CAPACITY-token context windows, n_chars standing in for the
+    pre-tokenized length (packing consumes lengths only). Distributed
+    prefix sum — range buckets of 128 docs, per-bucket window cumsum,
+    O(buckets) driver scan; never a global window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("n_tok")
+    )
+    return concat_pack_spans(
+        docs,
+        capacity=PACK_CAPACITY,
+        bucket_expr=F.floor(F.col("doc_id") / F.lit(128)).cast("long"),
+    )
+
+
+def q_pack_greedy(spark, sf_dir):
+    """K2 demo: whole-document greedy packing into GREEDY_CAPACITY
+    bins inside GREEDY_BUCKETS md5-hash groups; capacity sits below
+    the max doc length so the oversize own-bin rule is exercised."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("n_tok")
+    )
+    return greedy_pack_bins(
+        docs, capacity=GREEDY_CAPACITY, n_buckets=GREEDY_BUCKETS
+    )
+
+
 PIPELINE_QUERIES = {
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
@@ -228,6 +263,8 @@ PIPELINE_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "pipeline_clean": q_pipeline_clean,
     "mm_features": q_mm_features,
+    "pack_concat": q_pack_concat,
+    "pack_greedy": q_pack_greedy,
 }
 
 
@@ -569,4 +606,55 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                   i -> ascii(substr(text, i, 1))))::BIGINT % 2147483647) AS checksum,
                (octet_length(encode(text)) // 1024 + 1)::BIGINT AS n_frames
         FROM d""",
+    # K1 — concat-and-chunk packing: global exclusive prefix sum over
+    # doc_id order (the relational form of packing.concat_pack_spans'
+    # distributed prefix sum), then each doc unnested over the chunk
+    # range it straddles.
+    "pack_concat": f"""
+        WITH d AS (SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_tok
+                   FROM documents WHERE n_chars > 0),
+        o AS (SELECT doc_id, n_tok,
+                     (sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tok)::BIGINT AS off
+              FROM d),
+        s AS (SELECT doc_id, n_tok, off,
+                     unnest(generate_series(off // {PACK_CAPACITY},
+                        (off + n_tok - 1) // {PACK_CAPACITY})) AS chunk_id
+              FROM o)
+        SELECT chunk_id::BIGINT AS chunk_id, doc_id,
+               (greatest(off, chunk_id * {PACK_CAPACITY})
+                - chunk_id * {PACK_CAPACITY})::BIGINT AS chunk_pos,
+               (greatest(off, chunk_id * {PACK_CAPACITY}) - off)::BIGINT
+                 AS doc_start,
+               (least(off + n_tok, (chunk_id + 1) * {PACK_CAPACITY})
+                - greatest(off, chunk_id * {PACK_CAPACITY}))::BIGINT AS span_len
+        FROM s""",
+    # K2 — greedy no-split packing: recursive CTE walks each md5
+    # bucket in doc_id order threading (bin, fill) state — the exact
+    # sequential rule packing.greedy_pack_bins runs per bucket.
+    "pack_greedy": f"""
+        WITH RECURSIVE b AS (
+          SELECT ({_h60('CAST(doc_id AS VARCHAR)')} % {GREEDY_BUCKETS})::BIGINT
+                   AS bucket,
+                 doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n
+          FROM documents),
+        d AS (SELECT bucket, doc_id, n,
+                     row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                       AS rn
+              FROM b),
+        walk AS (
+          SELECT bucket, rn, doc_id, n,
+                 0::BIGINT AS bin, 0::BIGINT AS bin_start, n AS fill
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.bucket, d.rn, d.doc_id, d.n,
+                 CASE WHEN w.fill + d.n <= {GREEDY_CAPACITY}
+                      THEN w.bin ELSE w.bin + 1 END,
+                 CASE WHEN w.fill + d.n <= {GREEDY_CAPACITY}
+                      THEN w.fill ELSE 0::BIGINT END,
+                 CASE WHEN w.fill + d.n <= {GREEDY_CAPACITY}
+                      THEN w.fill + d.n ELSE d.n END
+          FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+        SELECT bucket, doc_id, bin, bin_start FROM walk""",
 }
