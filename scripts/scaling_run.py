@@ -60,20 +60,21 @@ def hw_throughput(procs: int, n: int = 12_000_000) -> float:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
 
 
-def _stream(n: int) -> float:
-    """Returns the worker's INNER streaming wall time for n passes —
-    the ~80 MB array build (RNG + astype, compute-bound) happens before
-    the timed window so setup cost can't bias the bandwidth number."""
+def _stream_worker(barrier, q, n: int) -> None:
+    """Build the ~80 MB array (RNG + astype, compute-bound) BEFORE the
+    barrier, rendezvous so every worker streams at the same instant,
+    then time n passes from the common start."""
     import numpy as np
 
     a = np.random.randint(0, 1000, 20_000_000).astype(np.int32)  # ~80 MB
     s = 0
+    barrier.wait()
     t0 = time.monotonic()
     for _ in range(n):
         s += int(a.astype(np.int64).sum())  # stream read+write+read
     dt = time.monotonic() - t0
     assert s >= 0
-    return dt
+    q.put(dt)
 
 
 def membw_throughput(procs: int, passes: int = 8) -> float:
@@ -83,12 +84,25 @@ def membw_throughput(procs: int, passes: int = 8) -> float:
     memory channels saturate long before 32 cores, and — like the
     all-core turbo down-clock — this confound does not exist on a real
     cluster, where added executor NODES bring their own DRAM.
-    Throughput uses the slowest worker's inner window (the period when
-    all workers contend), not the Pool wall that includes setup."""
+
+    Workers rendezvous at a start barrier after building their arrays,
+    so `total passes / slowest window` is a true concurrent aggregate.
+    (The earlier Pool.map version let windows start staggered, which
+    made the max-based estimate read 32 procs as slower than 8 in
+    absolute terms on a noisy host.)"""
     os.sched_setaffinity(0, set(range(procs)))
     try:
-        with mp.Pool(procs) as p:
-            dts = p.map(_stream, [passes] * procs)
+        barrier = mp.Barrier(procs)
+        q: "mp.Queue[float]" = mp.Queue()
+        ps = [
+            mp.Process(target=_stream_worker, args=(barrier, q, passes))
+            for _ in range(procs)
+        ]
+        for p in ps:
+            p.start()
+        dts = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
         return procs * passes / max(dts)
     finally:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
@@ -126,26 +140,52 @@ def main() -> None:
     lo, hi = args.levels
     factor = hi / lo
 
-    print("measuring hardware ceilings...", file=sys.stderr)
-    hw = {c: hw_throughput(c) for c in (lo, hi)}
-    hw_eff = (hw[hi] / hw[lo]) / factor
-    mb = {c: membw_throughput(c) for c in (lo, hi)}
-    mb_eff = (mb[hi] / mb[lo]) / factor
-    print(
-        f"compute ceiling: {hw[lo]/1e6:.0f} -> {hw[hi]/1e6:.0f} Mops/s, "
-        f"eff={hw_eff:.3f}; membw ceiling: {mb[lo]:.1f} -> {mb[hi]:.1f} "
-        f"passes/s, eff={mb_eff:.3f}",
-        file=sys.stderr,
-    )
+    # Ceiling probes are themselves noisy (observed cross-run swing
+    # 0.750 -> 0.849 on the compute ceiling, which alone moves the
+    # normalized engine number across the 0.8 line). Sample each
+    # ceiling 3x interleaved with the engine runs (before / between
+    # levels / after) and use the per-level MEDIAN, so a one-off host
+    # burst during a single probe cannot set the ceiling.
+    hw_samples: dict[int, list[float]] = {lo: [], hi: []}
+    mb_samples: dict[int, list[float]] = {lo: [], hi: []}
+
+    def sample_ceilings(tag: str) -> None:
+        for c in (lo, hi):
+            hw_samples[c].append(hw_throughput(c))
+            mb_samples[c].append(membw_throughput(c))
+        print(
+            f"ceiling sample [{tag}]: compute "
+            f"{hw_samples[lo][-1]/1e6:.0f} -> {hw_samples[hi][-1]/1e6:.0f} "
+            f"Mops/s; membw {mb_samples[lo][-1]:.1f} -> "
+            f"{mb_samples[hi][-1]:.1f} passes/s",
+            file=sys.stderr,
+        )
+
+    print("measuring hardware ceilings (sample 1/3)...", file=sys.stderr)
+    sample_ceilings("pre")
 
     res = {}
     for cpus in (lo, hi):
         res[cpus] = run_bench(cpus, args.seqs, args.warmup, args.reps)
+        if cpus == lo:
+            sample_ceilings("mid")
         print(
             f"local[{cpus}]: {res[cpus]['points_per_sec']:.0f} pts/s "
             f"runs={res[cpus]['pipeline_runs']}",
             file=sys.stderr,
         )
+
+    sample_ceilings("post")
+    hw = {c: statistics.median(hw_samples[c]) for c in (lo, hi)}
+    hw_eff = (hw[hi] / hw[lo]) / factor
+    mb = {c: statistics.median(mb_samples[c]) for c in (lo, hi)}
+    mb_eff = (mb[hi] / mb[lo]) / factor
+    print(
+        f"median ceilings: compute {hw[lo]/1e6:.0f} -> {hw[hi]/1e6:.0f} "
+        f"Mops/s eff={hw_eff:.3f}; membw {mb[lo]:.1f} -> {mb[hi]:.1f} "
+        f"passes/s eff={mb_eff:.3f}",
+        file=sys.stderr,
+    )
 
     # min-of-reps: intermittent host-level kernel-time bursts (measured:
     # 40-80s reps with 10x sys time, ~0 steal) contaminate medians
@@ -161,6 +201,12 @@ def main() -> None:
         "normalized_to_hw_ceiling": round(norm_eff, 3),
         "hw_ceiling_eff": round(hw_eff, 3),
         "membw_ceiling_eff": round(mb_eff, 3),
+        "hw_ceiling_samples": {
+            str(c): [round(v / 1e6, 1) for v in hw_samples[c]] for c in (lo, hi)
+        },
+        "membw_ceiling_samples": {
+            str(c): [round(v, 1) for v in mb_samples[c]] for c in (lo, hi)
+        },
         "levels": {str(lo): pps[lo], str(hi): pps[hi]},
         "bytes_per_point": bpp,
         "n_sequences": args.seqs,
@@ -200,6 +246,13 @@ their own DRAM channels):
    {mb[hi]:.1f} passes/s = {mb_eff:.3f}**. Memory channels saturate
    well before 32 cores.
 
+Each ceiling is the MEDIAN of 3 probe samples interleaved with the
+engine runs (before / between levels / after) — single probes swing
+with host noise (observed 0.750 vs 0.849 on the compute ceiling
+across same-day runs), and the normalized engine number inherits that
+swing if the ceiling is taken from one sample. All samples are in the
+raw JSON below.
+
 A columnar scan+rollup engine's resource profile is a mix of the two
 (parquet decode and Arrow transfer are bandwidth-heavy; hashing and
 aggregation are compute), so its single-box ceiling lies BETWEEN
@@ -226,10 +279,15 @@ sum/count/min/max chunks; published Gorilla yardstick 1.37 B/pt on
 production ODS floats — integer token-stat series have different value
 entropy).
 
-Raw JSON:
+Raw JSON (per-level bench output, then the protocol summary with all
+ceiling probe samples):
 
 ```json
 {json.dumps({str(k): v for k, v in res.items()}, indent=1)}
+```
+
+```json
+{json.dumps(summary, indent=1)}
 ```
 """)
     print(f"wrote BENCH/BASELINE.md eff={eff:.3f} norm={norm_eff:.3f}", file=sys.stderr)
