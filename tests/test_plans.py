@@ -177,3 +177,53 @@ def test_salted_agg_two_phase_shape(spark, mp_points):
     # two hash-agg pairs, two exchanges, never a sort-based agg
     assert n_exchanges(p) == 2
     assert "SortAggregate" not in p
+
+
+def test_pack_concat_window_is_bucket_partitioned(spark, tmp_path_factory):
+    """K1's prefix-sum window must be partitioned by the range bucket
+    — a global (partition-less) window would funnel the whole table
+    through one task, the exact round-1 anti-pattern topk fixed."""
+    from opentsdb_rollup_rust_spark.pipeline.packing import concat_pack_spans
+
+    path = str(tmp_path_factory.mktemp("plans") / "pack_docs_mp.parquet")
+    spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(200)], "doc_id long, n_tok long"
+    ).repartition(4).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    p = plan_of(
+        concat_pack_spans(
+            docs, capacity=64, bucket_expr=F.floor(F.col("doc_id") / F.lit(50))
+        )
+    )
+    assert "windowspecdefinition(_bkt" in p, p
+    # bucket bases arrive by broadcast, and the only shuffle is the
+    # bucket hash for the window
+    assert "BroadcastHashJoin" in p
+    assert n_exchanges(p) == 1, p
+
+
+def test_pack_concat_filter_pushed_to_scan(spark, tmp_path_factory):
+    from opentsdb_rollup_rust_spark.pipeline.packing import concat_pack_spans
+
+    path = str(tmp_path_factory.mktemp("plans") / "pack_docs.parquet")
+    spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(200)], "doc_id long, n_tok long"
+    ).write.mode("overwrite").parquet(path)
+    p = plan_of(concat_pack_spans(spark.read.parquet(path), capacity=64))
+    # the zero-length guard reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(n_tok), GreaterThan(n_tok,0)]" in p, p
+
+
+def test_tok_topk_partial_agg_and_rank_pushdown(spark):
+    """T5: (source, token) counts partial-aggregate map-side, and the
+    per-source rank prunes to top-k per partition BEFORE the window
+    shuffle (WindowGroupLimit) — the agg output, not the scan, bounds
+    what crosses the wire."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tok_topk"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "partial_count" in p
+    assert "WindowGroupLimit" in p, p
+    # the rank window is partitioned (by source), never global
+    assert "windowspecdefinition(source" in p, p
