@@ -167,6 +167,53 @@ def exact_rerank_topk(cand: DataFrame, prepared: DataFrame, k: int) -> DataFrame
     )
 
 
+def exact_rerank_topk_symmetric(
+    pairs: DataFrame, prepared: DataFrame, k: int
+) -> DataFrame:
+    """exact_rerank_topk for a SYMMETRIC candidate relation, given as
+    unordered (id_a < id_b) pairs: cosine is symmetric, so each pair
+    is scored once and mirrored into both query orientations before
+    the per-query top-k window. Halves the expensive part — the
+    interpreted-HOF dot over 2x dim longs per pair — at the cost of a
+    cheap post-score union. Only valid when (q, v) candidates imply
+    (v, q); the LSH band join is symmetric by construction, IVF
+    probing is not (use exact_rerank_topk there)."""
+    scored = (
+        pairs.join(
+            prepared.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("qe").alias("a_qe"),
+                F.col("n2").alias("a_n2"),
+            ),
+            "id_a",
+        )
+        .join(
+            prepared.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("qe").alias("b_qe"),
+                F.col("n2").alias("b_n2"),
+            ),
+            "id_b",
+        )
+        .withColumn("dot", int_dot(F.col("a_qe"), F.col("b_qe")))
+        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("a_n2"), F.col("b_n2")))
+        .select("id_a", "id_b", "cos_q")
+    )
+    both = scored.select(
+        F.col("id_a").alias("q_id"), F.col("id_b").alias("vec_id"), "cos_q"
+    ).unionAll(
+        scored.select(
+            F.col("id_b").alias("q_id"), F.col("id_a").alias("vec_id"), "cos_q"
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cos_q", "rank")
+    )
+
+
 LSH_TABLES = 8
 LSH_PLANES_PER_TABLE = 4
 
@@ -201,6 +248,59 @@ def lsh_table_keys(
     return F.array(*tables)
 
 
+def banded_table_keys(
+    prepared: DataFrame,
+    dim: int,
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES_PER_TABLE,
+) -> DataFrame:
+    """(vec_id, tbl, key) — one row per vector per LSH table.
+
+    The T*P hyperplane weights are staged as broadcast DATA (a 1-row
+    array<array<long>> frame cross-joined in), NOT as literal arrays
+    inside the expression: inlining 32 x 64 literals with a HOF dot
+    each builds a ~10^4-node expression tree whose Catalyst
+    analysis/optimization costs ~7s COLD — 40x the actual evaluation
+    (0.16s for 2k rows) — and every fresh query() call re-pays it
+    (new expression IDs miss every compile cache). With the matrix as
+    data the tree is a few nested lambdas; per-element work is
+    identical. Measured: ann_lsh 7.4s -> see BENCH. Same values as
+    hyperplane_weights (the DuckDB twin inlines them as SQL literals;
+    DuckDB's planner handles that fine)."""
+    spark = prepared.sparkSession
+    ws = hyperplane_weights(n_tables * planes_per_table, dim)
+    wdf = F.broadcast(
+        spark.createDataFrame([(ws,)], "W: array<array<bigint>>")
+    )
+    # dots[j] = <qe, W[j]>; bitv[j] = 2^(j mod P) if dots[j] >= 0
+    pows = [1 << p for p in range(planes_per_table)]
+    dots = F.transform(F.col("W"), lambda w: int_dot(F.col("qe"), w))
+    bitv = F.transform(
+        dots,
+        lambda d, j: F.when(
+            d >= 0,
+            F.element_at(
+                F.array(*[F.lit(v).cast("long") for v in pows]),
+                (j % planes_per_table) + F.lit(1).cast("int"),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    tables = []
+    for t in range(n_tables):
+        key = F.element_at(F.col("bitv"), t * planes_per_table + 1)
+        for p in range(1, planes_per_table):
+            key = key + F.element_at(F.col("bitv"), t * planes_per_table + p + 1)
+        tables.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
+    return (
+        prepared.crossJoin(wdf)
+        .select("vec_id", "qe", bitv.alias("bitv"))
+        .select("vec_id", F.explode(F.array(*tables)).alias("tk"))
+        .select(
+            "vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key")
+        )
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     dim: int,
@@ -208,32 +308,48 @@ def lsh_topk(
     n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,
     emb_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Approximate top-k: union candidates over the LSH tables, then
-    exact cosine rerank. Plan shape: project keys (map-only) ->
-    explode(T) of (vec_id, tbl, key) ONLY -> self equi-join on
-    (tbl, key) -> distinct id pair -> join the vectors back on each
-    side -> rerank window. The O(n^2) cross join never materializes,
-    and — critically at scale — the T-way row multiplication and the
-    (tbl, key) shuffle carry 3 narrow columns, never the embedding
-    payload; vectors are re-joined only for the |candidates| rerank
-    rows (round 1 flagged the payload riding the 8x explode)."""
+    exact cosine rerank.
+
+    Plan shape: banded keys (tiny tree — see banded_table_keys) ->
+    hot-bucket guard -> self equi-join on (tbl, key) over 3 narrow
+    columns (never the embedding payload) -> distinct unordered pair
+    -> symmetric rerank. Cosine is symmetric, so each unordered pair
+    is scored once and mirrored into both query orientations
+    (exact_rerank_topk_symmetric) — half the dot-product work of a
+    directed candidate set. (A posting-list expansion — collect ids
+    per bucket, expand the upper triangle in-row as ngram_jaccard does
+    — was measured SLOWER here: LSH buckets run ~n/2^P members, so the
+    in-row expansion allocates thousands of structs per row in
+    interpreted lambdas, while the equi-join streams the same pairs
+    through codegen. Jaccard postings win because max_df caps them at
+    a few dozen docs.)
+
+    ``max_bucket`` drops degenerate hot buckets BEFORE the self-join
+    (a bucket of B members contributes B^2/2 pairs — at 10^9 rows a
+    stop-bucket is quadratic death, and real LSH systems cap or
+    re-split). The guard is a constant-memory count aggregation; both
+    it and the join probe shuffle the same banded subtree, so
+    ReuseExchange computes the banding once."""
     prepared = _prepared(embeddings, emb_col)
-    banded = (
-        prepared.withColumn(
-            "keys", lsh_table_keys(F.col("qe"), dim, n_tables, planes_per_table)
-        )
-        .select("vec_id", F.explode("keys").alias("tk"))
-        .select("vec_id", F.col("tk.tbl").alias("tbl"), F.col("tk.key").alias("key"))
+    banded = banded_table_keys(prepared, dim, n_tables, planes_per_table)
+    safe = (
+        banded.groupBy("tbl", "key")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket)
+        .select("tbl", "key")
     )
-    a = banded.select(F.col("vec_id").alias("q_id"), "tbl", "key")
-    cand = (
-        a.join(banded, ["tbl", "key"])
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .dropDuplicates(["q_id", "vec_id"])
+    guarded = banded.join(safe, ["tbl", "key"])
+    a = guarded.select(F.col("vec_id").alias("q_id"), "tbl", "key")
+    pairs = (
+        a.join(guarded, ["tbl", "key"])
+        .where(F.col("q_id") < F.col("vec_id"))
+        .select(F.col("q_id").alias("id_a"), F.col("vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return exact_rerank_topk(cand, prepared, k)
+    return exact_rerank_topk_symmetric(pairs, prepared, k)
 
 
 IVF_LISTS = 16

@@ -52,6 +52,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is byte-based and blind to CPU density: a
+        # shuffle of ~2 MB of narrow id/score rows whose downstream
+        # stage evaluates interpreted HOF expressions (ANN rerank,
+        # centroid distances) gets coalesced to ONE partition and
+        # serializes seconds of CPU on one core (measured: ivf_topk
+        # 14.4s -> 7.9s at sf0.1 with a parallelism floor). Lowering
+        # the min partition size from the 1 MB default keeps small
+        # shuffles parallel; large shuffles still coalesce toward
+        # totalBytes/parallelism exactly as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -93,6 +103,10 @@ def pin_session_conf(spark: SparkSession) -> None:
     (e.g. the verification driver's). All are runtime-settable."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # parallelism floor for byte-small CPU-dense shuffles (see factory)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
+    )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # merge, never clobber: the host session may exclude its own rules
     rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
