@@ -365,7 +365,9 @@ def _sql_bucket(qe: str) -> str:
 
 def _sql_table_keys() -> str:
     """Multi-table LSH banding as a UNION ALL over tables — mirror of
-    similarity.lsh_table_keys (table t uses planes [t*P, (t+1)*P))."""
+    similarity.banded_table_keys (table t uses planes [t*P, (t+1)*P);
+    the Spark side stages the same hyperplane_weights matrix as
+    broadcast data — DuckDB's planner handles inline literals fine)."""
     ws = hyperplane_weights(LSH_TABLES * LSH_PLANES_PER_TABLE, EMB_DIM)
     parts = []
     for t in range(LSH_TABLES):

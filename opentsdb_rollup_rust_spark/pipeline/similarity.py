@@ -218,36 +218,6 @@ LSH_TABLES = 8
 LSH_PLANES_PER_TABLE = 4
 
 
-def lsh_table_keys(
-    qe: Column,
-    dim: int,
-    n_tables: int = LSH_TABLES,
-    planes_per_table: int = LSH_PLANES_PER_TABLE,
-) -> Column:
-    """Multi-table LSH keys: array<struct<tbl int, key long>> — table t
-    hashes with planes [t*P, (t+1)*P). Multiple independent tables are
-    the standard recall lever: a true neighbor is a candidate if it
-    agrees on ALL planes of ANY table, so recall = 1-(1-p^P)^T instead
-    of the single-table p^P."""
-    ws = hyperplane_weights(n_tables * planes_per_table, dim)
-    tables = []
-    for t in range(n_tables):
-        terms = []
-        for p in range(planes_per_table):
-            row = ws[t * planes_per_table + p]
-            warr = F.array(*[F.lit(v).cast("long") for v in row])
-            terms.append(
-                F.when(int_dot(qe, warr) >= 0, F.lit(1 << p).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        key = terms[0]
-        for x in terms[1:]:
-            key = key + x
-        tables.append(F.struct(F.lit(t).alias("tbl"), key.alias("key")))
-    return F.array(*tables)
-
-
 def banded_table_keys(
     prepared: DataFrame,
     dim: int,
