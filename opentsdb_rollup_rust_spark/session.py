@@ -52,16 +52,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing is byte-based and blind to CPU density: a
-        # shuffle of ~2 MB of narrow id/score rows whose downstream
-        # stage evaluates interpreted HOF expressions (ANN rerank,
-        # centroid distances) gets coalesced to ONE partition and
-        # serializes seconds of CPU on one core (measured: ivf_topk
-        # 14.4s -> 7.9s at sf0.1 with a parallelism floor). Lowering
-        # the min partition size from the 1 MB default keeps small
-        # shuffles parallel; large shuffles still coalesce toward
-        # totalBytes/parallelism exactly as before.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # AQE coalescing is byte-based and blind to CPU density: the
+        # ANN rerank's ~1M id-pair shuffle compresses to ~128 KB, so
+        # AQE coalesced it to 1-2 partitions and serialized ~8s of
+        # interpreted dot-product CPU on one core (measured: ivf_topk
+        # 14.4s -> 7.9s cold once spread). 4k floor: large shuffles
+        # still coalesce toward totalBytes/parallelism exactly as
+        # before; genuinely tiny shuffles get at most `parallelism`
+        # sub-millisecond tasks, which is noise next to the seconds a
+        # mis-coalesced CPU-dense stage costs.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -105,7 +105,7 @@ def pin_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # parallelism floor for byte-small CPU-dense shuffles (see factory)
     spark.conf.set(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "4k"
     )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # merge, never clobber: the host session may exclude its own rules
