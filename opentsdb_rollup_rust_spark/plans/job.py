@@ -234,6 +234,48 @@ def run_cascade(
     return [run_rollup_job(spark, store, t, tiers=tiers, **kwargs) for t in order]
 
 
+def backfill_tier(
+    spark: SparkSession,
+    store: ManifestStore,
+    tier: str,
+    t0_epoch: int,
+    t1_epoch: int,
+    n_buckets: int = 8,
+    salts: int = 8,
+    tiers: dict[str, TierSpec] | None = None,
+    derive_impl: str = "arrow",
+) -> dict:
+    """Recompute one tier's rollups for [t0, t1) from its source and
+    surgically splice them into the tier table — the operational fix
+    for late/corrected source data without reprocessing history.
+
+    The recompute mirrors run_rollup_job's plan exactly (fused wide
+    derive+agg from the sequences snapshot for the base tier; cascade
+    re-agg from the finer tier otherwise), filtered to the window
+    range; the splice is store.replace_range, which touches only data
+    files whose footer stats intersect [t0, t1) (Iceberg
+    overwrite-by-filter / footer classification — never a full-table
+    rewrite). Idempotent: re-running produces an identical table
+    (tested in tests/test_maintenance.py)."""
+    tiers = tiers or DEFAULT_TIERS
+    spec = tiers[tier]
+    if spec.source is None:
+        src = store.read("sequences")
+        rolled = fused_tier_rollup(src, tier, salts=salts, impl=derive_impl)
+    else:
+        finer = store.read(f"rollup_{spec.source}")
+        rolled = cascade_reagg(finer.drop("bucket"), tier)
+    ws = F.unix_timestamp("window_start")
+    rolled = rolled.where((ws >= F.lit(t0_epoch)) & (ws < F.lit(t1_epoch)))
+    rolled = rolled.withColumn("bucket", series_hash_bucket("series_id", n_buckets))
+    rolled = rolled.repartition(n_buckets, "bucket").sortWithinPartitions(
+        "series_id", "window_start"
+    )
+    return store.replace_range(
+        f"rollup_{tier}", "window_start", t0_epoch, t1_epoch, rolled
+    )
+
+
 def apply_retention(
     spark: SparkSession,
     store: ManifestStore,

@@ -171,6 +171,126 @@ class ManifestStore:
                 out.append(p)
         return out
 
+    def compact(
+        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict:
+        """Small-file compaction (the Iceberg ``rewrite_data_files``
+        analogue). Every incremental append writes its own files, so a
+        long-running tier job accumulates thousands of under-sized
+        files — the classic operational killer at 100 TB (open/seek
+        cost per file dominates the scan). Files under half the target
+        size are read back, bin-packed to ~target-size outputs
+        (repartition to ceil(bytes/target)), and committed as a new
+        snapshot; full-size files carry over untouched. Old snapshots
+        keep referencing the old files (time travel preserved, as with
+        prune_older_than). Returns {files_in, files_out, bytes, snapshot}
+        — a no-op (<=1 small file) commits nothing."""
+        m = self._load_manifest(table)
+        if m["current"] is None:
+            return {"snapshot": None, "files_in": 0, "files_out": 0, "bytes": 0}
+        files = self.expand_files(self._snapshot_paths(m, m["current"]))
+        small = [f for f in files if os.path.getsize(f) < target_file_bytes // 2]
+        keep = [f for f in files if f not in set(small)]
+        if len(small) <= 1:
+            return {
+                "snapshot": m["current"],
+                "files_in": len(small),
+                "files_out": len(small),
+                "bytes": sum(os.path.getsize(f) for f in small),
+            }
+        total = sum(os.path.getsize(f) for f in small)
+        n_out = max(1, -(-total // target_file_bytes))
+        snap_id = self._new_snap_id(m)
+        packed = self.spark.read.parquet(*small).repartition(n_out)
+        new_paths = keep + self._write_data(table, packed, snap_id)
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "paths": new_paths,
+                "ts": time.time(),
+                "summary": {
+                    "compaction": {
+                        "files_in": len(small),
+                        "files_out": int(n_out),
+                        "bytes": int(total),
+                    }
+                },
+            }
+        )
+        m["current"] = snap_id
+        self._commit_manifest(table, m)
+        return {
+            "snapshot": snap_id,
+            "files_in": len(small),
+            "files_out": int(n_out),
+            "bytes": int(total),
+        }
+
+    def replace_range(
+        self,
+        table: str,
+        ts_col: str,
+        t0_epoch: int,
+        t1_epoch: int,
+        df_new: DataFrame,
+    ) -> dict:
+        """Surgical time-range replacement (the Iceberg
+        overwrite-by-filter analogue) — the backfill primitive: rows
+        with ``ts_col`` in [t0, t1) are replaced by ``df_new``'s rows.
+        Metadata-first like prune_older_than: data files whose parquet
+        footer [min, max] is DISJOINT from the range carry over without
+        being read; only range-straddling files are scanned and
+        rewritten with the range filtered out; df_new's files are
+        written alongside. One atomic manifest swap."""
+        from pyspark.sql import functions as F
+
+        m = self._load_manifest(table)
+        if m["current"] is None:
+            raise KeyError(f"table {table} is empty — nothing to replace")
+        files = self.expand_files(self._snapshot_paths(m, m["current"]))
+        keep: list[str] = []
+        rewrite: list[str] = []
+        for f in files:
+            lo, hi = _footer_min_max(f, ts_col)
+            if lo is not None and hi is not None and (
+                hi < t0_epoch or lo >= t1_epoch
+            ):
+                keep.append(f)
+            else:
+                rewrite.append(f)
+        snap_id = self._new_snap_id(m)
+        new_paths = list(keep)
+        ts = F.unix_timestamp(F.col(ts_col))
+        if rewrite:
+            outside = self.spark.read.parquet(*rewrite).where(
+                (ts < F.lit(t0_epoch)) | (ts >= F.lit(t1_epoch))
+            )
+            df_new = outside.unionByName(df_new)
+        new_paths += self._write_data(table, df_new, snap_id)
+        m["snapshots"].append(
+            {
+                "id": snap_id,
+                "paths": new_paths,
+                "ts": time.time(),
+                "summary": {
+                    "replace_range": {
+                        "ts_col": ts_col,
+                        "t0": t0_epoch,
+                        "t1": t1_epoch,
+                        "files_kept": len(keep),
+                        "files_rewritten": len(rewrite),
+                    }
+                },
+            }
+        )
+        m["current"] = snap_id
+        self._commit_manifest(table, m)
+        return {
+            "snapshot": snap_id,
+            "files_kept": len(keep),
+            "files_rewritten": len(rewrite),
+        }
+
     def prune_older_than(self, table: str, ts_col: str, cutoff_epoch: int) -> dict:
         """Retention as a metadata-first operation (the Iceberg
         partition-drop analogue): classify every data file by its
@@ -462,4 +582,55 @@ class IcebergStore:
             "dropped": [],  # Iceberg handles file classification itself
             "kept": [],
             "rewritten": [],
+        }
+
+    def compact(
+        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict:
+        """Small-file compaction via Iceberg's stored procedure —
+        bin-packs under-sized data files to the target size, same
+        semantics as ManifestStore.compact."""
+        row = self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{table}', "
+            f"options => map('target-file-size-bytes', "
+            f"'{int(target_file_bytes)}'))"
+        ).collect()[0]
+        return {
+            "snapshot": self.current_snapshot(table),
+            "files_in": int(row["rewritten_data_files_count"]),
+            "files_out": int(row["added_data_files_count"]),
+            "bytes": int(row["rewritten_bytes_count"]),
+        }
+
+    def replace_range(
+        self,
+        table: str,
+        ts_col: str,
+        t0_epoch: int,
+        t1_epoch: int,
+        df_new: DataFrame,
+    ) -> dict:
+        """Range replacement via Iceberg overwrite-by-filter
+        (`writeTo(...).overwrite(cond)`): Iceberg classifies data files
+        against the predicate with its column stats — disjoint files
+        carry over untouched, straddlers rewrite — exactly the
+        footer-based behavior ManifestStore.replace_range hand-rolls."""
+        from datetime import datetime, timezone
+
+        from pyspark.sql import functions as F
+
+        def lit(e: int):
+            return F.lit(
+                datetime.fromtimestamp(e, tz=timezone.utc).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                )
+            ).cast("timestamp")
+
+        cond = (F.col(ts_col) >= lit(t0_epoch)) & (F.col(ts_col) < lit(t1_epoch))
+        df_new.writeTo(self._qual(table)).overwrite(cond)
+        return {
+            "snapshot": self.current_snapshot(table),
+            "files_kept": -1,  # Iceberg classifies internally
+            "files_rewritten": -1,
         }

@@ -26,12 +26,16 @@ SOURCES = ("web", "code", "books", "wiki")  # 70/15/10/5
 
 
 def synth_sequences(
-    spark: SparkSession, n: int, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    doc_offset: int = 0,
 ) -> DataFrame:
-    """Deterministic sequences table of ``n`` rows."""
+    """Deterministic sequences table of ``n`` rows; ``doc_offset``
+    shifts the doc_id range so incremental batches are disjoint."""
     if partitions is None:
         partitions = max(1, min(64, n // 25_000 or 1))
-    df = spark.range(0, n, 1, partitions).select(
+    df = spark.range(doc_offset, doc_offset + n, 1, partitions).select(
         F.format_string("doc-%012d", F.col("id")).alias("doc_id")
     )
     h = F.xxhash64(F.col("doc_id"))

@@ -1,0 +1,152 @@
+"""Table-maintenance operations: small-file compaction and surgical
+range replacement / tier backfill (the operational surface a 100 TB
+deployment runs nightly). Content-equality and snapshot-isolation
+checks — these ops must never change what a query sees except where
+the backfill intends to.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_rollup_rust_spark.plans.job import backfill_tier, run_cascade
+from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+from opentsdb_rollup_rust_spark.sources.synth import synth_sequences
+
+from .conftest import assert_df_equal
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ManifestStore(spark, str(tmp_path / "store"))
+
+
+def _file_count(store, table):
+    m = store._load_manifest(table)
+    return len(store.expand_files(store._snapshot_paths(m, m["current"])))
+
+
+def test_compact_merges_small_files_preserving_content(spark, store):
+    # 6 incremental appends, each split over 4 part files -> 24 tiny
+    # files, the classic small-file accumulation of a long-running job
+    for i in range(6):
+        store.append(
+            "t", synth_sequences(spark, 200, doc_offset=i * 200).repartition(4)
+        )
+    before = store.read("t")
+    before_rows = before.collect()
+    n_before = _file_count(store, "t")
+    assert n_before >= 24
+    snap_before = store.current_snapshot("t")
+
+    stats = store.compact("t", target_file_bytes=512 * 1024 * 1024)
+    assert stats["files_in"] == n_before
+    n_after = _file_count(store, "t")
+    assert n_after == stats["files_out"] < n_before
+
+    # content identical
+    after = store.read("t")
+    assert sorted(map(repr, after.collect())) == sorted(map(repr, before_rows))
+    # time travel to the pre-compaction snapshot still works
+    assert store.read("t", snap_before).count() == len(before_rows)
+    # commit summary recorded
+    assert any(
+        "compaction" in s for s in store.snapshot_summaries("t")
+        if isinstance(s, dict)
+    ) or any(
+        "files_in" in str(s) for s in store._load_manifest("t")["snapshots"]
+    )
+
+
+def test_compact_noop_on_single_file(spark, store):
+    store.append("t1", synth_sequences(spark, 100).coalesce(1))
+    snap = store.current_snapshot("t1")
+    stats = store.compact("t1")
+    assert store.current_snapshot("t1") == snap  # no new snapshot
+    assert stats["files_out"] == stats["files_in"]
+
+
+def test_replace_range_touches_only_straddling_files(spark, store):
+    # three appends with disjoint hour ranges -> disjoint footer stats
+    rows = []
+    for h in range(3):
+        df = spark.createDataFrame(
+            [(f"s{i}", h * 3600 + i * 60, i) for i in range(60)],
+            "series_id string, epoch long, v long",
+        ).select(
+            "series_id",
+            F.timestamp_seconds(F.col("epoch")).alias("window_start"),
+            "v",
+        )
+        store.append("r", df.coalesce(1))
+        rows += [(f"s{i}", h * 3600 + i * 60, i) for i in range(60)]
+
+    # replace hour 1 with halved values
+    new = spark.createDataFrame(
+        [(f"s{i}", 3600 + i * 60, i // 2) for i in range(60)],
+        "series_id string, epoch long, v long",
+    ).select(
+        "series_id",
+        F.timestamp_seconds(F.col("epoch")).alias("window_start"),
+        "v",
+    )
+    stats = store.replace_range("r", "window_start", 3600, 7200, new)
+    # hours 0 and 2 live in files disjoint from the range: kept as-is
+    assert stats["files_kept"] >= 2
+    got = {
+        (r["series_id"], r["window_start"].timestamp(), r["v"])
+        for r in store.read("r").collect()
+    }
+    expect = {
+        (s, float(e), (v // 2 if 3600 <= e < 7200 else v))
+        for s, e, v in rows
+    }
+    assert got == expect
+
+
+def test_backfill_restores_corrupted_tier_exactly(spark, store):
+    store.append("sequences", synth_sequences(spark, 500))
+    run_cascade(spark, store, n_buckets=4, encode=False)
+    clean = {t: store.read(f"rollup_{t}").collect() for t in ("1m", "1h")}
+
+    # window range covering the middle of the data
+    bounds = (
+        store.read("rollup_1h")
+        .agg(
+            F.min(F.unix_timestamp("window_start")).alias("lo"),
+            F.max(F.unix_timestamp("window_start")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    t0 = int(bounds["lo"]) + 3600
+    t1 = int(bounds["hi"]) - 3600
+    assert t1 > t0
+
+    # corrupt both tiers inside [t0, t1): zero every aggregate
+    for tier in ("1m", "1h"):
+        cur = store.read(f"rollup_{tier}")
+        ws = F.unix_timestamp("window_start")
+        bad = (
+            cur.where((ws >= t0) & (ws < t1))
+            .withColumn("sum", F.lit(0).cast("long"))
+            .withColumn("count", F.lit(0).cast("long"))
+        )
+        store.replace_range(f"rollup_{tier}", "window_start", t0, t1, bad)
+        assert store.read(f"rollup_{tier}").where(
+            (ws >= t0) & (ws < t1) & (F.col("count") != 0)
+        ).count() == 0  # corruption took
+
+    # backfill base tier from sequences, then the hour tier from it
+    backfill_tier(spark, store, "1m", t0, t1, n_buckets=4)
+    backfill_tier(spark, store, "1h", t0, t1, n_buckets=4)
+
+    for tier in ("1m", "1h"):
+        got = store.read(f"rollup_{tier}").drop("bucket")
+        want = spark.createDataFrame(clean[tier]).drop("bucket")
+        assert_df_equal(got, want)
+
+    # idempotent: a second backfill changes nothing
+    backfill_tier(spark, store, "1m", t0, t1, n_buckets=4)
+    got2 = store.read("rollup_1m").drop("bucket")
+    assert_df_equal(got2, spark.createDataFrame(clean["1m"]).drop("bucket"))

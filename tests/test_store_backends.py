@@ -28,6 +28,8 @@ SURFACE = (
     "snapshot_summaries",
     "exists",
     "prune_older_than",
+    "compact",
+    "replace_range",
 )
 
 
@@ -96,3 +98,24 @@ def test_prune_older_than_semantics(spark, store):
         .collect()
     ]
     assert sorted(kept) == [300, 400]
+
+
+def test_compact_and_replace_range_surface(spark, store):
+    """Backend-parameterized smoke for the maintenance ops (deep
+    invariants live in tests/test_maintenance.py): content survives
+    compaction; replace_range swaps exactly the targeted window."""
+    df = spark.createDataFrame(
+        [(float(e), e) for e in (100, 200, 300, 400)], "e double, v long"
+    ).select(F.timestamp_seconds(F.col("e")).alias("window_start"), "v")
+    store.append("m", df.repartition(4))
+    store.append("m", df.withColumn("v", F.col("v") + 1000).repartition(4))
+    before = sorted(r.v for r in store.read("m").collect())
+    store.compact("m", target_file_bytes=512 * 1024 * 1024)
+    assert sorted(r.v for r in store.read("m").collect()) == before
+
+    new = spark.createDataFrame([(200.0, 7)], "e double, v long").select(
+        F.timestamp_seconds(F.col("e")).alias("window_start"), "v"
+    )
+    store.replace_range("m", "window_start", 150, 350, new)
+    got = sorted(r.v for r in store.read("m").collect())
+    assert got == [7, 100, 400, 1100, 1400]
