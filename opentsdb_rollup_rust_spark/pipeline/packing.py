@@ -107,6 +107,13 @@ def concat_pack_spans(
 
     # O(buckets) driver scan — exclusive prefix over bucket totals.
     totals = b.groupBy("_bkt").agg(F.sum("_len").alias("_tot")).collect()
+    if any(row["_bkt"] is None for row in totals):
+        raise ValueError(
+            "concat_pack_spans: bucket_expr evaluated to NULL for some "
+            f"rows — the default floor({order_col}/4096) requires a "
+            "non-null numeric order key; pass an explicit bucket_expr "
+            "for other key types"
+        )
     base, off = {}, 0
     for row in sorted(totals, key=lambda r: r["_bkt"]):
         base[row["_bkt"]] = off
@@ -205,11 +212,24 @@ def greedy_pack_bins(
             }
         )
 
+    # loud contract check in every ANSI mode: a non-numeric or NULL id
+    # must error, not silently become a NULL that collapses all rows
+    # into one NULL hash bucket with arbitrary order
+    casted = F.col(id_col).cast("long")
+    id_guard = F.when(
+        casted.isNull(),
+        F.raise_error(
+            F.lit(
+                f"greedy_pack_bins: {id_col} must be a non-null "
+                "numeric-castable id"
+            )
+        ).cast("long"),
+    ).otherwise(casted)
     prepared = docs.select(
         F.pmod(md5_int60(F.col(id_col).cast("string")), F.lit(n_buckets))
         .cast("long")
         .alias("bucket"),
-        F.col(id_col).cast("long").alias("doc_id"),
+        id_guard.alias("doc_id"),
         F.col(length_col).cast("long").alias("_len"),
     )
     return prepared.groupBy("bucket").applyInPandas(pack, schema=_GREEDY_SCHEMA)

@@ -30,6 +30,7 @@ from .multimodal import attach_media_payload, extract_features
 from .similarity import (
     IVF_LISTS,
     IVF_PROBE,
+    LSH_MAX_BUCKET,
     LSH_PLANES_PER_TABLE,
     LSH_TABLES,
     N_PLANES,
@@ -522,8 +523,11 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         FROM r WHERE rank <= 5""",
     "ann_lsh": f"""WITH {_prepared_vecs('ve AS (SELECT vec_id, embedding FROM embeddings)', 've')},
         banded AS ({_sql_table_keys()}),
+        safe AS (SELECT tbl, key FROM banded GROUP BY tbl, key
+                 HAVING count(*) <= {LSH_MAX_BUCKET}),
+        guarded AS (SELECT banded.* FROM banded JOIN safe USING (tbl, key)),
         cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
-                 FROM banded a JOIN banded b
+                 FROM guarded a JOIN guarded b
                    ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id <> b.vec_id),
         scored AS (SELECT q_id, neighbor_id,
                           {_sql_cos_q(_sql_dot('qa.qe', 'nb.qe'), 'qa.n2', 'nb.n2')} AS cos_q

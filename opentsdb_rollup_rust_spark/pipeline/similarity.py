@@ -29,6 +29,9 @@ from ..functions.hashing import md5_int60
 QUANT = 1000  # embedding quantization: thousandths
 N_PLANES = 8
 PLANE_WEIGHT_MOD = 1001  # weights in [-500, 500]
+#: hot-bucket cap for the LSH band join (mirrored in the DuckDB
+#: ann_lsh oracle — both engines must drop the same buckets)
+LSH_MAX_BUCKET = 4096
 
 
 def quantize_embedding(emb: Column | str, scale: int = QUANT) -> Column:
@@ -278,7 +281,7 @@ def lsh_topk(
     n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,
     emb_col: str = "embedding",
-    max_bucket: int = 4096,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Approximate top-k: union candidates over the LSH tables, then
     exact cosine rerank.

@@ -249,21 +249,44 @@ def backfill_tier(
     surgically splice them into the tier table — the operational fix
     for late/corrected source data without reprocessing history.
 
-    The recompute mirrors run_rollup_job's plan exactly (fused wide
-    derive+agg from the sequences snapshot for the base tier; cascade
-    re-agg from the finer tier otherwise), filtered to the window
-    range; the splice is store.replace_range, which touches only data
-    files whose footer stats intersect [t0, t1) (Iceberg
-    overwrite-by-filter / footer classification — never a full-table
-    rewrite). Idempotent: re-running produces an identical table
-    (tested in tests/test_maintenance.py)."""
+    The recompute mirrors run_rollup_job's plan (fused wide derive+agg
+    from the sequences snapshot for the base tier; cascade re-agg from
+    the finer tier otherwise) but reads ONLY the range: the base tier
+    pre-filters sequences on the deterministic event time (a cheap
+    JVM expression over doc_id, evaluated before the expensive Arrow
+    derive ever sees a row), and cascade tiers filter the finer tier
+    on the RAW window_start column so the predicate pushes to parquet
+    footers. The splice is store.replace_range (overwrite-by-filter /
+    footer classification — never a full-table rewrite).
+
+    If the tier has a Gorilla chunk table, the chunks whose extent
+    intersects [t0, t1) are re-encoded from the post-splice rollup and
+    range-replaced too — otherwise the chunk read path
+    (codec.pruned_read) would keep serving the pre-backfill values.
+
+    Idempotent: re-running produces an identical table (tested in
+    tests/test_maintenance.py)."""
+    from ..operators.points import event_time
+
     tiers = tiers or DEFAULT_TIERS
     spec = tiers[tier]
+    sec = spec.interval_seconds
+    # windows w in [t0, t1) need events/finer-windows in [wlo, ev_hi):
+    # wlo = first window start >= t0, ev_hi = end of the last window
+    # starting before t1 (handles unaligned t0/t1)
+    wlo = -(-t0_epoch // sec) * sec
+    ev_hi = -(-t1_epoch // sec) * sec
     if spec.source is None:
         src = store.read("sequences")
+        ev = F.unix_timestamp(event_time("doc_id"))
+        src = src.where((ev >= F.lit(wlo)) & (ev < F.lit(ev_hi)))
         rolled = fused_tier_rollup(src, tier, salts=salts, impl=derive_impl)
     else:
         finer = store.read(f"rollup_{spec.source}")
+        finer = finer.where(
+            (F.col("window_start") >= F.timestamp_seconds(F.lit(wlo)))
+            & (F.col("window_start") < F.timestamp_seconds(F.lit(ev_hi)))
+        )
         rolled = cascade_reagg(finer.drop("bucket"), tier)
     ws = F.unix_timestamp("window_start")
     rolled = rolled.where((ws >= F.lit(t0_epoch)) & (ws < F.lit(t1_epoch)))
@@ -271,9 +294,24 @@ def backfill_tier(
     rolled = rolled.repartition(n_buckets, "bucket").sortWithinPartitions(
         "series_id", "window_start"
     )
-    return store.replace_range(
+    res = store.replace_range(
         f"rollup_{tier}", "window_start", t0_epoch, t1_epoch, rolled
     )
+
+    chunks_table = f"chunks_{tier}"
+    if store.exists(chunks_table):
+        chunk_sec = spec.chunk_seconds
+        c0 = (t0_epoch // chunk_sec) * chunk_sec
+        c1 = -(-t1_epoch // chunk_sec) * chunk_sec
+        repaired = store.read(f"rollup_{tier}").where(
+            (F.col("window_start") >= F.timestamp_seconds(F.lit(c0)))
+            & (F.col("window_start") < F.timestamp_seconds(F.lit(c1)))
+        )
+        new_chunks = encode_chunks(repaired.drop("bucket"), tier, spec.chunk_points)
+        res["chunks"] = store.replace_range(
+            chunks_table, "chunk_start", c0, c1, new_chunks
+        )
+    return res
 
 
 def apply_retention(

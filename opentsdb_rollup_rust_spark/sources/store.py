@@ -172,7 +172,10 @@ class ManifestStore:
         return out
 
     def compact(
-        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_within: tuple[str, ...] | None = None,
     ) -> dict:
         """Small-file compaction (the Iceberg ``rewrite_data_files``
         analogue). Every incremental append writes its own files, so a
@@ -183,14 +186,23 @@ class ManifestStore:
         (repartition to ceil(bytes/target)), and committed as a new
         snapshot; full-size files carry over untouched. Old snapshots
         keep referencing the old files (time travel preserved, as with
-        prune_older_than). Returns {files_in, files_out, bytes, snapshot}
-        — a no-op (<=1 small file) commits nothing."""
+        prune_older_than).
+
+        ``sort_within`` re-sorts each output file (rollup tables pass
+        ('series_id', 'window_start') to keep the O1 series-major
+        monotone layout parquet delta encoding and the codec rely on —
+        a bare round-robin repartition would interleave series).
+        Returns {files_in, files_out, bytes, snapshot} — a no-op
+        (<=1 small file) commits nothing."""
         m = self._load_manifest(table)
         if m["current"] is None:
             return {"snapshot": None, "files_in": 0, "files_out": 0, "bytes": 0}
         files = self.expand_files(self._snapshot_paths(m, m["current"]))
-        small = [f for f in files if os.path.getsize(f) < target_file_bytes // 2]
-        keep = [f for f in files if f not in set(small)]
+        small_set = {
+            f for f in files if os.path.getsize(f) < target_file_bytes // 2
+        }
+        small = [f for f in files if f in small_set]
+        keep = [f for f in files if f not in small_set]
         if len(small) <= 1:
             return {
                 "snapshot": m["current"],
@@ -202,6 +214,8 @@ class ManifestStore:
         n_out = max(1, -(-total // target_file_bytes))
         snap_id = self._new_snap_id(m)
         packed = self.spark.read.parquet(*small).repartition(n_out)
+        if sort_within:
+            packed = packed.sortWithinPartitions(*sort_within)
         new_paths = keep + self._write_data(table, packed, snap_id)
         m["snapshots"].append(
             {
@@ -585,14 +599,23 @@ class IcebergStore:
         }
 
     def compact(
-        self, table: str, target_file_bytes: int = 128 * 1024 * 1024
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_within: tuple[str, ...] | None = None,
     ) -> dict:
         """Small-file compaction via Iceberg's stored procedure —
         bin-packs under-sized data files to the target size, same
-        semantics as ManifestStore.compact."""
+        semantics as ManifestStore.compact. ``sort_within`` selects
+        the 'sort' rewrite strategy so output files keep the
+        series-major layout."""
+        strategy = ""
+        if sort_within:
+            order = ", ".join(sort_within)
+            strategy = f"strategy => 'sort', sort_order => '{order}', "
         row = self.spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files("
-            f"table => '{self.namespace}.{table}', "
+            f"table => '{self.namespace}.{table}', {strategy}"
             f"options => map('target-file-size-bytes', "
             f"'{int(target_file_bytes)}'))"
         ).collect()[0]

@@ -100,7 +100,10 @@ def membw_throughput(procs: int, passes: int = 8) -> float:
         ]
         for p in ps:
             p.start()
-        dts = [q.get() for _ in ps]
+        # timeout: a worker killed while allocating its ~240 MB peak
+        # would strand the barrier and hang q.get() forever — fail the
+        # protocol loudly instead (the old Pool.map raised on death)
+        dts = [q.get(timeout=300) for _ in ps]
         for p in ps:
             p.join()
         return procs * passes / max(dts)

@@ -150,3 +150,57 @@ def test_backfill_restores_corrupted_tier_exactly(spark, store):
     backfill_tier(spark, store, "1m", t0, t1, n_buckets=4)
     got2 = store.read("rollup_1m").drop("bucket")
     assert_df_equal(got2, spark.createDataFrame(clean["1m"]).drop("bucket"))
+
+
+def test_backfill_late_data_updates_rollup_and_chunks(spark, store):
+    """The real backfill scenario: late source data arrives, a window
+    range is recomputed — and the Gorilla chunk table must follow the
+    rollup table, else codec read paths serve pre-backfill values."""
+    from opentsdb_rollup_rust_spark.codec.gorilla import decode_chunks
+    from opentsdb_rollup_rust_spark.operators.points import derive_points
+    from opentsdb_rollup_rust_spark.operators.rollup import tumbling_rollup
+    from opentsdb_rollup_rust_spark.plans.job import run_rollup_job
+
+    store.append("sequences", synth_sequences(spark, 400))
+    run_rollup_job(spark, store, "1m", n_buckets=4, encode=True)
+    assert store.exists("chunks_1m")
+
+    # late data lands in the source
+    store.append("sequences", synth_sequences(spark, 200, doc_offset=400))
+
+    bounds = (
+        store.read("rollup_1m")
+        .agg(
+            F.min(F.unix_timestamp("window_start")).alias("lo"),
+            F.max(F.unix_timestamp("window_start")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    t0 = int(bounds["lo"]) + 6 * 3600
+    t1 = int(bounds["hi"]) - 6 * 3600
+    assert t1 > t0
+    backfill_tier(spark, store, "1m", t0, t1, n_buckets=4)
+
+    # rollup content: inside [t0,t1) reflects ALL 600 sequences,
+    # outside still the original 400
+    full = tumbling_rollup(derive_points(store.read("sequences")), "1m")
+    ws = F.unix_timestamp("window_start")
+    got_in = store.read("rollup_1m").drop("bucket").where((ws >= t0) & (ws < t1))
+    want_in = full.where((ws >= t0) & (ws < t1))
+    assert_df_equal(got_in, want_in)
+
+    # chunk table followed: decoding every chunk reproduces exactly the
+    # current rollup table (the whole point of the chunk re-encode)
+    dec = (
+        decode_chunks(store.read("chunks_1m"))
+        .groupBy("series_id", "window_start")
+        .pivot("agg", ["sum", "count", "min", "max"])
+        .agg(F.first("value"))
+    )
+    roll = store.read("rollup_1m").select(
+        "series_id", "window_start", "sum", "count", "min", "max"
+    )
+    assert_df_equal(
+        dec.select("series_id", "window_start", "sum", "count", "min", "max"),
+        roll,
+    )
