@@ -227,3 +227,15 @@ def test_tok_topk_partial_agg_and_rank_pushdown(spark):
     assert "WindowGroupLimit" in p, p
     # the rank window is partitioned (by source), never global
     assert "windowspecdefinition(source" in p, p
+
+
+def test_engine_session_confs_pinned(spark):
+    """The perf-critical session confs are load-bearing (each traces
+    to a measured multi-second regression when absent) — pin them so a
+    factory refactor can't silently drop one."""
+    get = spark.conf.get
+    assert get("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "4k"
+    assert "InferFiltersFromGenerate" in get("spark.sql.optimizer.excludedRules")
+    assert get("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS"
+    assert get("spark.sql.execution.arrow.maxRecordsPerBatch") == "65536"
+    assert get("spark.sql.session.timeZone") == "UTC"
