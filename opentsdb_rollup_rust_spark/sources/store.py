@@ -171,6 +171,52 @@ class ManifestStore:
                 out.append(p)
         return out
 
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Iceberg ``expire_snapshots`` analogue — the GC half of the
+        snapshot model: compaction / retention / replace_range leave
+        superseded files on disk so older snapshots stay readable;
+        expiry drops all but the newest ``keep_last`` snapshots from
+        the manifest and DELETES every data file referenced only by
+        the expired ones. Files any retained snapshot still references
+        survive (appends share earlier snap directories, so protection
+        is computed at file granularity). Irreversible by design."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        m = self._load_manifest(table)
+        if m["current"] is None or len(m["snapshots"]) <= keep_last:
+            return {"expired": 0, "deleted_files": 0}
+        keep = m["snapshots"][-keep_last:]
+        expired = m["snapshots"][:-keep_last]
+        protected: set[str] = set()
+        for s in keep:
+            protected.update(self.expand_files(s["paths"]))
+        doomed: set[str] = set()
+        for s in expired:
+            doomed.update(self.expand_files(s["paths"]))
+        doomed -= protected
+        # commit the shrunken manifest FIRST: a crash mid-delete then
+        # leaves unreferenced files (harmless, re-collectable), never a
+        # live snapshot with missing files
+        m["snapshots"] = keep
+        self._commit_manifest(table, m)
+        for f in doomed:
+            os.remove(f)
+        # sweep snap directories that hold no parquet anymore and are
+        # not referenced by any retained snapshot (write markers like
+        # _SUCCESS don't keep a dir alive)
+        retained_dirs = {p for s in keep for p in s["paths"]}
+        tdir = os.path.join(self.root, table)
+        for entry in os.listdir(tdir):
+            d = os.path.join(tdir, entry)
+            if not os.path.isdir(d) or d in retained_dirs:
+                continue
+            if not self.expand_files([d]):  # no data files left
+                for root, _dirs, files in os.walk(d, topdown=False):
+                    for f in files:
+                        os.remove(os.path.join(root, f))
+                    os.rmdir(root)
+        return {"expired": len(expired), "deleted_files": len(doomed)}
+
     def compact(
         self,
         table: str,
@@ -596,6 +642,23 @@ class IcebergStore:
             "dropped": [],  # Iceberg handles file classification itself
             "kept": [],
             "rewritten": [],
+        }
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Snapshot GC via Iceberg's stored procedure (same semantics
+        as ManifestStore.expire_snapshots)."""
+        from datetime import datetime, timezone
+
+        now = datetime.now(tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        row = self.spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots("
+            f"table => '{self.namespace}.{table}', "
+            f"older_than => TIMESTAMP '{now}', "
+            f"retain_last => {int(keep_last)})"
+        ).collect()[0]
+        return {
+            "expired": -1,  # Iceberg reports files, not snapshot count
+            "deleted_files": int(row["deleted_data_files_count"]),
         }
 
     def compact(

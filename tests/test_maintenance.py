@@ -204,3 +204,46 @@ def test_backfill_late_data_updates_rollup_and_chunks(spark, store):
         dec.select("series_id", "window_start", "sum", "count", "min", "max"),
         roll,
     )
+
+
+def test_expire_snapshots_reclaims_disk(spark, store):
+    """Expiry deletes exactly the files no retained snapshot
+    references — and only after the shrunken manifest is committed, so
+    a crash can strand garbage but never break a live snapshot."""
+    for i in range(4):
+        store.append(
+            "g", synth_sequences(spark, 150, doc_offset=i * 150).repartition(2)
+        )
+    store.compact("g", target_file_bytes=512 * 1024 * 1024)
+    rows_before = sorted(map(repr, store.read("g").collect()))
+    old_snap = store.current_snapshot("g") - 1
+    n_files_before = len(
+        store.expand_files([str(p) for p in [store.root + "/g"]])
+    )
+
+    stats = store.expire_snapshots("g", keep_last=1)
+    assert stats["expired"] == 4  # 4 appends + compact = 5 snaps, keep 1
+    assert stats["deleted_files"] > 0
+    n_files_after = len(
+        store.expand_files([str(p) for p in [store.root + "/g"]])
+    )
+    assert n_files_after < n_files_before
+
+    # the current snapshot is fully intact
+    assert sorted(map(repr, store.read("g").collect())) == rows_before
+    # time travel to expired snapshots is gone (by design)
+    with pytest.raises(KeyError):
+        store.read("g", old_snap)
+    assert len(store._load_manifest("g")["snapshots"]) == 1
+
+
+def test_expire_keep_last_protects_shared_files(spark, store):
+    """Appends share earlier snap directories; keeping 2 snapshots
+    must protect every file the second-newest still references."""
+    for i in range(3):
+        store.append("h", synth_sequences(spark, 100, doc_offset=i * 100))
+    snap2 = store.current_snapshot("h") - 1
+    store.expire_snapshots("h", keep_last=2)
+    # both retained snapshots still read correctly
+    assert store.read("h").count() == 300
+    assert store.read("h", snap2).count() == 200

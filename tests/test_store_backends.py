@@ -30,6 +30,7 @@ SURFACE = (
     "prune_older_than",
     "compact",
     "replace_range",
+    "expire_snapshots",
 )
 
 
