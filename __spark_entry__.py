@@ -357,6 +357,42 @@ def _q_win_delta(spark, sf_dir):
     )
 
 
+def _q_win_rate(spark, sf_dir):
+    """W6: OpenTSDB counter-`rate` semantics ([OTSDB-AGG]) over a
+    deterministic sawtooth counter: per series, cumulative hourly sum
+    mod 1e6 (so genuine counter RESETS occur), then rate/sec with the
+    reset rule — a negative delta means the counter restarted, so the
+    rate counts from zero (value/dt) instead of going negative. Rate
+    is a double from exact integer delta/dt (IEEE division is
+    deterministic), quantized 1e-6; the first row per series is NULL
+    in both engines (lag has no previous)."""
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    w = Window.partitionBy("series_id").orderBy("window_start")
+    cum = F.sum("sum").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_ctr = r1h.select(
+        "series_id", _epoch(), F.pmod(cum, F.lit(1_000_000)).alias("counter")
+    )
+    prev = F.lag("counter").over(
+        Window.partitionBy("series_id").orderBy("w_start")
+    )
+    prev_t = F.lag("w_start").over(
+        Window.partitionBy("series_id").orderBy("w_start")
+    )
+    dt = (F.col("w_start") - prev_t).cast("double")
+    delta = F.col("counter") - prev
+    rate = F.when(delta >= 0, delta.cast("double") / dt).otherwise(
+        F.col("counter").cast("double") / dt
+    )
+    return with_ctr.select(
+        "series_id",
+        "w_start",
+        "counter",
+        F.floor(rate * F.lit(1_000_000)).cast("long").alias("rate_q"),
+    )
+
+
 def _q_win_moving(spark, sf_dir):
     r1d = tumbling_rollup(_event_points(spark, sf_dir), "1d")
     w = (
@@ -772,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_topk": _q_tok_topk,
         "win_topk": _q_win_topk,
         "win_delta": _q_win_delta,
+        "win_rate": _q_win_rate,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -984,6 +1021,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT series_id, w_start,
                    s - lag(s) OVER (PARTITION BY series_id ORDER BY w_start) AS delta_sum
             FROM r""",
+        "win_rate": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS s
+                  FROM pts GROUP BY 1, 2),
+            c AS (SELECT series_id, w_start,
+                         (sum(s) OVER (PARTITION BY series_id ORDER BY w_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          % 1000000)::BIGINT AS counter
+                  FROM r),
+            d AS (SELECT series_id, w_start, counter,
+                         counter - lag(counter) OVER
+                           (PARTITION BY series_id ORDER BY w_start) AS delta,
+                         (w_start - lag(w_start) OVER
+                           (PARTITION BY series_id ORDER BY w_start))::DOUBLE AS dt
+                  FROM c)
+            SELECT series_id, w_start, counter,
+                   CAST(FLOOR(1000000 * CASE WHEN delta >= 0
+                                             THEN delta::DOUBLE / dt
+                                             ELSE counter::DOUBLE / dt END)
+                        AS BIGINT) AS rate_q
+            FROM d""",
         "win_moving": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
