@@ -298,6 +298,64 @@ def _q_tok_topk(spark, sf_dir):
     ).filter(F.col("rank") <= 10)
 
 
+def _q_agg_interp(spark, sf_dir):
+    """A12: cross-series aggregation with LINEAR INTERPOLATION at
+    missing windows — OpenTSDB's query-time aggregation rule
+    ([OTSDB-AGG]: when summing series, a series without a data point
+    at timestamp t contributes its linearly interpolated value
+    between its surrounding points; outside its extent it contributes
+    nothing). Grid = union of all series' hourly windows; per
+    (series, t): the stored value if present, else
+    vp + (vn - vp) * (t - tp) / (tn - tp) from the nearest stored
+    neighbors. Both engines evaluate the identical double expression
+    on identical ints, then the SUM is quantized 1e-3.
+
+    Scale shape: the grid cross join is |series| x |windows| (the
+    dense interpolation matrix — inherent to the semantics), the
+    neighbor search is two partitioned windows (last/first with
+    ignorenulls), and the final agg is a partial-aggregated groupBy
+    on the window start."""
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h").select(
+        "series_id", _epoch(), F.col("sum").alias("v")
+    )
+    grid = r1h.select("w_start").distinct()
+    series = r1h.select("series_id").distinct()
+    dense = series.crossJoin(grid).join(r1h, ["series_id", "w_start"], "left")
+
+    wb = (
+        Window.partitionBy("series_id")
+        .orderBy("w_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("series_id")
+        .orderBy("w_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_w = F.when(F.col("v").isNotNull(), F.col("w_start"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_w = F.last(known_w, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_w = F.first(known_w, ignorenulls=True).over(wf)
+    interp = F.when(F.col("v").isNotNull(), F.col("v").cast("double")).otherwise(
+        prev_v.cast("double")
+        + (next_v - prev_v).cast("double")
+        * (
+            (F.col("w_start") - prev_w).cast("double")
+            / (next_w - prev_w).cast("double")
+        )
+    )
+    # quantize each contribution BEFORE the sum (module rule: double
+    # addition is order-dependent, long sums are exact)
+    contrib = dense.select(
+        "w_start", F.floor(interp * F.lit(1000)).cast("long").alias("iv_q")
+    ).where(F.col("iv_q").isNotNull())
+    return contrib.groupBy("w_start").agg(
+        F.sum("iv_q").alias("sum_q"),
+        F.count("*").alias("n_series"),
+    )
+
+
 def _q_agg_percentile(spark, sf_dir):
     """A9: exact p50/p95/p99 per series via discrete selection (the
     value at rank ceil(p*n) of the sorted values) — integer-exact, no
@@ -800,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": _q_agg_salted,
         "agg_distinct": _q_agg_distinct,
         "agg_first_last": _q_agg_first_last,
+        "agg_interp": _q_agg_interp,
         "agg_percentile": _q_agg_percentile,
         "agg_rollup_sets": _q_agg_rollup_sets,
         "derive_points": _q_derive_points,
@@ -1021,6 +1080,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT series_id, w_start,
                    s - lag(s) OVER (PARTITION BY series_id ORDER BY w_start) AS delta_sum
             FROM r""",
+        "agg_interp": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS v
+                  FROM pts GROUP BY 1, 2),
+            dense AS (SELECT s.series_id, g.w_start, r.v
+                      FROM (SELECT DISTINCT series_id FROM r) s
+                      CROSS JOIN (SELECT DISTINCT w_start FROM r) g
+                      LEFT JOIN r ON r.series_id = s.series_id
+                                 AND r.w_start = g.w_start),
+            nb AS (SELECT series_id, w_start, v,
+                          last_value(v IGNORE NULLS) OVER
+                            (PARTITION BY series_id ORDER BY w_start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                          last_value(CASE WHEN v IS NOT NULL THEN w_start END IGNORE NULLS) OVER
+                            (PARTITION BY series_id ORDER BY w_start
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+                          first_value(v IGNORE NULLS) OVER
+                            (PARTITION BY series_id ORDER BY w_start
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                          first_value(CASE WHEN v IS NOT NULL THEN w_start END IGNORE NULLS) OVER
+                            (PARTITION BY series_id ORDER BY w_start
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nw
+                   FROM dense),
+            iv AS (SELECT w_start,
+                          CAST(FLOOR(1000 * (CASE WHEN v IS NOT NULL THEN v::DOUBLE
+                                ELSE pv::DOUBLE + (nv - pv)::DOUBLE
+                                     * ((w_start - pw)::DOUBLE / (nw - pw)::DOUBLE)
+                                END)) AS BIGINT) AS iv_q
+                   FROM nb)
+            SELECT w_start, sum(iv_q)::BIGINT AS sum_q,
+                   count(*)::BIGINT AS n_series
+            FROM iv WHERE iv_q IS NOT NULL GROUP BY w_start""",
         "win_rate": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
