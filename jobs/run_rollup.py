@@ -25,6 +25,7 @@ sys.path.insert(0, ".")  # allow running from the repo root w/o --py-files
 
 from opentsdb_rollup_rust_spark.plans.job import (  # noqa: E402
     apply_retention,
+    backfill_tier,
     run_cascade,
     run_rollup_job,
 )
@@ -45,6 +46,17 @@ def main(argv=None) -> int:
                     help="generate N sequences into the store first")
     ap.add_argument("--retention-now", type=int, default=None,
                     help="epoch seconds 'now' for a retention pass")
+    ap.add_argument("--backfill", nargs=2, type=int, metavar=("T0", "T1"),
+                    default=None,
+                    help="recompute [T0, T1) epoch-second window range for "
+                         "--tier from its source (chunk-coherent splice) "
+                         "instead of running the job")
+    ap.add_argument("--compact", action="store_true",
+                    help="run small-file compaction on the tier table(s) "
+                         "after the job / instead of it with --tier")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="expire all but the newest N snapshots per tier "
+                         "table (GC superseded data files)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -57,24 +69,53 @@ def main(argv=None) -> int:
         snap = store.append("sequences", synth_sequences(spark, args.synthesize))
         print(json.dumps({"synthesized": args.synthesize, "snapshot": snap}))
 
-    kw = dict(
-        n_buckets=args.buckets,
-        salts=args.salts,
-        run_id=args.run_id,
-        encode=not args.no_encode,
-    )
-    results = (
-        run_cascade(spark, store, **kw)
-        if args.tier == "all"
-        else [run_rollup_job(spark, store, args.tier, **kw)]
-    )
-    for r in results:
-        print(json.dumps(r.__dict__))
+    tiers = ("1m", "1h", "1d") if args.tier == "all" else (args.tier,)
+
+    if args.backfill is not None:
+        t0, t1 = args.backfill
+        for tier in tiers:
+            res = backfill_tier(
+                spark, store, tier, t0, t1,
+                n_buckets=args.buckets, salts=args.salts,
+            )
+            print(json.dumps({"backfill_tier": tier, **res}))
+    else:
+        kw = dict(
+            n_buckets=args.buckets,
+            salts=args.salts,
+            run_id=args.run_id,
+            encode=not args.no_encode,
+        )
+        results = (
+            run_cascade(spark, store, **kw)
+            if args.tier == "all"
+            else [run_rollup_job(spark, store, args.tier, **kw)]
+        )
+        for r in results:
+            print(json.dumps(r.__dict__))
 
     if args.retention_now is not None:
         for tier in ("1m", "1h", "1d"):
             kept = apply_retention(spark, store, tier, args.retention_now)
             print(json.dumps({"retention_tier": tier, "rows_kept": kept}))
+
+    if args.compact:
+        for tier in tiers:
+            table = f"rollup_{tier}"
+            if store.exists(table):
+                stats = store.compact(
+                    table, sort_within=("series_id", "window_start")
+                )
+                print(json.dumps({"compact_table": table, **stats}))
+
+    if args.expire_keep is not None:
+        for tier in tiers:
+            for table in (f"rollup_{tier}", f"chunks_{tier}"):
+                if store.exists(table):
+                    stats = store.expire_snapshots(
+                        table, keep_last=args.expire_keep
+                    )
+                    print(json.dumps({"expire_table": table, **stats}))
 
     spark.stop()
     return 0
