@@ -184,3 +184,57 @@ def test_greedy_deterministic_bucketing(spark, docs):
     a = sorted(map(tuple, greedy_pack_bins(docs).collect()))
     b = sorted(map(tuple, greedy_pack_bins(docs).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------- property tests
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _greedy_reference(items, cap):
+    """Pure-python mirror of the greedy rule (sorted by id; append
+    while fill + n <= cap, else new bin; oversize doc owns its bin)."""
+    out = {}
+    cur, fill = 0, 0
+    for i, (doc, n) in enumerate(sorted(items)):
+        if i > 0 and fill + n > cap:
+            cur, fill = cur + 1, 0
+        out[doc] = (cur, fill)
+        fill += n
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    cap=st.integers(min_value=1, max_value=250),
+)
+def test_greedy_matches_pure_python_reference(spark, lens, cap):
+    """The applyInPandas walk implements exactly the documented rule —
+    checked per md5 bucket against an independent implementation over
+    adversarial random lengths (zeros, oversize, exact fits)."""
+    from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
+
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tok long"
+    )
+    nb = 3
+    got = greedy_pack_bins(docs, capacity=cap, n_buckets=nb).collect()
+    # reproduce the md5 bucket assignment driver-side
+    bucket_of = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id",
+            F.pmod(md5_int60(F.col("doc_id").cast("string")), F.lit(nb))
+            .cast("long")
+            .alias("b"),
+        ).collect()
+    }
+    by_bucket = {}
+    for i, n in enumerate(lens):
+        by_bucket.setdefault(bucket_of[i], []).append((i, n))
+    expect = {}
+    for b, items in by_bucket.items():
+        for doc, (bin_, start) in _greedy_reference(items, cap).items():
+            expect[doc] = (b, bin_, start)
+    assert {r.doc_id: (r.bucket, r.bin, r.bin_start) for r in got} == expect
