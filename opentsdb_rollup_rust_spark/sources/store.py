@@ -20,10 +20,12 @@ append / overwrite / read(snapshot_id) / current_snapshot.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,8 +39,28 @@ METRICS_SCHEMA = (
 )
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A maintenance operation (compact / replace_range / prune)
+    computed its new snapshot against a base that another writer
+    advanced before the commit — committing would silently drop the
+    concurrent writer's files. Retry the operation against the new
+    current snapshot (the same contract as Iceberg's optimistic
+    commit conflicts)."""
+
+
 class ManifestStore:
-    """Snapshot-pinned parquet tables under a root directory."""
+    """Snapshot-pinned parquet tables under a root directory.
+
+    Concurrency model (mirrors Iceberg's optimistic commits): every
+    manifest mutation happens under a per-table writer flock, so two
+    appends never lose one another (the streaming sink and the batch
+    job can share a table). Long-running maintenance ops (compact,
+    replace_range, prune) do their expensive read+rewrite WITHOUT the
+    lock, then validate at commit time that the base snapshot they
+    computed against is still current — raising ConcurrentCommitError
+    for the caller to retry instead of clobbering a concurrent commit.
+    (The real IcebergStore gets both behaviors natively from the
+    catalog's atomic swap + validation.)"""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -49,6 +71,21 @@ class ManifestStore:
 
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self.root, table, "_manifest.json")
+
+    @contextmanager
+    def _write_lock(self, table: str):
+        """Per-table advisory writer lock (flock): serializes
+        manifest read-modify-write cycles across processes on one
+        host. Readers never take it — snapshots are immutable."""
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        lock_path = os.path.join(self.root, table, "_lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _load_manifest(self, table: str) -> dict:
         p = self._manifest_path(table)
@@ -66,7 +103,13 @@ class ManifestStore:
         os.replace(tmp, p)
 
     def _write_data(self, table: str, df: DataFrame, snap_id: int) -> list[str]:
-        out = os.path.join(self.root, table, f"snap-{snap_id}")
+        # unique suffix: two writers computing against the same base
+        # (e.g. a stream append racing a compaction) must never write
+        # into the same directory — the loser's files become orphans
+        # the commit validation rejects, not corruption
+        out = os.path.join(
+            self.root, table, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("overwrite").parquet(out)
         return [out]
 
@@ -87,22 +130,23 @@ class ManifestStore:
         makes resume exactly-once: the marker and the data are one
         manifest swap.
         """
-        m = self._load_manifest(table)
-        snap_id = self._new_snap_id(m)
-        paths = self._write_data(table, df, snap_id)
-        prev = self._snapshot_paths(m, m["current"])
-        m["snapshots"].append(
-            {
-                "id": snap_id,
-                "paths": prev + paths,
-                "new_paths": paths,
-                "ts": time.time(),
-                "summary": summary or {},
-            }
-        )
-        m["current"] = snap_id
-        self._commit_manifest(table, m)
-        return snap_id
+        with self._write_lock(table):
+            m = self._load_manifest(table)
+            snap_id = self._new_snap_id(m)
+            paths = self._write_data(table, df, snap_id)
+            prev = self._snapshot_paths(m, m["current"])
+            m["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "paths": prev + paths,
+                    "new_paths": paths,
+                    "ts": time.time(),
+                    "summary": summary or {},
+                }
+            )
+            m["current"] = snap_id
+            self._commit_manifest(table, m)
+            return snap_id
 
     def snapshot_summaries(self, table: str) -> list[dict]:
         return [
@@ -120,13 +164,14 @@ class ManifestStore:
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         """New snapshot replacing the whole table (retention rewrite)."""
-        m = self._load_manifest(table)
-        snap_id = self._new_snap_id(m)
-        paths = self._write_data(table, df, snap_id)
-        m["snapshots"].append({"id": snap_id, "paths": paths, "ts": time.time()})
-        m["current"] = snap_id
-        self._commit_manifest(table, m)
-        return snap_id
+        with self._write_lock(table):
+            m = self._load_manifest(table)
+            snap_id = self._new_snap_id(m)
+            paths = self._write_data(table, df, snap_id)
+            m["snapshots"].append({"id": snap_id, "paths": paths, "ts": time.time()})
+            m["current"] = snap_id
+            self._commit_manifest(table, m)
+            return snap_id
 
     def _snapshot_paths(self, manifest: dict, snap_id: int | None) -> list[str]:
         if snap_id is None:
@@ -171,6 +216,25 @@ class ManifestStore:
                 out.append(p)
         return out
 
+    def _commit_against(self, table: str, base: int | None, build) -> dict:
+        """Optimistic-commit helper for long maintenance ops: under the
+        writer lock, re-load the manifest, verify the table has not
+        advanced past ``base``, apply ``build(manifest)`` (which
+        appends the new snapshot and returns the result dict), and
+        swap. Raises ConcurrentCommitError on conflict — the caller's
+        freshly-written data files become orphans, never corruption
+        (unique snap-dir suffixes)."""
+        with self._write_lock(table):
+            m = self._load_manifest(table)
+            if m["current"] != base:
+                raise ConcurrentCommitError(
+                    f"{table}: snapshot advanced {base} -> {m['current']} "
+                    "during maintenance; recompute against the new current"
+                )
+            out = build(m)
+            self._commit_manifest(table, m)
+            return out
+
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Iceberg ``expire_snapshots`` analogue — the GC half of the
         snapshot model: compaction / retention / replace_range leave
@@ -182,23 +246,25 @@ class ManifestStore:
         is computed at file granularity). Irreversible by design."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        m = self._load_manifest(table)
-        if m["current"] is None or len(m["snapshots"]) <= keep_last:
-            return {"expired": 0, "deleted_files": 0}
-        keep = m["snapshots"][-keep_last:]
-        expired = m["snapshots"][:-keep_last]
-        protected: set[str] = set()
-        for s in keep:
-            protected.update(self.expand_files(s["paths"]))
-        doomed: set[str] = set()
-        for s in expired:
-            doomed.update(self.expand_files(s["paths"]))
-        doomed -= protected
-        # commit the shrunken manifest FIRST: a crash mid-delete then
-        # leaves unreferenced files (harmless, re-collectable), never a
-        # live snapshot with missing files
-        m["snapshots"] = keep
-        self._commit_manifest(table, m)
+        with self._write_lock(table):
+            m = self._load_manifest(table)
+            if m["current"] is None or len(m["snapshots"]) <= keep_last:
+                return {"expired": 0, "deleted_files": 0}
+            keep = m["snapshots"][-keep_last:]
+            expired = m["snapshots"][:-keep_last]
+            protected: set[str] = set()
+            for s in keep:
+                protected.update(self.expand_files(s["paths"]))
+            doomed: set[str] = set()
+            for s in expired:
+                doomed.update(self.expand_files(s["paths"]))
+            doomed -= protected
+            # commit the shrunken manifest FIRST (still under the
+            # writer lock): a crash mid-delete leaves unreferenced
+            # files (harmless, re-collectable), never a live snapshot
+            # with missing files
+            m["snapshots"] = keep
+            self._commit_manifest(table, m)
         for f in doomed:
             os.remove(f)
         # sweep snap directories that hold no parquet anymore and are
@@ -258,33 +324,37 @@ class ManifestStore:
             }
         total = sum(os.path.getsize(f) for f in small)
         n_out = max(1, -(-total // target_file_bytes))
+        base = m["current"]
         snap_id = self._new_snap_id(m)
         packed = self.spark.read.parquet(*small).repartition(n_out)
         if sort_within:
             packed = packed.sortWithinPartitions(*sort_within)
-        new_paths = keep + self._write_data(table, packed, snap_id)
-        m["snapshots"].append(
-            {
-                "id": snap_id,
-                "paths": new_paths,
-                "ts": time.time(),
-                "summary": {
-                    "compaction": {
-                        "files_in": len(small),
-                        "files_out": int(n_out),
-                        "bytes": int(total),
-                    }
-                },
+        written = self._write_data(table, packed, snap_id)
+
+        def build(m2: dict) -> dict:
+            m2["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "paths": keep + written,
+                    "ts": time.time(),
+                    "summary": {
+                        "compaction": {
+                            "files_in": len(small),
+                            "files_out": int(n_out),
+                            "bytes": int(total),
+                        }
+                    },
+                }
+            )
+            m2["current"] = snap_id
+            return {
+                "snapshot": snap_id,
+                "files_in": len(small),
+                "files_out": int(n_out),
+                "bytes": int(total),
             }
-        )
-        m["current"] = snap_id
-        self._commit_manifest(table, m)
-        return {
-            "snapshot": snap_id,
-            "files_in": len(small),
-            "files_out": int(n_out),
-            "bytes": int(total),
-        }
+
+        return self._commit_against(table, base, build)
 
     def replace_range(
         self,
@@ -318,38 +388,41 @@ class ManifestStore:
                 keep.append(f)
             else:
                 rewrite.append(f)
+        base = m["current"]
         snap_id = self._new_snap_id(m)
-        new_paths = list(keep)
         ts = F.unix_timestamp(F.col(ts_col))
         if rewrite:
             outside = self.spark.read.parquet(*rewrite).where(
                 (ts < F.lit(t0_epoch)) | (ts >= F.lit(t1_epoch))
             )
             df_new = outside.unionByName(df_new)
-        new_paths += self._write_data(table, df_new, snap_id)
-        m["snapshots"].append(
-            {
-                "id": snap_id,
-                "paths": new_paths,
-                "ts": time.time(),
-                "summary": {
-                    "replace_range": {
-                        "ts_col": ts_col,
-                        "t0": t0_epoch,
-                        "t1": t1_epoch,
-                        "files_kept": len(keep),
-                        "files_rewritten": len(rewrite),
-                    }
-                },
+        written = self._write_data(table, df_new, snap_id)
+
+        def build(m2: dict) -> dict:
+            m2["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "paths": keep + written,
+                    "ts": time.time(),
+                    "summary": {
+                        "replace_range": {
+                            "ts_col": ts_col,
+                            "t0": t0_epoch,
+                            "t1": t1_epoch,
+                            "files_kept": len(keep),
+                            "files_rewritten": len(rewrite),
+                        }
+                    },
+                }
+            )
+            m2["current"] = snap_id
+            return {
+                "snapshot": snap_id,
+                "files_kept": len(keep),
+                "files_rewritten": len(rewrite),
             }
-        )
-        m["current"] = snap_id
-        self._commit_manifest(table, m)
-        return {
-            "snapshot": snap_id,
-            "files_kept": len(keep),
-            "files_rewritten": len(rewrite),
-        }
+
+        return self._commit_against(table, base, build)
 
     def prune_older_than(self, table: str, ts_col: str, cutoff_epoch: int) -> dict:
         """Retention as a metadata-first operation (the Iceberg
@@ -387,6 +460,7 @@ class ManifestStore:
                 "kept": kept,
                 "rewritten": [],
             }
+        base = m["current"]
         snap_id = self._new_snap_id(m)
         new_paths = list(kept)
         if straddle:
@@ -394,26 +468,29 @@ class ManifestStore:
                 F.unix_timestamp(F.col(ts_col)) >= F.lit(cutoff_epoch)
             )
             new_paths += self._write_data(table, filtered, snap_id)
-        m["snapshots"].append(
-            {
-                "id": snap_id,
-                "paths": new_paths,
-                "ts": time.time(),
-                "summary": {
-                    "retention_cutoff": cutoff_epoch,
-                    "files_dropped": len(dropped),
-                    "files_rewritten": len(straddle),
-                },
+
+        def build(m2: dict) -> dict:
+            m2["snapshots"].append(
+                {
+                    "id": snap_id,
+                    "paths": new_paths,
+                    "ts": time.time(),
+                    "summary": {
+                        "retention_cutoff": cutoff_epoch,
+                        "files_dropped": len(dropped),
+                        "files_rewritten": len(straddle),
+                    },
+                }
+            )
+            m2["current"] = snap_id
+            return {
+                "snapshot": snap_id,
+                "dropped": dropped,
+                "kept": kept,
+                "rewritten": straddle,
             }
-        )
-        m["current"] = snap_id
-        self._commit_manifest(table, m)
-        return {
-            "snapshot": snap_id,
-            "dropped": dropped,
-            "kept": kept,
-            "rewritten": straddle,
-        }
+
+        return self._commit_against(table, base, build)
 
 
 def _footer_min_max(path: str, col_name: str) -> tuple[float | None, float | None]:
