@@ -30,7 +30,10 @@ from opentsdb_rollup_rust_spark.plans.job import (  # noqa: E402
     run_rollup_job,
 )
 from opentsdb_rollup_rust_spark.session import get_spark  # noqa: E402
-from opentsdb_rollup_rust_spark.sources.store import make_store  # noqa: E402
+from opentsdb_rollup_rust_spark.sources.store import (  # noqa: E402
+    ConcurrentCommitError,
+    make_store,
+)
 from opentsdb_rollup_rust_spark.sources.synth import synth_sequences  # noqa: E402
 
 
@@ -70,15 +73,36 @@ def main(argv=None) -> int:
         print(json.dumps({"synthesized": args.synthesize, "snapshot": snap}))
 
     tiers = ("1m", "1h", "1d") if args.tier == "all" else (args.tier,)
+    failures = 0
+
+    def with_retry(label: str, op, attempts: int = 3):
+        """Maintenance ops raise ConcurrentCommitError when another
+        writer (e.g. the streaming sink) advances the table mid-op —
+        the contract is recompute-and-retry, not crash the nightly."""
+        nonlocal failures
+        for attempt in range(attempts):
+            try:
+                return op()
+            except ConcurrentCommitError as e:
+                print(json.dumps({"op": label, "retry": attempt + 1,
+                                  "reason": str(e)}))
+        failures += 1
+        print(json.dumps({"op": label, "error":
+                          f"still conflicting after {attempts} attempts"}))
+        return None
 
     if args.backfill is not None:
         t0, t1 = args.backfill
         for tier in tiers:
-            res = backfill_tier(
-                spark, store, tier, t0, t1,
-                n_buckets=args.buckets, salts=args.salts,
+            res = with_retry(
+                f"backfill:{tier}",
+                lambda tier=tier: backfill_tier(
+                    spark, store, tier, t0, t1,
+                    n_buckets=args.buckets, salts=args.salts,
+                ),
             )
-            print(json.dumps({"backfill_tier": tier, **res}))
+            if res is not None:
+                print(json.dumps({"backfill_tier": tier, **res}))
     else:
         kw = dict(
             n_buckets=args.buckets,
@@ -103,10 +127,14 @@ def main(argv=None) -> int:
         for tier in tiers:
             table = f"rollup_{tier}"
             if store.exists(table):
-                stats = store.compact(
-                    table, sort_within=("series_id", "window_start")
+                stats = with_retry(
+                    f"compact:{table}",
+                    lambda table=table: store.compact(
+                        table, sort_within=("series_id", "window_start")
+                    ),
                 )
-                print(json.dumps({"compact_table": table, **stats}))
+                if stats is not None:
+                    print(json.dumps({"compact_table": table, **stats}))
 
     if args.expire_keep is not None:
         for tier in tiers:
@@ -118,7 +146,7 @@ def main(argv=None) -> int:
                     print(json.dumps({"expire_table": table, **stats}))
 
     spark.stop()
-    return 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -130,10 +130,17 @@ class ManifestStore:
         makes resume exactly-once: the marker and the data are one
         manifest swap.
         """
+        # the (slow) data write happens OUTSIDE the lock — the dir name
+        # is collision-free, and append semantics merge onto whatever
+        # the current snapshot is at commit time, so the lock scope is
+        # the manifest swap only (a streaming micro-batch never waits
+        # behind a long batch write)
+        paths = self._write_data(
+            table, df, self._new_snap_id(self._load_manifest(table))
+        )
         with self._write_lock(table):
             m = self._load_manifest(table)
             snap_id = self._new_snap_id(m)
-            paths = self._write_data(table, df, snap_id)
             prev = self._snapshot_paths(m, m["current"])
             m["snapshots"].append(
                 {
@@ -149,9 +156,16 @@ class ManifestStore:
             return snap_id
 
     def snapshot_summaries(self, table: str) -> list[dict]:
-        return [
-            {"id": s["id"], **s.get("summary", {})}
-            for s in self._load_manifest(table)["snapshots"]
+        """All commit summaries — including those of snapshots whose
+        data files expire_snapshots has reclaimed (retired_summaries):
+        resume markers must outlive the data-file GC."""
+        m = self._load_manifest(table)
+        retired = [
+            {"id": r["id"], **r.get("summary", {})}
+            for r in m.get("retired_summaries", [])
+        ]
+        return retired + [
+            {"id": s["id"], **s.get("summary", {})} for s in m["snapshots"]
         ]
 
     def read_snapshot_delta(self, table: str, snap_id: int) -> DataFrame:
@@ -164,10 +178,12 @@ class ManifestStore:
 
     def overwrite(self, table: str, df: DataFrame) -> int:
         """New snapshot replacing the whole table (retention rewrite)."""
+        paths = self._write_data(
+            table, df, self._new_snap_id(self._load_manifest(table))
+        )
         with self._write_lock(table):
             m = self._load_manifest(table)
             snap_id = self._new_snap_id(m)
-            paths = self._write_data(table, df, snap_id)
             m["snapshots"].append({"id": snap_id, "paths": paths, "ts": time.time()})
             m["current"] = snap_id
             self._commit_manifest(table, m)
@@ -235,20 +251,38 @@ class ManifestStore:
             self._commit_manifest(table, m)
             return out
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
-        """Iceberg ``expire_snapshots`` analogue — the GC half of the
-        snapshot model: compaction / retention / replace_range leave
-        superseded files on disk so older snapshots stay readable;
-        expiry drops all but the newest ``keep_last`` snapshots from
-        the manifest and DELETES every data file referenced only by
-        the expired ones. Files any retained snapshot still references
-        survive (appends share earlier snap directories, so protection
-        is computed at file granularity). Irreversible by design."""
+    def expire_snapshots(
+        self,
+        table: str,
+        keep_last: int = 1,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files``
+        analogue — the GC half of the snapshot model: compaction /
+        retention / replace_range leave superseded files on disk so
+        older snapshots stay readable; expiry drops all but the newest
+        ``keep_last`` snapshots from the manifest and DELETES
+
+          1. every data file referenced only by expired snapshots, and
+          2. ORPHANS — data files under the table dir referenced by NO
+             snapshot at all (conflict-loser writes, crashes between a
+             commit and its deletes) — but only when older than
+             ``orphan_grace_seconds``: an in-flight writer's
+             half-written directory is not referenced yet either, and
+             the age guard is what keeps the sweep from destroying it
+             (Iceberg's remove_orphan_files has the same guard).
+
+        Expired snapshots' SUMMARIES are retained in the manifest
+        (``retired_summaries``): the job's exactly-once resume reads
+        committed-bucket markers from snapshot_summaries(), and GC of
+        data files must never forget which work was committed — losing
+        the markers would double-append entire tiers. Irreversible for
+        the data files by design."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         with self._write_lock(table):
             m = self._load_manifest(table)
-            if m["current"] is None or len(m["snapshots"]) <= keep_last:
+            if m["current"] is None:
                 return {"expired": 0, "deleted_files": 0}
             keep = m["snapshots"][-keep_last:]
             expired = m["snapshots"][:-keep_last]
@@ -259,29 +293,51 @@ class ManifestStore:
             for s in expired:
                 doomed.update(self.expand_files(s["paths"]))
             doomed -= protected
-            # commit the shrunken manifest FIRST (still under the
-            # writer lock): a crash mid-delete leaves unreferenced
-            # files (harmless, re-collectable), never a live snapshot
-            # with missing files
-            m["snapshots"] = keep
-            self._commit_manifest(table, m)
+            retired = [
+                {"id": s["id"], "summary": s["summary"]}
+                for s in expired
+                if s.get("summary")
+            ]
+            if expired:
+                # commit the shrunken manifest FIRST (still under the
+                # writer lock): a crash mid-delete leaves unreferenced
+                # files (orphans, collected by the next expiry's age
+                # sweep), never a live snapshot with missing files
+                m["retired_summaries"] = (
+                    m.get("retired_summaries", []) + retired
+                )
+                m["snapshots"] = keep
+                self._commit_manifest(table, m)
         for f in doomed:
             os.remove(f)
-        # sweep snap directories that hold no parquet anymore and are
-        # not referenced by any retained snapshot (write markers like
-        # _SUCCESS don't keep a dir alive)
+        # orphan collection: age-guarded sweep of data files and snap
+        # directories no snapshot references
+        cutoff = time.time() - orphan_grace_seconds
+        n_orphans = 0
         retained_dirs = {p for s in keep for p in s["paths"]}
         tdir = os.path.join(self.root, table)
-        for entry in os.listdir(tdir):
+        for entry in sorted(os.listdir(tdir)):
             d = os.path.join(tdir, entry)
             if not os.path.isdir(d) or d in retained_dirs:
                 continue
-            if not self.expand_files([d]):  # no data files left
-                for root, _dirs, files in os.walk(d, topdown=False):
-                    for f in files:
-                        os.remove(os.path.join(root, f))
-                    os.rmdir(root)
-        return {"expired": len(expired), "deleted_files": len(doomed)}
+            live = set(self.expand_files([d])) & protected
+            if live:
+                continue  # a retained snapshot references into this dir
+            try:
+                if os.path.getmtime(d) > cutoff:
+                    continue  # possibly an in-flight write — too young
+            except OSError:
+                continue
+            for root, _dirs, files in os.walk(d, topdown=False):
+                for f in files:
+                    n_orphans += f.endswith(".parquet")
+                    os.remove(os.path.join(root, f))
+                os.rmdir(root)
+        return {
+            "expired": len(expired),
+            "deleted_files": len(doomed),
+            "orphans_removed": n_orphans,
+        }
 
     def compact(
         self,
@@ -721,11 +777,23 @@ class IcebergStore:
             "rewritten": [],
         }
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
-        """Snapshot GC via Iceberg's stored procedure (same semantics
-        as ManifestStore.expire_snapshots)."""
+    def expire_snapshots(
+        self,
+        table: str,
+        keep_last: int = 1,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> dict:
+        """Snapshot GC via Iceberg's stored procedure (same result
+        shape as ManifestStore.expire_snapshots; the snapshot count is
+        measured as before-minus-after since the procedure reports
+        files). Iceberg retains snapshot summary metadata through
+        expiry on its own, so resume markers survive here natively.
+        Orphan collection is Iceberg's separate remove_orphan_files
+        procedure with the same age-guard idea; it is not invoked
+        automatically here."""
         from datetime import datetime, timezone
 
+        before = len(self.snapshot_summaries(table))
         now = datetime.now(tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
         row = self.spark.sql(
             f"CALL {self.catalog}.system.expire_snapshots("
@@ -733,9 +801,11 @@ class IcebergStore:
             f"older_than => TIMESTAMP '{now}', "
             f"retain_last => {int(keep_last)})"
         ).collect()[0]
+        after = len(self.snapshot_summaries(table))
         return {
-            "expired": -1,  # Iceberg reports files, not snapshot count
+            "expired": max(0, before - after),
             "deleted_files": int(row["deleted_data_files_count"]),
+            "orphans_removed": 0,
         }
 
     def compact(

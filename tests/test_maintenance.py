@@ -316,3 +316,49 @@ def test_replace_range_conflict_detected(spark, store):
         store._write_data = orig_write
     # the concurrent append survived intact
     assert store.read("rr").count() == 6
+
+
+def test_resume_markers_survive_expiry(spark, store):
+    """THE expiry correctness contract: after expire_snapshots
+    reclaims data files, the job's exactly-once resume markers
+    (committed buckets per source snapshot) must still be visible —
+    otherwise an unchanged-source re-run double-appends the tier."""
+    from opentsdb_rollup_rust_spark.plans.job import run_rollup_job
+
+    store.append("sequences", synth_sequences(spark, 300))
+    r1 = run_rollup_job(spark, store, "1m", n_buckets=4, encode=True)
+    assert r1.buckets_done == [0, 1, 2, 3]
+    rows = store.read("rollup_1m").count()
+
+    # compact then expire everything but the newest snapshot on both
+    # tables — the compaction snapshot carries no resume markers itself
+    store.compact("rollup_1m", sort_within=("series_id", "window_start"))
+    for t in ("rollup_1m", "chunks_1m"):
+        store.expire_snapshots(t, keep_last=1, orphan_grace_seconds=1e9)
+
+    r2 = run_rollup_job(spark, store, "1m", n_buckets=4, encode=True)
+    assert r2.buckets_skipped == [0, 1, 2, 3]
+    assert r2.rows_out == 0
+    assert store.read("rollup_1m").count() == rows  # no duplicates
+
+
+def test_orphan_collection_is_age_guarded(spark, store):
+    """Unreferenced snap dirs (conflict losers / crash strands) are
+    reclaimed only once older than the grace period — a young dir
+    could be an in-flight writer."""
+    store.append("o", synth_sequences(spark, 100).coalesce(1))
+    # fabricate an orphan: a snap dir no snapshot references
+    orphan = os.path.join(store.root, "o", "snap-99-deadbeef")
+    synth_sequences(spark, 10).coalesce(1).write.parquet(orphan)
+
+    # young orphan survives (default 1h grace)
+    store.expire_snapshots("o", keep_last=1)
+    assert os.path.isdir(orphan)
+
+    # aged orphan is collected
+    old = 1_000_000_000
+    os.utime(orphan, (old, old))
+    stats = store.expire_snapshots("o", keep_last=1)
+    assert stats["orphans_removed"] > 0
+    assert not os.path.exists(orphan)
+    assert store.read("o").count() == 100  # live data untouched
