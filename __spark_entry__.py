@@ -298,6 +298,37 @@ def _q_tok_topk(spark, sf_dir):
     ).filter(F.col("rank") <= 10)
 
 
+def _q_agg_dev(spark, sf_dir):
+    """A13: OpenTSDB `dev` aggregator ([OTSDB-AGG]) — per-series
+    hourly population standard deviation, computed from the two
+    integer power sums (n, sum x, sum x^2) so the radicand
+    n*sxx - sx^2 is EXACT int64 in both engines; the final
+    sqrt(radicand)/n is one deterministic IEEE double expression,
+    quantized 1e-6. This is also the decomposable form a rollup tier
+    would store to make dev re-aggregable (sum/sumsq/count merge
+    across windows; plain dev values do not)."""
+    pts = _event_points(spark, sf_dir)
+    from opentsdb_rollup_rust_spark.functions.timeutil import time_bucket_epoch
+
+    g = pts.groupBy(
+        "series_id", time_bucket_epoch("ts", 3600).alias("w_start")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    radicand = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dev = F.sqrt(radicand) / F.col("n").cast("double")
+    return g.select(
+        "series_id",
+        "w_start",
+        "n",
+        F.floor(dev * F.lit(1_000_000)).cast("long").alias("dev_q"),
+    )
+
+
 def _q_agg_interp(spark, sf_dir):
     """A12: cross-series aggregation with LINEAR INTERPOLATION at
     missing windows — OpenTSDB's query-time aggregation rule
@@ -858,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": _q_agg_salted,
         "agg_distinct": _q_agg_distinct,
         "agg_first_last": _q_agg_first_last,
+        "agg_dev": _q_agg_dev,
         "agg_interp": _q_agg_interp,
         "agg_percentile": _q_agg_percentile,
         "agg_rollup_sets": _q_agg_rollup_sets,
@@ -1080,6 +1112,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT series_id, w_start,
                    s - lag(s) OVER (PARTITION BY series_id ORDER BY w_start) AS delta_sum
             FROM r""",
+        "agg_dev": f"""{_PTS_CTE}
+            SELECT series_id,
+                   CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                   count(*)::BIGINT AS n,
+                   CAST(FLOOR(1000000 * (sqrt((count(*)::BIGINT * sum(value*value)::BIGINT
+                              - sum(value)::BIGINT * sum(value)::BIGINT)::DOUBLE)
+                        / count(*)::DOUBLE)) AS BIGINT) AS dev_q
+            FROM pts GROUP BY 1, 2""",
         "agg_interp": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
