@@ -150,7 +150,11 @@ def main() -> None:
         try:
             # best-of-reps: the first execution pays query-specific
             # one-time costs (python worker spin-up, codec/JSON parser
-            # init, stage JIT) that say nothing about the plan
+            # init, stage JIT) that say nothing about the plan.
+            # Explicit GC first: garbage accumulated by EARLIER queries
+            # otherwise lands as a collector pause inside a later
+            # query's reps (measured: 1.1s query reading 3.9s mid-sweep)
+            spark.sparkContext._jvm.System.gc()
             runs = []
             for _ in range(q_reps):
                 t0 = time.monotonic()
