@@ -121,22 +121,39 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
     return out
 
 
-def lsh_bucket(qe: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Random-hyperplane LSH bucket id in [0, 2^n_planes): bit p set
-    iff dot(qe, w_p) >= 0. Weights are compile-time literals — the
-    whole bucket id is one codegen'd expression, no shuffle."""
+def with_lsh_bucket(
+    prepared: DataFrame, dim: int, n_planes: int = N_PLANES
+) -> DataFrame:
+    """prepared + a `bucket` column: random-hyperplane LSH bucket id
+    in [0, 2^n_planes), bit p set iff dot(qe, w_p) >= 0. The plane
+    matrix is staged as broadcast DATA, not inlined literals — the
+    same Catalyst-analysis-cost fix as banded_table_keys (an 8x64
+    literal+HOF tree costs ~1-2s of analysis per fresh query call,
+    dwarfing its evaluation)."""
+    spark = prepared.sparkSession
     ws = hyperplane_weights(n_planes, dim)
-    terms = []
-    for p, row in enumerate(ws):
-        warr = F.array(*[F.lit(v).cast("long") for v in row])
-        d = int_dot(qe, warr)
-        terms.append(
-            F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    wdf = F.broadcast(
+        spark.createDataFrame([(ws,)], "W: array<array<bigint>>")
+    )
+    bitv = F.transform(
+        F.transform(F.col("W"), lambda w: int_dot(F.col("qe"), w)),
+        lambda d, j: F.when(
+            d >= 0,
+            F.element_at(
+                F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)]),
+                j + F.lit(1).cast("int"),
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    bucket = F.aggregate(
+        F.col("_bitv"), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return (
+        prepared.crossJoin(wdf)
+        .withColumn("_bitv", bitv)
+        .withColumn("bucket", bucket)
+        .drop("W", "_bitv")
+    )
 
 
 def exact_rerank_topk(cand: DataFrame, prepared: DataFrame, k: int) -> DataFrame:
@@ -427,9 +444,7 @@ def embedding_near_dup_pairs(
     cosine >= min_cos_q/1e6, found via the LSH bucket equi-join.
     Near-identical vectors land in the same bucket with probability
     ~(1 - theta/pi)^n_planes ~ 1 for tiny angles."""
-    prepared = _prepared(embeddings, emb_col).withColumn(
-        "bucket", lsh_bucket(F.col("qe"), dim, n_planes)
-    )
+    prepared = with_lsh_bucket(_prepared(embeddings, emb_col), dim, n_planes)
     a = prepared.select(
         F.col("vec_id").alias("vec_a"),
         F.col("qe").alias("qe_a"),
