@@ -592,8 +592,17 @@ def _q_join_range(spark, sf_dir):
     """Range join via hour-bucketization: pairs of events of different
     types within 1 hour (b in [a.ts, a.ts+1h)). The explode of
     [bucket, bucket+1] turns a quadratic theta-join into an equi-join
-    on the bucket plus a residual range filter."""
-    pts = _event_points(spark, sf_dir)
+    on the bucket plus a residual range filter.
+
+    The probe side is explicitly spread first: the small build side
+    auto-broadcasts, so WITHOUT a repartition the quadratic pair
+    volume runs at the parquet scan's parallelism — the single-file
+    testdata put a 5.8s single-task stage on the wire (event-log
+    forensics); at scale the same applies whenever the scan has fewer
+    splits than cores."""
+    pts = _event_points(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     a = pts.select(
         F.col("series_id").alias("a_series"),
         F.col("ts").alias("a_ts"),
