@@ -260,9 +260,14 @@ def _q_rollup_fused(spark, sf_dir):
 def _q_pack_materialize(spark, sf_dir):
     """K1 end-to-end: concat-and-chunk packing of the md5-token
     sequences, then chunk materialization — the actual packed context
-    windows (chunk_id, tokens, n_tok). Token arrays cross exactly one
-    shuffle (the gather join on doc_id); the packing plan itself moves
-    lengths only."""
+    windows. Token arrays cross exactly one shuffle (the gather join on
+    doc_id); the packing plan itself moves lengths only.
+
+    The registered output projects the token array to a deterministic
+    per-chunk checksum (chunk_id, n_tok, tok_md5) — the driver's pandas
+    canonicalizer cannot hash array cells (CORRECTNESS_r02 ERR), so the
+    array itself is pinned by tests/test_packing.py while the driver
+    gate value-checks the md5 of its exact contents."""
     from opentsdb_rollup_rust_spark.pipeline.packing import (
         concat_pack_spans,
         materialize_chunks,
@@ -274,7 +279,14 @@ def _q_pack_materialize(spark, sf_dir):
         capacity=64,
         bucket_expr=F.floor(F.col("doc_id") / F.lit(128)).cast("long"),
     )
-    return materialize_chunks(spans, seqs)
+    chunks = materialize_chunks(spans, seqs)
+    return chunks.select(
+        "chunk_id",
+        "n_tok",
+        F.md5(
+            F.array_join(F.transform("tokens", lambda x: x.cast("string")), ",")
+        ).alias("tok_md5"),
+    )
 
 
 def _q_tok_topk(spark, sf_dir):
@@ -942,6 +954,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     qs.update(PIPELINE_QUERIES)
 
+    # The driver gate samples 50 of the registered queries preserving
+    # dict order; these keys never landed in CORRECTNESS_r01/r02, so
+    # they go first until every operator has a green driver row
+    # (round-2 VERDICT task #2).
+    front = [
+        "ann_topk",
+        "ann_lsh",
+        "ann_ivf",
+        "dedup_embed",
+        "mm_features",
+        "pack_concat",
+        "pack_greedy",
+        "pipeline_clean",
+        "pack_materialize",
+    ]
+    qs = {k: qs[k] for k in front} | {
+        k: v for k, v in qs.items() if k not in front
+    }
+
     def _pinned(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             pin_session_conf(spark)
@@ -1028,8 +1059,9 @@ def oracle_sql() -> dict[str, str]:
                                AS piece
                       FROM s)
             SELECT chunk_id,
-                   flatten(list(piece ORDER BY chunk_pos)) AS tokens,
-                   len(flatten(list(piece ORDER BY chunk_pos)))::BIGINT AS n_tok
+                   len(flatten(list(piece ORDER BY chunk_pos)))::BIGINT AS n_tok,
+                   md5(array_to_string(flatten(list(piece ORDER BY chunk_pos)), ','))
+                     AS tok_md5
             FROM spans GROUP BY chunk_id""",
         "tok_topk": """
             WITH seqs AS (
