@@ -880,21 +880,37 @@ def _q_codec_stats(spark, sf_dir):
 
 def _q_udaf_hist(spark, sf_dir):
     """A10: grouped-map pandas UDAF — per-source histogram of document
-    lengths (bucket = 200 chars). The oracle reproduces it in SQL, so
-    the Arrow grouped-map path itself is value-checked."""
+    lengths (bucket = 200 chars). Two-phase since r3: the histogram
+    counts collapse JVM-side (partial-agg'd groupBy — the scan never
+    reaches Python), and the grouped-map runs over the PRE-AGGREGATED
+    (source, bucket, n) rows, so each pandas group is bounded by
+    |buckets|, not |rows|. Round-2's single-phase form materialized an
+    entire source's rows in one pandas frame — parallelism = |sources|
+    and an executor OOM at 100 TB (r2 VERDICT "What's wrong" #3). The
+    oracle reproduces the result in SQL, so the Arrow grouped-map path
+    itself stays value-checked."""
     import pandas as pd
 
-    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    pre = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            "source",
+            F.floor(F.col("n_chars") / F.lit(200)).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
 
-    def hist(pdf: pd.DataFrame) -> pd.DataFrame:
-        b = (pdf["n_chars"] // 200).astype("int64")
-        out = b.value_counts().sort_index().reset_index()
-        out.columns = ["bucket", "n"]
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        # bounded by |buckets| rows per source; the pandas stage is the
+        # A10 demo surface (merge partial histograms, order buckets)
+        out = (
+            pdf.groupby("bucket", as_index=False)["n"].sum().sort_values("bucket")
+        )
         out.insert(0, "source", pdf["source"].iloc[0])
-        return out
+        return out[["source", "bucket", "n"]]
 
-    return d.groupBy("source").applyInPandas(
-        hist, "source string, bucket long, n long"
+    return pre.groupBy("source").applyInPandas(
+        finish, "source string, bucket long, n long"
     )
 
 

@@ -140,30 +140,50 @@ def main() -> None:
     r1m.unpersist()
 
     # ---------------- per-query walls at sf_dir ----------------
+    # Interleaved multi-pass sweep (round-2 VERDICT task #7): a single
+    # in-order pass showed per-query swings up to 10x vs standalone —
+    # transient box/JVM pressure (collector pauses, async shuffle
+    # cleanup, host-level kernel-time bursts) lands on whichever query
+    # is executing, and back-to-back reps both eat the same burst.
+    # Running the WHOLE sweep twice and taking the per-query min across
+    # passes decorrelates query identity from sweep position; pass 1
+    # additionally absorbs every one-time cost (python worker spin-up,
+    # Catalyst analysis, stage JIT), so pass 2 measures the warm plan.
     only = os.environ.get("BENCH_QUERIES")
     only_set = set(only.split(",")) if only else None
-    q_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
+    q_reps = int(os.environ.get("BENCH_QUERY_REPS", "1"))
+    q_passes = int(os.environ.get("BENCH_QUERY_PASSES", "2"))
+    samples: dict[str, list[float]] = {}
+    for _pass in range(q_passes):
+        for name, fn in E.queries().items():
+            if only_set and name not in only_set:
+                continue
+            try:
+                # Explicit GC first: garbage accumulated by EARLIER
+                # queries otherwise lands as a collector pause inside a
+                # later query's reps (measured: 1.1s query reading 3.9s
+                # mid-sweep)
+                spark.sparkContext._jvm.System.gc()
+                for _ in range(q_reps):
+                    t0 = time.monotonic()
+                    _sink(fn(spark, sf_dir))
+                    samples.setdefault(name, []).append(
+                        time.monotonic() - t0
+                    )
+            except Exception as exc:  # failing query must not kill bench
+                samples.setdefault(name, []).append(-1.0)
+                print(f"bench: query {name} failed: {exc}", file=sys.stderr)
     qtimes: dict[str, float] = {}
-    for name, fn in E.queries().items():
-        if only_set and name not in only_set:
-            continue
-        try:
-            # best-of-reps: the first execution pays query-specific
-            # one-time costs (python worker spin-up, codec/JSON parser
-            # init, stage JIT) that say nothing about the plan.
-            # Explicit GC first: garbage accumulated by EARLIER queries
-            # otherwise lands as a collector pause inside a later
-            # query's reps (measured: 1.1s query reading 3.9s mid-sweep)
-            spark.sparkContext._jvm.System.gc()
-            runs = []
-            for _ in range(q_reps):
-                t0 = time.monotonic()
-                _sink(fn(spark, sf_dir))
-                runs.append(time.monotonic() - t0)
-            qtimes[name] = round(min(runs), 3)
-        except Exception as exc:  # a failing query must not kill the bench
+    for name, runs in samples.items():
+        if any(r < 0 for r in runs):
             qtimes[name] = -1.0
-            print(f"bench: query {name} failed: {exc}", file=sys.stderr)
+            continue
+        qtimes[name] = round(min(runs), 3)
+        if len(runs) > 1 and max(runs) > 1.5 * max(min(runs), 0.05):
+            print(
+                f"bench: unstable {name}: passes {[round(r, 2) for r in runs]}",
+                file=sys.stderr,
+            )
 
     out = {
         "metric": "tier_pipeline_wall",

@@ -236,12 +236,20 @@ def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
     return out
 
 
+#: band-bucket population cap for simhash_pairs — same guard as
+#: similarity.LSH_MAX_BUCKET: a bucket of B members contributes B^2/2
+#: candidate pairs, so one degenerate band key (boilerplate-heavy
+#: shard hashing to the same 15-bit band) is quadratic death at scale.
+SIMHASH_MAX_BUCKET = 4096
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = SIMHASH_BITS,
     bands: int = SIMHASH_BANDS,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one
     (bits/bands)-bit band (pigeonhole: hamming <= bands-1 guarantees a
@@ -251,7 +259,15 @@ def simhash_pairs(
     band, so candidate sets stay selective well past 10^6 docs (the
     round-1 32-bit/8-bit-band geometry went quadratic at ~10^5). Pairs
     with hamming in (bands-1, max_hamming] are found best-effort via
-    band collisions — the standard SimHash-LSH recall trade."""
+    band collisions — the standard SimHash-LSH recall trade.
+
+    ``max_bucket`` drops degenerate hot band buckets BEFORE the
+    self-join (mirrored in the DuckDB oracle, as ann_lsh does) — the
+    guard is a count aggregation over the same banded subtree the join
+    probes, so ReuseExchange computes the banding once. Pair dedup
+    happens on the candidate ids BEFORE the hamming verify (a pair
+    sharing several bands is verified once), replacing round-2's
+    terminal .distinct() that shuffled the full verified pair set."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     # staged: shingles -> hashes -> bit sums (see _shingled for why)
@@ -278,18 +294,32 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    safe = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket)
+        .select("band", "key")
+    )
+    guarded = banded.join(safe, ["band", "key"])
+    a, b = guarded.alias("a"), guarded.alias("b")
+    cand = (
         a.join(b, ["band", "key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
+            F.col("a.sh").alias("sh_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+            F.col("b.sh").alias("sh_b"),
         )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+        # sh_* are functionally dependent on the ids — dedup on ids
+        # only, before paying the hamming verify per surviving pair
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
 
 
 DEFAULT_MAX_DF = 20

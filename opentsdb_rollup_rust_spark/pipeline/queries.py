@@ -19,6 +19,7 @@ from .dedup import (
     MINHASH_P,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    SIMHASH_MAX_BUCKET,
     _mh_perm_consts,
     exact_dup_clusters,
     minhash_lsh_pairs,
@@ -480,10 +481,13 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         sim AS (SELECT doc_id, sum(bit)::BIGINT AS sh2 FROM bits GROUP BY 1),
         banded AS (SELECT doc_id, sh2, b AS band,
                           (sh2 >> (b * {_SH_BAND_BITS})) & {_SH_MASK} AS key
-                   FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b))
+                   FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS b)),
+        safe AS (SELECT band, key FROM banded GROUP BY band, key
+                 HAVING count(*) <= {SIMHASH_MAX_BUCKET}),
+        guarded AS (SELECT banded.* FROM banded JOIN safe USING (band, key))
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.sh2, b.sh2))::BIGINT AS hamming
-        FROM banded a JOIN banded b
+        FROM guarded a JOIN guarded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sh2, b.sh2)) <= 7""",
     "dedup_jaccard": f"""WITH {_SHINGLES},
