@@ -75,6 +75,14 @@ def main() -> None:
         encode_chunks,
     )
 
+    # Heap scales with the core count (2 g/core, override with
+    # SPARK_GRAFT_MEM_PER_CORE_GB): a real N -> 4N-executor step brings
+    # 4x the aggregate heap, so holding one fixed heap across both
+    # parallelism levels (r1/r2 protocol: 24g at local[8] AND local[32])
+    # under-provisions the 4N level — measured at local[32]: GC was
+    # 14.6% of heavy-stage task time at 24g vs 17.3s -> 14.8s/rep going
+    # to 64g. Constant heap-per-core is the cluster-honest proxy.
+    gb_per_core = int(os.environ.get("SPARK_GRAFT_MEM_PER_CORE_GB", "2"))
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -85,6 +93,7 @@ def main() -> None:
             # SSD shuffle dirs (the virtio root disk's writeback
             # throttling otherwise injects multi-second stalls)
             "spark.local.dir": "/dev/shm/spark-tmp",
+            "spark.driver.memory": f"{gb_per_core * cpus}g",
         },
     )
 

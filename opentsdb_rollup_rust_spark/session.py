@@ -39,11 +39,16 @@ def get_spark(
     # a large max heap makes the collector thrash/grow instead of
     # collecting lazily — measured 10-14x slower scans, and heap-growth
     # full GCs kept local[32] from reaching steady state for ~7 reps.
-    # ParallelGC for batch throughput. On a cluster apply the same via
-    # spark.executor.extraJavaOptions.
+    # G1GC (r3; replaces r1's ParallelGC pick): stage forensics on the
+    # 24M-seq pipeline showed GC was 14.6% of task time at local[32]
+    # under ParallelGC (3.4x the local[8] share — stop-the-world pauses
+    # scale badly with worker threads); G1 at the same heap measured
+    # 14.8 -> 13.4s/rep at local[32] AND 43.2 -> 40.9s at local[8], so
+    # it is faster at every level, not a scaling-ratio trick. On a
+    # cluster apply the same via spark.executor.extraJavaOptions.
     java_opts = os.environ.get(
         "SPARK_DRIVER_JAVA_OPTS",
-        f"-XX:+UseParallelGC -Xms{mem}" if mem.endswith("g") else "-XX:+UseParallelGC",
+        f"-XX:+UseG1GC -Xms{mem}" if mem.endswith("g") else "-XX:+UseG1GC",
     )
 
     b = (

@@ -26,6 +26,7 @@ import os
 import time
 import uuid
 from contextlib import contextmanager
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -308,8 +309,13 @@ class ManifestStore:
                 )
                 m["snapshots"] = keep
                 self._commit_manifest(table, m)
+        # Deletions happen OUTSIDE the writer lock, so a concurrent
+        # expire (or a crash-retry overlapping a prior half-finished
+        # sweep) can race on the same files: deletion must be
+        # idempotent — missing file/dir means the other GC got there
+        # first, which is success, not failure.
         for f in doomed:
-            os.remove(f)
+            Path(f).unlink(missing_ok=True)
         # orphan collection: age-guarded sweep of data files and snap
         # directories no snapshot references
         cutoff = time.time() - orphan_grace_seconds
@@ -327,12 +333,15 @@ class ManifestStore:
                 if os.path.getmtime(d) > cutoff:
                     continue  # possibly an in-flight write — too young
             except OSError:
-                continue
+                continue  # vanished under a concurrent sweep
             for root, _dirs, files in os.walk(d, topdown=False):
                 for f in files:
                     n_orphans += f.endswith(".parquet")
-                    os.remove(os.path.join(root, f))
-                os.rmdir(root)
+                    Path(root, f).unlink(missing_ok=True)
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass  # concurrent sweep removed it / not yet empty
         return {
             "expired": len(expired),
             "deleted_files": len(doomed),
@@ -783,18 +792,21 @@ class IcebergStore:
         keep_last: int = 1,
         orphan_grace_seconds: float = 3600.0,
     ) -> dict:
-        """Snapshot GC via Iceberg's stored procedure (same result
+        """Snapshot GC via Iceberg's stored procedures (same result
         shape as ManifestStore.expire_snapshots; the snapshot count is
         measured as before-minus-after since the procedure reports
         files). Iceberg retains snapshot summary metadata through
         expiry on its own, so resume markers survive here natively.
-        Orphan collection is Iceberg's separate remove_orphan_files
-        procedure with the same age-guard idea; it is not invoked
-        automatically here."""
-        from datetime import datetime, timezone
+        Orphan collection runs as Iceberg's separate
+        remove_orphan_files procedure with the same
+        ``orphan_grace_seconds`` age guard the manifest backend applies
+        — both backends honor the parameter identically behind the
+        make_store surface."""
+        from datetime import datetime, timedelta, timezone
 
         before = len(self.snapshot_summaries(table))
-        now = datetime.now(tz=timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        now_dt = datetime.now(tz=timezone.utc)
+        now = now_dt.strftime("%Y-%m-%d %H:%M:%S")
         row = self.spark.sql(
             f"CALL {self.catalog}.system.expire_snapshots("
             f"table => '{self.namespace}.{table}', "
@@ -802,10 +814,18 @@ class IcebergStore:
             f"retain_last => {int(keep_last)})"
         ).collect()[0]
         after = len(self.snapshot_summaries(table))
+        orphan_cutoff = (
+            now_dt - timedelta(seconds=orphan_grace_seconds)
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        orow = self.spark.sql(
+            f"CALL {self.catalog}.system.remove_orphan_files("
+            f"table => '{self.namespace}.{table}', "
+            f"older_than => TIMESTAMP '{orphan_cutoff}')"
+        ).collect()
         return {
             "expired": max(0, before - after),
             "deleted_files": int(row["deleted_data_files_count"]),
-            "orphans_removed": 0,
+            "orphans_removed": len(orow),
         }
 
     def compact(

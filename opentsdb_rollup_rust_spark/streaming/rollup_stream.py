@@ -25,6 +25,8 @@ same partial+final hash agg Catalyst uses in batch.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -265,35 +267,76 @@ def stateful_forward_fill_tws(rollup_rows: DataFrame, interval: str) -> DataFram
     )
 
 
-def latest_stream_batch(store, table: str) -> int:
+def latest_stream_batch(store, table: str, stream_id: str | None = None) -> int:
     """Highest stream batch id recorded in the table's snapshot
-    summaries, -1 if none."""
+    summaries, -1 if none.
+
+    ``stream_id`` scopes the high-water mark to one checkpoint
+    identity: Structured Streaming batch ids restart at 0 whenever a
+    checkpoint directory is deleted/recreated, so comparing a fresh
+    checkpoint's ids against another checkpoint's mark would silently
+    skip every new micro-batch as a "replay" (data loss). With
+    ``stream_id=None`` the mark spans all commits (legacy behavior for
+    callers managing a single checkpoint's lifetime themselves)."""
     ids = [
         s["stream_batch_id"]
         for s in store.snapshot_summaries(table)
         if s.get("stream_batch_id") is not None
+        and (stream_id is None or s.get("stream_id") == stream_id)
     ]
     return max(ids) if ids else -1
 
 
 def commit_stream_batch(
-    store, table: str, df: DataFrame, batch_id: int, max_seen: int | None = None
+    store,
+    table: str,
+    df: DataFrame,
+    batch_id: int,
+    max_seen: int | None = None,
+    stream_id: str | None = None,
 ) -> bool:
     """The sink's exactly-once guard: append ``df`` with the stream
     batch id recorded atomically in the snapshot summary, UNLESS the
     id is already committed (crash between sink write and checkpoint
     commit -> Structured Streaming replays the batch). Micro-batch ids
     are monotonically increasing per checkpoint, so 'already committed'
-    is batch_id <= the highest recorded id; callers on a hot loop pass
+    is batch_id <= the highest recorded id FOR THIS CHECKPOINT IDENTITY
+    (``stream_id`` — see latest_stream_batch for why replay detection
+    must not cross checkpoint generations); callers on a hot loop pass
     ``max_seen`` (cached once per query start) to keep the check O(1)
     per batch instead of re-reading all summaries. Returns True if the
     batch was committed, False if skipped."""
     if max_seen is None:
-        max_seen = latest_stream_batch(store, table)
+        max_seen = latest_stream_batch(store, table, stream_id)
     if batch_id <= max_seen:
         return False
-    store.append(table, df, summary={"stream_batch_id": batch_id})
+    summary = {"stream_batch_id": batch_id}
+    if stream_id is not None:
+        summary["stream_id"] = stream_id
+    store.append(table, df, summary=summary)
     return True
+
+
+def _checkpoint_stream_id(checkpoint: str) -> str:
+    """Stable identity for one checkpoint-directory GENERATION: a uuid
+    minted on first use and persisted as a sidecar file inside the
+    checkpoint dir. Deleting/recreating the checkpoint (which resets
+    Structured Streaming's batch ids to 0) also deletes the sidecar,
+    so the new generation gets a fresh identity and its batches are
+    never mistaken for replays of the old one."""
+    import uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    sidecar = os.path.join(checkpoint, "stream_identity.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)["stream_id"]
+    sid = uuid.uuid4().hex
+    tmp = f"{sidecar}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"stream_id": sid}, f)
+    os.replace(tmp, sidecar)
+    return sid
 
 
 def stream_rollup_to_store(
@@ -325,11 +368,17 @@ def stream_rollup_to_store(
     # The highest committed batch id is read ONCE at query start and
     # advanced in-memory — only a restart's first batch can be a
     # replay, so per-batch summary scans (O(batches^2) over a stream's
-    # lifetime) buy nothing.
-    state = {"max": latest_stream_batch(store, table)}
+    # lifetime) buy nothing. The mark is scoped to this checkpoint
+    # GENERATION's identity: a recreated checkpoint restarts batch ids
+    # at 0, and comparing those against an older generation's mark
+    # would silently drop every new batch as a "replay".
+    stream_id = _checkpoint_stream_id(checkpoint)
+    state = {"max": latest_stream_batch(store, table, stream_id)}
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        if commit_stream_batch(store, table, df, batch_id, state["max"]):
+        if commit_stream_batch(
+            store, table, df, batch_id, state["max"], stream_id
+        ):
             state["max"] = batch_id
 
     q = (

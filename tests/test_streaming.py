@@ -164,6 +164,46 @@ def test_stream_to_store_exactly_once(spark, points, points_dir, tmp_path):
     assert len(store.snapshot_summaries("rollup_stream_1h")) == snaps1 + 1
 
 
+def test_stream_checkpoint_regeneration_not_mistaken_for_replay(spark, tmp_path):
+    """A deleted/recreated checkpoint restarts Structured Streaming's
+    batch ids at 0; the sink guard scopes its replay high-water mark to
+    the checkpoint GENERATION (stream_id sidecar), so the new
+    generation's batch 0 commits instead of being silently skipped
+    against the old generation's mark — the data-loss mode the
+    unscoped guard had."""
+    from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        _checkpoint_stream_id,
+        commit_stream_batch,
+        latest_stream_batch,
+    )
+
+    store = ManifestStore(spark, str(tmp_path / "sstore2"))
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    ckpt = tmp_path / "ckpt2"
+
+    gen1 = _checkpoint_stream_id(str(ckpt))
+    # same directory, stable identity
+    assert _checkpoint_stream_id(str(ckpt)) == gen1
+    for b in (0, 1, 2):
+        assert commit_stream_batch(store, "t", df, b, stream_id=gen1) is True
+    # replay within the generation is refused
+    assert commit_stream_batch(store, "t", df, 1, stream_id=gen1) is False
+
+    # checkpoint deleted + recreated -> new identity, batch ids restart
+    import shutil
+
+    shutil.rmtree(ckpt)
+    gen2 = _checkpoint_stream_id(str(ckpt))
+    assert gen2 != gen1
+    assert latest_stream_batch(store, "t", gen2) == -1
+    n_before = store.read("t").count()
+    assert commit_stream_batch(store, "t", df, 0, stream_id=gen2) is True
+    assert store.read("t").count() == n_before + 3
+    # the unscoped (legacy) mark still spans every commit
+    assert latest_stream_batch(store, "t") == 2
+
+
 def test_stateful_forward_fill_tws_parity(spark, tmp_path):
     """ST6 == ST4: the transformWithState (Spark 4 StatefulProcessor +
     RocksDB state store) forward-fill produces the identical output to
