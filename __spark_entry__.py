@@ -31,6 +31,9 @@ from opentsdb_rollup_rust_spark.operators.rollup import (
     cascade_reagg,
     derived_avg,
     fused_tier_rollup,
+    histogram_cascade,
+    histogram_rollup,
+    percentile_from_histogram,
     preaggregate,
     tumbling_rollup,
 )
@@ -137,6 +140,26 @@ def _q_rollup_1h(spark, sf_dir):
 def _q_rollup_1d(spark, sf_dir):
     r1m = tumbling_rollup(_event_points(spark, sf_dir), "1m")
     return _rollup_out(cascade_reagg(cascade_reagg(r1m, "1h"), "1d"))
+
+
+def _q_hist_rollup(spark, sf_dir):
+    """A14 via the cascade: 1h histogram tier re-aggregated from the
+    1m tier. The oracle computes the 1h histogram DIRECTLY from raw
+    points, so the value-hash match proves bucket counts cascade
+    exactly (the property that makes tiered percentiles possible)."""
+    h1m = histogram_rollup(_event_points(spark, sf_dir), "1m")
+    h1h = histogram_cascade(h1m, "1h")
+    return h1h.select("series_id", _epoch(), "interval", "bucket", "n")
+
+
+def _q_hist_percentile(spark, sf_dir):
+    """A15: read-time p95 estimate from the 1h histogram tier —
+    integer threshold arithmetic (DIV) so the bucket pick is exact in
+    both engines; window functions run over <=64 histogram rows per
+    (series, window), never raw points."""
+    h1h = histogram_rollup(_event_points(spark, sf_dir), "1h")
+    p = percentile_from_histogram(h1h, 950)
+    return p.select("series_id", _epoch(), "bucket", "est_max", "total")
 
 
 def _q_avg_derived(spark, sf_dir):
@@ -921,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
         "rollup_1d": _q_rollup_1d,
+        "hist_rollup": _q_hist_rollup,
+        "hist_percentile": _q_hist_percentile,
         "avg_derived": _q_avg_derived,
         "preagg_source": _q_preagg_source,
         "agg_salted": _q_agg_salted,
@@ -984,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy",
         "pipeline_clean",
         "pack_materialize",
+        "hist_rollup",
+        "hist_percentile",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front
@@ -1096,6 +1123,38 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _rollup_sql(60, "1m"),
         "rollup_1h": _rollup_sql(3600, "1h"),
         "rollup_1d": _rollup_sql(86400, "1d"),
+        # direct-from-raw 1h histogram: a hash match against the Spark
+        # side's 1m->1h cascade proves bucket counts re-aggregate exactly
+        "hist_rollup": f"""{_PTS_CTE}
+            SELECT series_id,
+                   CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                   '1h' AS "interval",
+                   (CASE WHEN value = 0 THEN 0
+                         WHEN value > 0 THEN length(bin(value))
+                         ELSE -1 END)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n
+            FROM pts GROUP BY 1, 2, 4""",
+        "hist_percentile": f"""{_PTS_CTE},
+            h AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         (CASE WHEN value = 0 THEN 0
+                               WHEN value > 0 THEN length(bin(value))
+                               ELSE -1 END)::BIGINT AS bucket,
+                         count(*)::BIGINT AS n
+                  FROM pts GROUP BY 1, 2, 3),
+            c AS (SELECT series_id, w_start, bucket, n,
+                         sum(n) OVER (PARTITION BY series_id, w_start
+                                      ORDER BY bucket
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+                         sum(n) OVER (PARTITION BY series_id, w_start)
+                           AS total
+                  FROM h)
+            SELECT series_id, w_start, min(bucket) AS bucket,
+                   CAST(power(2, min(bucket)) AS BIGINT) - 1 AS est_max,
+                   min(total) AS total
+            FROM c WHERE cum >= (total * 950 + 999) // 1000
+            GROUP BY 1, 2""",
         "avg_derived": f"""{_PTS_CTE}
             SELECT series_id,
                    CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,

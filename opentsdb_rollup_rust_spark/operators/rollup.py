@@ -198,3 +198,125 @@ def preaggregate(rollup: DataFrame, group_expr) -> DataFrame:
             F.max("max").alias("max"),
         )
     )
+
+
+# --------------------------------------------------- histogram tier (A14/A15)
+
+def value_bucket(value) -> "F.Column":
+    """Power-of-two (msb) histogram bucket, exact in every engine:
+
+      0          -> bucket 0
+      v > 0      -> bucket = bit-length of v (length(bin(v))), i.e.
+                    bucket k covers [2^(k-1), 2^k - 1]
+      v < 0      -> bucket -1 (single underflow bucket; avoids the
+                    -Long.MIN overflow an abs()-based msb would hit
+                    under ANSI mode)
+
+    String-length-of-binary is used instead of floor(log2(v)) because
+    it is integer-exact — no libm rounding at power-of-two boundaries —
+    and both Spark (``bin``) and DuckDB (``bin``) produce the same
+    minimal binary string for non-negative int64."""
+    v = F.col(value) if isinstance(value, str) else value
+    return (
+        F.when(v == 0, F.lit(0))
+        .when(v > 0, F.length(F.bin(v)))
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+
+
+def histogram_rollup(points: DataFrame, interval: str) -> DataFrame:
+    """A14: re-aggregable value-distribution tier — per (series,
+    window, msb bucket) point counts.
+
+    This is how tiered percentiles work at scale: exact per-window
+    percentiles (A9) are NOT decomposable — p95(1h) cannot be derived
+    from twelve p95(5m) values — but bucket counts are plain sums, so
+    the histogram cascades 1m -> 1h -> 1d exactly like sum/count
+    (histogram_cascade), and any quantile is answerable at read time
+    from any tier with bounded relative error (one power of two; the
+    OpenTSDB histogram / Prometheus native-histogram design). Output
+    rows are |series x windows x <=64 buckets| — the bucket dimension
+    is a small constant factor on the tier size."""
+    sec = INTERVAL_SECONDS[interval]
+    return (
+        points.groupBy(
+            "series_id",
+            time_bucket("ts", sec).alias("window_start"),
+            value_bucket("value").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "series_id",
+            "window_start",
+            F.lit(interval).alias("interval"),
+            "bucket",
+            "n",
+        )
+    )
+
+
+def histogram_cascade(hist: DataFrame, interval: str) -> DataFrame:
+    """A14 cascade: coarser histogram tier from a finer one — counts
+    re-add per bucket. cascade(direct_1m) == direct-at-coarser exactly
+    (same decomposability argument as A2; golden + oracle-checked)."""
+    sec = INTERVAL_SECONDS[interval]
+    return (
+        hist.groupBy(
+            "series_id",
+            time_bucket("window_start", sec).alias("window_start"),
+            "bucket",
+        )
+        .agg(F.sum("n").alias("n"))
+        .select(
+            "series_id",
+            "window_start",
+            F.lit(interval).alias("interval"),
+            "bucket",
+            "n",
+        )
+    )
+
+
+def percentile_from_histogram(hist: DataFrame, q_permille: int) -> DataFrame:
+    """A15: read-time quantile estimate from a histogram tier.
+
+    Per (series, window): the smallest bucket whose cumulative count
+    reaches ceil(total * q/1000) — all integer arithmetic (DIV), so
+    every engine agrees exactly. ``est_max`` = 2^bucket - 1 is the
+    bucket's inclusive upper bound: true_quantile <= est_max < 2 *
+    true_quantile (one-power-of-two error bound).
+
+    Plan shape: the window functions run over the HISTOGRAM rows
+    (<= 64 per (series, window) partition), never over raw points —
+    at 100 TB the read path touches only tier output."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("series_id", "window_start")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("series_id", "window_start")
+    c = hist.select(
+        "series_id",
+        "window_start",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    thr = F.expr(f"(total * {int(q_permille)} + 999) DIV 1000")
+    return (
+        c.where(F.col("cum") >= thr)
+        .groupBy("series_id", "window_start")
+        .agg(F.min("bucket").alias("bucket"), F.min("total").alias("total"))
+        .select(
+            "series_id",
+            "window_start",
+            "bucket",
+            (F.pow(F.lit(2.0), F.col("bucket")).cast("long") - F.lit(1)).alias(
+                "est_max"
+            ),
+            "total",
+        )
+    )

@@ -103,3 +103,64 @@ def test_topk_hot_series(points):
     top = topk_hot_series(points, k=3).collect()
     assert len(top) == 3 and top[0].rank == 1
     assert all(s.series_id.startswith("web:") for s in top)
+
+
+def test_histogram_cascade_equals_direct(points):
+    """A14 re-aggregability: bucket counts cascade 1m->1h->1d exactly
+    (the property exact percentiles lack, and the reason tiered
+    quantiles store histograms)."""
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        histogram_cascade,
+        histogram_rollup,
+    )
+
+    h1m = histogram_rollup(points, "1m")
+    h1h = histogram_cascade(h1m, "1h")
+    h1d = histogram_cascade(h1h, "1d")
+    assert_df_equal(h1h, histogram_rollup(points, "1h"))
+    assert_df_equal(h1d, histogram_rollup(points, "1d"))
+
+
+def test_value_bucket_bounds(spark):
+    """bucket k covers exactly [2^(k-1), 2^k - 1]; 0 -> 0; <0 -> -1."""
+    from opentsdb_rollup_rust_spark.operators.rollup import value_bucket
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,), (7,), (8,), (1023,), (1024,), (-5,)],
+        "v long",
+    ).select("v", value_bucket("v").alias("b"))
+    got = {r["v"]: r["b"] for r in df.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 3, 7: 3, 8: 4,
+                   1023: 10, 1024: 11, -5: -1}
+
+
+def test_percentile_from_histogram_error_bound(points):
+    """A15: for every (series, window), est_max >= true p95 and
+    est_max < 2 * max(true p95, 1) — the one-power-of-two bound."""
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        histogram_rollup,
+        percentile_from_histogram,
+    )
+
+    h = histogram_rollup(points, "1h")
+    est = percentile_from_histogram(h, 950)
+    # exact p95 as the rank-ceil(0.95 n) order statistic
+    pdf = points.toPandas()
+    import math
+
+    truth = {}
+    for (sid, w), grp in pdf.assign(
+        w=(pdf["ts"].astype("int64") // 10**9 // 3600) * 3600
+    ).groupby(["series_id", "w"]):
+        vs = sorted(grp["value"])
+        truth[(sid, w)] = vs[math.ceil(0.95 * len(vs)) - 1]
+    import pyspark.sql.functions as F
+
+    for r in est.select(
+        "series_id",
+        F.unix_timestamp("window_start").alias("w"),
+        "est_max",
+    ).collect():
+        p95 = truth[(r["series_id"], r["w"])]
+        assert r["est_max"] >= p95
+        assert r["est_max"] < 2 * max(p95, 1)
