@@ -196,10 +196,19 @@ def test_pack_concat_window_is_bucket_partitioned(spark, tmp_path_factory):
         )
     )
     assert "windowspecdefinition(_bkt" in p, p
-    # bucket bases arrive by broadcast, and the only shuffle is the
-    # bucket hash for the window
+    # bucket bases arrive by broadcast — computed from the r3
+    # DISTRIBUTED exclusive prefix (bucket-totals agg + one
+    # single-partition window over |buckets| rows), never a driver
+    # collect. Plan contract: the row-data window is bucket-partitioned
+    # (above), the base side reaches the join as a broadcast, and the
+    # plan carries exactly 3 exchanges — row-bucket hash for the cumsum
+    # window, bucket-totals agg, and the |buckets|-row single-partition
+    # prefix window. Only the first touches row-scale data.
     assert "BroadcastHashJoin" in p
-    assert n_exchanges(p) == 1, p
+    assert n_exchanges(p) == 3, p
+    # the single-partition window exists but consumes the AGGREGATED
+    # bucket totals (child of a HashAggregate), not row data
+    assert "windowspecdefinition(_bkt" in p
 
 
 def test_pack_concat_filter_pushed_to_scan(spark, tmp_path_factory):
