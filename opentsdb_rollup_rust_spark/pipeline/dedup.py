@@ -270,13 +270,34 @@ def simhash_pairs(
     terminal .distinct() that shuffled the full verified pair set."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    # staged: shingles -> hashes -> bit sums (see _shingled for why)
+    # staged: shingles -> hashes -> bit sums (see _shingled for why).
+    # The per-row HOF formulation (_simhash_from_hashes) folds the hash
+    # array once PER BIT — 60 interpreted passes per document. Here the
+    # hashes are exploded once and the 60 per-bit signed sums run as ONE
+    # codegen'd hash aggregation (partial agg collapses per task before
+    # the doc_id shuffle): one pass over |docs x shingles| rows, all
+    # JVM. Docs with zero shingles drop out of the join input exactly
+    # as they do in the DuckDB oracle's unnest+GROUP BY.
     hs = _shingled(docs, text_col).select(
         "doc_id", F.transform(F.col("shingles"), md5_int60).alias("hs")
     )
-    sh = hs.select(
-        F.col("doc_id"), _simhash_from_hashes(F.col("hs"), bits).alias("sh")
+    ex = hs.select("doc_id", F.explode("hs").alias("h"))
+    one = F.lit(1).cast("long")
+    bitsums = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(one) * F.lit(2) - F.lit(1)
+            ).alias(f"_b{j}")
+            for j in range(bits)
+        ]
     )
+    sh_expr = None
+    for j in range(bits):
+        term = F.when(F.col(f"_b{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh_expr = term if sh_expr is None else sh_expr + term
+    sh = bitsums.select("doc_id", sh_expr.alias("sh"))
     banded = sh.select(
         "doc_id",
         "sh",
