@@ -680,6 +680,28 @@ def _q_join_range(spark, sf_dir):
     return pairs.groupBy("a_series", "b_series").agg(F.count("*").alias("n_pairs"))
 
 
+def _q_route_read(spark, sf_dir):
+    """§3.2 read path through the tier ROUTER: a 2h-resolution query
+    routes to the 1h tier (re-aggregated 2x), never the 1m tier (120x)
+    — the 'answer coarse queries from coarse tiers' rewrite — then
+    zero-fills and derives avg. The oracle computes the 2h answer
+    directly from raw points, so the hash match proves routing +
+    re-aggregation + fill + derived-avg compose exactly."""
+    from opentsdb_rollup_rust_spark.plans.tier_router import (
+        rollup_read_pipeline,
+        route_tier,
+    )
+
+    tier = route_tier(7200)
+    assert tier == "1h", tier  # the router contract this demo pins
+    pts = _event_points(spark, sf_dir)
+    r1h = cascade_reagg(tumbling_rollup(pts, "1m"), "1h")
+    out = rollup_read_pipeline(r1h, tier, 7200, fill="zero", with_avg=True)
+    return out.select(
+        "series_id", _epoch(), "sum", "count", "min", "max", "avg"
+    )
+
+
 def _q_gapfill_zero(spark, sf_dir):
     r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
     return _rollup_out(gap_fill(r1h, "1h", "zero"))
@@ -1013,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": _q_join_semi,
         "join_equi": _q_join_equi,
         "join_range": _q_join_range,
+        "route_read": _q_route_read,
         "gapfill_zero": _q_gapfill_zero,
         "gapfill_ffill": _q_gapfill_ffill,
         "set_union": _q_set_union,
@@ -1053,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_rollup",
         "hist_percentile",
         "agg_distinct_sketch",
+        "route_read",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front
@@ -1394,6 +1418,21 @@ def oracle_sql() -> dict[str, str]:
               ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
              AND a.series_id <> b.series_id
             GROUP BY 1, 2""",
+        "route_read": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w,
+                         sum(value)::BIGINT AS s, count(value)::BIGINT AS c,
+                         min(value) AS mn, max(value) AS mx
+                  FROM pts GROUP BY 1, 2),
+            b AS (SELECT series_id, min(w) AS w0, max(w) AS w1 FROM r GROUP BY 1),
+            spine AS (SELECT series_id, unnest(generate_series(w0, w1, 7200)) AS w
+                      FROM b)
+            SELECT spine.series_id, spine.w AS w_start,
+                   coalesce(s, 0)::BIGINT AS "sum", coalesce(c, 0)::BIGINT AS "count",
+                   coalesce(mn, 0)::BIGINT AS "min", coalesce(mx, 0)::BIGINT AS "max",
+                   CASE WHEN coalesce(c, 0) > 0
+                        THEN (s::DOUBLE) / (c::DOUBLE) END AS avg
+            FROM spine LEFT JOIN r ON spine.series_id = r.series_id AND spine.w = r.w""",
         "gapfill_zero": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w,

@@ -42,19 +42,21 @@ def route_tier(
     return best[0]
 
 
-def read_rollup(
-    store: ManifestStore,
+def rollup_read_pipeline(
+    df: DataFrame,
+    tier: str,
     resolution_seconds: int,
     t0=None,
     t1=None,
     series_predicate=None,
     fill: str = "none",
     with_avg: bool = True,
-    tiers: dict[str, TierSpec] | None = None,
 ) -> DataFrame:
-    """Query surface: route -> scan (pruned) -> re-agg -> fill -> avg."""
-    tier = route_tier(resolution_seconds, tiers)
-    df = store.read(f"rollup_{tier}").drop("bucket")
+    """The read pipeline AFTER routing: predicate prune -> exact
+    re-aggregation to the requested resolution -> fill -> derived avg.
+    Store-independent so the router is testable/oracle-checkable
+    against in-memory tiers; ``read_rollup`` applies it to the stored
+    table."""
     # predicates FIRST so they push into the parquet scan
     if t0 is not None:
         df = df.where(F.col("window_start") >= F.lit(t0))
@@ -75,3 +77,28 @@ def read_rollup(
     if with_avg:
         df = derived_avg(df)
     return df
+
+
+def read_rollup(
+    store: ManifestStore,
+    resolution_seconds: int,
+    t0=None,
+    t1=None,
+    series_predicate=None,
+    fill: str = "none",
+    with_avg: bool = True,
+    tiers: dict[str, TierSpec] | None = None,
+) -> DataFrame:
+    """Query surface: route -> scan (pruned) -> re-agg -> fill -> avg."""
+    tier = route_tier(resolution_seconds, tiers)
+    df = store.read(f"rollup_{tier}").drop("bucket")
+    return rollup_read_pipeline(
+        df,
+        tier,
+        resolution_seconds,
+        t0=t0,
+        t1=t1,
+        series_predicate=series_predicate,
+        fill=fill,
+        with_avg=with_avg,
+    )
