@@ -96,6 +96,36 @@ def streaming_tumbling_rollup(
     )
 
 
+def streaming_histogram_rollup(
+    points: DataFrame, interval: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """ST7 (r3): A14's histogram tier over a stream — per (series,
+    tumbling window, msb value bucket) counts, watermarked like ST1.
+    Counts are plain sums, so the streaming state per group is one
+    long, late data folds in up to the watermark, and the finalized
+    windows union into the batch-built histogram tiers losslessly
+    (stream==batch parity pinned in tests/test_streaming.py)."""
+    from ..operators.rollup import value_bucket
+
+    sec = INTERVAL_SECONDS[interval]
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(
+            "series_id",
+            F.window("ts", f"{sec} seconds"),
+            value_bucket("value").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "series_id",
+            F.col("window.start").alias("window_start"),
+            F.lit(interval).alias("interval"),
+            "bucket",
+            "n",
+        )
+    )
+
+
 def streaming_sliding_rollup(
     points: DataFrame,
     length: str = "10 minutes",

@@ -43,6 +43,21 @@ def test_streaming_tumbling_equals_batch(spark, points, points_dir):
     assert_df_equal(got, want)
 
 
+def test_streaming_histogram_equals_batch(spark, points, points_dir):
+    """ST7 == A14: a completed histogram stream equals the batch
+    histogram_rollup exactly (bucket counts are decomposable sums, so
+    the streaming state folds late data identically)."""
+    from opentsdb_rollup_rust_spark.operators.rollup import histogram_rollup
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        streaming_histogram_rollup,
+    )
+
+    stream = read_points_stream(spark, points_dir)
+    name = _memname()
+    run_to_memory_table(streaming_histogram_rollup(stream, "1h"), name)
+    assert_df_equal(spark.table(name), histogram_rollup(points, "1h"))
+
+
 def test_streaming_sliding_multiplicity(spark, points, points_dir):
     stream = read_points_stream(spark, points_dir)
     name = _memname()
