@@ -712,6 +712,27 @@ def _q_gapfill_ffill(spark, sf_dir):
     return gap_fill(r1h, "1h", "ffill").select("series_id", _epoch(), "sum")
 
 
+def _q_gapfill_interp(spark, sf_dir):
+    # J2b/W7: OpenTSDB "lerp" fill — integer floor-division lerp between
+    # the bracketing observed windows (operators/gapfill.py policy
+    # "interp"); exact in both engines, no float division anywhere.
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    return _rollup_out(gap_fill(r1h, "1h", "interp"))
+
+
+def _q_rollup_cal_week(spark, sf_dir):
+    # A17: calendar-aligned downsample (OpenTSDB '1wc') cascaded
+    # 1m -> 1h -> 1d -> ISO week; oracle computes direct from raw, so
+    # the hash match proves cascade == direct over NON-uniform windows.
+    from opentsdb_rollup_rust_spark.operators.rollup import calendar_rollup
+
+    r1d = cascade_reagg(
+        cascade_reagg(tumbling_rollup(_event_points(spark, sf_dir), "1m"), "1h"),
+        "1d",
+    )
+    return _rollup_out(calendar_rollup(r1d, "week"))
+
+
 def _q_set_union(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("int").alias("nationkey")
@@ -1038,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_read": _q_route_read,
         "gapfill_zero": _q_gapfill_zero,
         "gapfill_ffill": _q_gapfill_ffill,
+        "gapfill_interp": _q_gapfill_interp,
+        "rollup_cal_week": _q_rollup_cal_week,
         "set_union": _q_set_union,
         "set_except": _q_set_except,
         "set_intersect": _q_set_intersect,
@@ -1077,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_percentile",
         "agg_distinct_sketch",
         "route_read",
+        "gapfill_interp",
+        "rollup_cal_week",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front
@@ -1462,6 +1487,56 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY series_id ORDER BY w
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "sum"
             FROM j""",
+        "gapfill_interp": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w,
+                         sum(value)::BIGINT AS s, count(value)::BIGINT AS c,
+                         min(value) AS mn, max(value) AS mx
+                  FROM pts GROUP BY 1, 2),
+            b AS (SELECT series_id, min(w) AS w0, max(w) AS w1 FROM r GROUP BY 1),
+            spine AS (SELECT series_id, unnest(generate_series(w0, w1, 3600)) AS w
+                      FROM b),
+            j AS (SELECT spine.series_id, spine.w, s, c, mn, mx
+                  FROM spine LEFT JOIN r ON spine.series_id = r.series_id
+                                        AND spine.w = r.w),
+            k AS (SELECT series_id, w, s, c, mn, mx,
+                         last_value(CASE WHEN c IS NOT NULL THEN w END IGNORE NULLS)
+                           OVER wp AS pt,
+                         first_value(CASE WHEN c IS NOT NULL THEN w END IGNORE NULLS)
+                           OVER wn AS nt,
+                         last_value(s IGNORE NULLS) OVER wp AS ps,
+                         first_value(s IGNORE NULLS) OVER wn AS ns,
+                         last_value(mn IGNORE NULLS) OVER wp AS pn,
+                         first_value(mn IGNORE NULLS) OVER wn AS nn,
+                         last_value(mx IGNORE NULLS) OVER wp AS px,
+                         first_value(mx IGNORE NULLS) OVER wn AS nx
+                  FROM j
+                  WINDOW wp AS (PARTITION BY series_id ORDER BY w
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         wn AS (PARTITION BY series_id ORDER BY w
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT series_id, w AS w_start, '1h' AS "interval",
+                   CASE WHEN c IS NOT NULL THEN s
+                        ELSE ps + ((((ns-ps)*(w-pt))
+                              - (((((ns-ps)*(w-pt)) % (nt-pt)) + (nt-pt)) % (nt-pt)))
+                             // (nt-pt)) END AS "sum",
+                   coalesce(c, 0)::BIGINT AS "count",
+                   CASE WHEN c IS NOT NULL THEN mn
+                        ELSE pn + ((((nn-pn)*(w-pt))
+                              - (((((nn-pn)*(w-pt)) % (nt-pt)) + (nt-pt)) % (nt-pt)))
+                             // (nt-pt)) END AS "min",
+                   CASE WHEN c IS NOT NULL THEN mx
+                        ELSE px + ((((nx-px)*(w-pt))
+                              - (((((nx-px)*(w-pt)) % (nt-pt)) + (nt-pt)) % (nt-pt)))
+                             // (nt-pt)) END AS "max"
+            FROM k""",
+        "rollup_cal_week": f"""{_PTS_CTE}
+            SELECT series_id,
+                   epoch(date_trunc('week', ts))::BIGINT AS w_start,
+                   '1wc' AS "interval",
+                   sum(value)::BIGINT AS "sum", count(value)::BIGINT AS "count",
+                   min(value) AS "min", max(value) AS "max"
+            FROM pts GROUP BY 1, 2""",
         "set_union": """
             SELECT DISTINCT nationkey FROM (
               SELECT c_nationkey AS nationkey FROM customer

@@ -82,6 +82,51 @@ def cascade_reagg(finer: DataFrame, interval: str) -> DataFrame:
     )
 
 
+_CALENDAR_UNITS = {"week": "1wc", "month": "1nc"}
+
+
+def calendar_rollup(finer: DataFrame, unit: str = "week") -> DataFrame:
+    """A17: calendar-aligned downsample (OpenTSDB 2.3+ calendar mode,
+    the 'c' suffix in '1wc' / '1nc').
+
+    Unlike the fixed-width tiers, calendar windows are NOT uniform
+    (ISO weeks cross month edges; months are 28-31 days), so
+    ``time_bucket``'s epoch-multiple floor cannot express them —
+    ``date_trunc`` (codegen'd, session-timezone UTC) is the window
+    key. Weeks/months contain whole days, so cascading from the 1d
+    tier is exact (same decomposable sum/count/min/max re-agg as
+    cascade_reagg; the oracle computes direct from raw points, so a
+    hash match proves cascade == direct for the non-uniform windows
+    too)."""
+    try:
+        label = _CALENDAR_UNITS[unit]
+    except KeyError:
+        raise ValueError(
+            f"unsupported calendar unit {unit!r}; one of {sorted(_CALENDAR_UNITS)}"
+        ) from None
+    return (
+        finer.groupBy(
+            "series_id",
+            F.date_trunc(unit, F.col("window_start")).alias("window_start"),
+        )
+        .agg(
+            F.sum("sum").alias("sum"),
+            F.sum("count").alias("count"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select(
+            "series_id",
+            "window_start",
+            F.lit(label).alias("interval"),
+            "sum",
+            "count",
+            "min",
+            "max",
+        )
+    )
+
+
 def fused_tier_rollup(
     sequences: DataFrame, interval: str, salts: int = 0, impl: str = "arrow"
 ) -> DataFrame:

@@ -139,6 +139,12 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--levels", type=int, nargs=2, default=(8, 32))
+    # BENCH/BASELINE.md is the hand-curated multi-run disclosure doc;
+    # default single-run reports go to a sidecar so a background run
+    # can never clobber it again (it did once, run 9).
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "BENCH", "last_run.md")
+    )
     args = ap.parse_args()
     lo, hi = args.levels
     factor = hi / lo
@@ -219,7 +225,7 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(args.out, "w") as f:
         f.write(f"""# BENCH — measured baseline (protocol: BASELINE.md, SURVEY.md §6)
 
 Input: {args.seqs} deterministic synthetic sequences = {args.seqs * 6}
@@ -293,7 +299,7 @@ ceiling probe samples):
 {json.dumps(summary, indent=1)}
 ```
 """)
-    print(f"wrote BENCH/BASELINE.md eff={eff:.3f} norm={norm_eff:.3f}", file=sys.stderr)
+    print(f"wrote {args.out} eff={eff:.3f} norm={norm_eff:.3f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

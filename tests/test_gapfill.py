@@ -64,6 +64,103 @@ def test_ffill(sparse):
     assert got[4] == (14, 1, 14, 14)
 
 
+def test_interp(sparse):
+    # lerp across the {2,3} gap between (minute 1, 11) and (minute 4, 14):
+    # slope 1/minute, exactly representable -> 12, 13; count stays the
+    # synthetic-row 0 marker, observed rows untouched.
+    got = _by_minute(gap_fill(sparse, "1m", "interp"))
+    assert got[2] == (12, 0, 12, 12)
+    assert got[3] == (13, 0, 13, 13)
+    assert got[1] == (11, 1, 11, 11)
+    assert got[4] == (14, 1, 14, 14)
+
+
+def test_interp_floor_semantics(spark):
+    # Non-divisible DECREASING gap: prev=10@0, next=3@3. Python floor
+    # division is the contract (and what the DuckDB oracle computes):
+    #   minute 1: 10 + (3-10)*1 // 3 = 10 + floor(-7/3)  = 7
+    #   minute 2: 10 + (3-10)*2 // 3 = 10 + floor(-14/3) = 5
+    # Truncating-toward-zero arithmetic would give 8 / 6 instead.
+    rows = [
+        ("s", BASE, "1m", 10, 1, 10, 10),
+        ("s", BASE + dt.timedelta(minutes=3), "1m", 3, 1, 3, 3),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "series_id string, window_start timestamp, interval string, "
+        "sum long, count long, min long, max long",
+    )
+    got = _by_minute(gap_fill(df, "1m", "interp"))
+    assert got[1] == (7, 0, 7, 7)
+    assert got[2] == (5, 0, 5, 5)
+
+
+def test_interp_matches_python_reference(points_1h):
+    # Golden: every synthetic window equals the pure-python integer lerp
+    # of its bracketing observed windows, per series and value column.
+    filled = {
+        (r.series_id, r.window_start): r
+        for r in gap_fill(points_1h, "1h", "interp").collect()
+    }
+    obs: dict[str, list] = {}
+    for r in points_1h.collect():
+        obs.setdefault(r.series_id, []).append(r)
+    n_synth = 0
+    for sid, rows in obs.items():
+        rows.sort(key=lambda r: r.window_start)
+        for a, b in zip(rows, rows[1:]):
+            t0, t1 = a.window_start, b.window_start
+            steps = int((t1 - t0).total_seconds()) // 3600
+            for i in range(1, steps):
+                t = t0 + dt.timedelta(hours=i)
+                got = filled[(sid, t)]
+                assert got["count"] == 0
+                for c in ("sum", "min", "max"):
+                    exact = a[c] + (b[c] - a[c]) * (i * 3600) // (steps * 3600)
+                    assert got[c] == exact, (sid, t, c)
+                n_synth += 1
+    assert n_synth > 0  # the fixture must actually have gaps
+
+
+def test_calendar_rollup_cascade_matches_direct(points):
+    # A17: non-uniform ISO-week windows — cascade from the 1d tier must
+    # equal a direct date_trunc('week') aggregation over raw points.
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        calendar_rollup,
+        cascade_reagg,
+        tumbling_rollup,
+    )
+
+    r1d = cascade_reagg(
+        cascade_reagg(tumbling_rollup(points, "1m"), "1h"), "1d"
+    )
+    via_cascade = {
+        (r.series_id, r.window_start): (r.sum, r["count"], r["min"], r["max"])
+        for r in calendar_rollup(r1d, "week").collect()
+    }
+    direct = {
+        (r.series_id, r.window_start): (r.sum, r["count"], r["min"], r["max"])
+        for r in points.groupBy(
+            "series_id", F.date_trunc("week", "ts").alias("window_start")
+        )
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .collect()
+    }
+    assert via_cascade == direct and len(direct) > 0
+
+
+def test_calendar_rollup_rejects_unknown_unit(points_1h):
+    from opentsdb_rollup_rust_spark.operators.rollup import calendar_rollup
+
+    with pytest.raises(ValueError, match="calendar unit"):
+        calendar_rollup(points_1h, "fortnight")
+
+
 def test_fill_preserves_observed(points_1h):
     filled = gap_fill(points_1h, "1h", "zero")
     obs = points_1h.drop("interval")
