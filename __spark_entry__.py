@@ -441,6 +441,77 @@ def _q_agg_interp(spark, sf_dir):
     )
 
 
+def _q_agg_zimsum(spark, sf_dir):
+    """A18: the non-interpolating cross-series aggregator family —
+    OpenTSDB's zimsum / mimmin / mimmax ([OTSDB-AGG]). Where the
+    default sum/min/max aggregators interpolate a missing series at
+    timestamp t (A12 `agg_interp`), the zim/mim family SKIPS missing
+    series entirely: zimsum sums the series present at t (missing
+    contributes zero), mimmin/mimmax ignore missing rather than
+    interpolating toward them. Same grid semantics, opposite
+    missing-window policy — both policies now exist side by side.
+
+    Scale shape: no dense grid needed at all (skipping missing means
+    only stored rows participate) — one partial-agg-collapsed groupBy
+    on the window start."""
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h").select(
+        "series_id", _epoch(), F.col("sum").alias("v")
+    )
+    return r1h.groupBy("w_start").agg(
+        F.sum("v").alias("zimsum"),
+        F.min("v").alias("mimmin"),
+        F.max("v").alias("mimmax"),
+        F.count("*").alias("n_present"),
+    )
+
+
+def _q_expr_ratio(spark, sf_dir):
+    """A19: metric-expression query (OpenTSDB 2.3 /api/query/exp):
+    arithmetic ACROSS TWO METRIC SERIES of the same tag set, per
+    (tags, window), after each side is aggregated — here
+    mean token value = `source:tok_sum` tier series divided by
+    `source:n_tok` tier series at 1h. The two series are read as a
+    conditional-aggregation pivot (two agg buffers over one scan of
+    the wide stats — the same numbers the long 1h tier stores for
+    those two series_ids), so the whole expression costs ONE
+    partial-agg-collapsed groupBy; a join-based expression engine
+    would shuffle the tier twice and SMJ. The ratio is an IEEE
+    double of two exact longs, quantized 1e-6 (module exactness
+    rule; n_tok >= 1 so the denominator is never 0)."""
+    from opentsdb_rollup_rust_spark.config import (
+        EPOCH_BASE_SECONDS,
+        HORIZON_SECONDS,
+    )
+    from opentsdb_rollup_rust_spark.functions.arrays import token_array_stats
+    from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
+
+    seqs = _md5_token_seqs(spark, sf_dir)
+    stats = token_array_stats("tokens")
+    ts_sec = F.lit(EPOCH_BASE_SECONDS) + F.pmod(
+        md5_int60(F.col("doc_id")), F.lit(HORIZON_SECONDS)
+    )
+    wide = seqs.select(
+        "source",
+        (F.floor(ts_sec / 3600) * 3600).cast("long").alias("w_start"),
+        stats["tok_sum"].alias("tok_sum"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+    g = wide.groupBy("source", "w_start").agg(
+        F.sum("tok_sum").alias("sum_tok_sum"),
+        F.sum("n_tok").alias("sum_n_tok"),
+    )
+    ratio = F.col("sum_tok_sum").cast("double") / F.col("sum_n_tok").cast(
+        "double"
+    )
+    return g.select(
+        "source",
+        "w_start",
+        "sum_tok_sum",
+        "sum_n_tok",
+        F.floor(ratio * F.lit(1_000_000)).cast("long").alias("ratio_q"),
+    )
+
+
 def _q_agg_percentile(spark, sf_dir):
     """A9: exact p50/p95/p99 per series via discrete selection (the
     value at rank ceil(p*n) of the sorted values) — integer-exact, no
@@ -1037,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_first_last": _q_agg_first_last,
         "agg_dev": _q_agg_dev,
         "agg_interp": _q_agg_interp,
+        "agg_zimsum": _q_agg_zimsum,
+        "expr_ratio": _q_expr_ratio,
         "agg_percentile": _q_agg_percentile,
         "agg_rollup_sets": _q_agg_rollup_sets,
         "derive_points": _q_derive_points,
@@ -1102,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_read",
         "gapfill_interp",
         "rollup_cal_week",
+        "agg_zimsum",
+        "expr_ratio",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front
@@ -1161,6 +1236,39 @@ def _rollup_fused_sql() -> str:
 
 
 _ROLLUP_FUSED_SQL = _rollup_fused_sql()
+
+
+def _expr_ratio_sql() -> str:
+    from opentsdb_rollup_rust_spark.config import (
+        EPOCH_BASE_SECONDS,
+        HORIZON_SECONDS,
+    )
+
+    return f"""
+            WITH seqs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents),
+            wide AS (
+              SELECT source,
+                     {EPOCH_BASE_SECONDS} + (('0x' || substr(md5(doc_id), 1, 15))::BIGINT % {HORIZON_SECONDS}) AS ts_sec,
+                     list_aggregate(tokens, 'sum')::BIGINT AS tok_sum,
+                     len(tokens)::BIGINT AS n_tok
+              FROM seqs),
+            g AS (SELECT source,
+                         CAST(FLOOR(ts_sec/3600)*3600 AS BIGINT) AS w_start,
+                         sum(tok_sum)::BIGINT AS sum_tok_sum,
+                         sum(n_tok)::BIGINT AS sum_n_tok
+                  FROM wide GROUP BY 1, 2)
+            SELECT source, w_start, sum_tok_sum, sum_n_tok,
+                   CAST(FLOOR((sum_tok_sum::DOUBLE / sum_n_tok::DOUBLE) * 1000000)
+                        AS BIGINT) AS ratio_q
+            FROM g"""
+
+
+_EXPR_RATIO_SQL = _expr_ratio_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1275,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
                    (max(struct_pack(ts := ts, value := value))).value AS last_val
             FROM pts GROUP BY 1, 2""",
         "rollup_fused": _ROLLUP_FUSED_SQL,
+        "expr_ratio": _EXPR_RATIO_SQL,
         "derive_points": """
             WITH seqs AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
@@ -1487,6 +1596,14 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY series_id ORDER BY w
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "sum"
             FROM j""",
+        "agg_zimsum": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS v
+                  FROM pts GROUP BY 1, 2)
+            SELECT w_start, sum(v)::BIGINT AS zimsum, min(v) AS mimmin,
+                   max(v) AS mimmax, count(*)::BIGINT AS n_present
+            FROM r GROUP BY 1""",
         "gapfill_interp": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w,
