@@ -73,8 +73,12 @@ def get_spark(
         # 64k-row Arrow batches (default 10k): the derive path streams
         # millions of small token lists through mapInArrow — bigger
         # batches amortize per-batch IPC/GIL overhead; worst-case
-        # worker memory stays ~20 MB/batch at 60 int32 tokens/row
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # worker memory stays ~20 MB/batch at 60 int32 tokens/row.
+        # Env-overridable for A/B sizing experiments (scaling protocol).
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         # int64 micros, NOT the legacy INT96 default: INT96 columns get
         # no parquet min/max statistics, which kills footer-based
