@@ -1177,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cal_week",
         "agg_zimsum",
         "expr_ratio",
+        "text_scrub",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front

@@ -90,6 +90,47 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+def q_text_scrub(spark, sf_dir):
+    """T6: PII redaction with lineage counts. The shared-vocabulary
+    testdata contains no PII, so the query PLANTS deterministic
+    email/IP/phone strings on doc_id residue classes (mirrored in the
+    oracle) — the scrubber then has real spans to find, count on the
+    original text, and replace with typed tags. Output is the
+    per-type counts plus md5 of the scrubbed text (driver-hashable
+    proof the replacement spans match byte-for-byte)."""
+    from .text import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod(did, F.lit(3)) == 0,
+            F.concat(F.lit(" u"), did.cast("string"), F.lit("@ex.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, F.lit(5)) == 0,
+            F.concat(
+                F.lit(" 10.0."),
+                F.pmod(did, F.lit(256)).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(did, F.lit(7)) == 0,
+            F.concat(F.lit(" +1-555-01"), F.pmod(did, F.lit(10)).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    s = pii_scrub(planted)
+    return d.select(
+        "doc_id",
+        s["n_email"].alias("n_email"),
+        s["n_ip"].alias("n_ip"),
+        s["n_phone"].alias("n_phone"),
+        F.md5(s["scrubbed"]).alias("scrub_md5"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     from .text import quality_features
 
@@ -255,6 +296,7 @@ PIPELINE_QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_scrub": q_text_scrub,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -444,6 +486,33 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                           ELSE 'und' END AS pred_lang
               FROM s)
         SELECT lang, pred_lang, count(*)::BIGINT AS n FROM p GROUP BY 1, 2""",
+    "text_scrub": f"""WITH {_D},
+        p AS (SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' +1-555-01' || CAST(doc_id % 10 AS VARCHAR)
+                             ELSE '' END AS t
+              FROM d)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]'))::BIGINT
+                 AS n_email,
+               len(regexp_extract_all(t, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}'))::BIGINT
+                 AS n_ip,
+               len(regexp_extract_all(t, '\\+[0-9][0-9-]{{5,}}[0-9]'))::BIGINT
+                 AS n_phone,
+               md5(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]', '<EMAIL>', 'g'),
+                       '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'),
+                     '\\+[0-9][0-9-]{{5,}}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+        FROM p""",
     "text_fingerprint": f"""WITH {_D},
         t AS (SELECT doc_id, {_WORDS} AS w FROM d)
         SELECT doc_id,

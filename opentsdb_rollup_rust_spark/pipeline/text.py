@@ -153,6 +153,38 @@ def bag_fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(w, " "))
 
 
+# PII patterns kept to plain character classes + bounded repeats so
+# Java regex (Spark) and RE2 (DuckDB) match the identical spans —
+# no lookarounds, no backrefs, no alternation-order subtleties.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._]+@[A-Za-z0-9.]+[A-Za-z]", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9][0-9-]{5,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(text: Column | str) -> dict[str, Column]:
+    """T6: PII redaction — the standard scrubbing pass a training-data
+    pipeline runs before packing: emails / IPv4s / phone numbers are
+    replaced with typed placeholder tags, and per-document match
+    counts are kept for lineage ("how much was redacted where").
+
+    Counts are taken on the ORIGINAL text per pattern (so one
+    pattern's replacement can never hide another's count); the scrub
+    itself applies patterns in declaration order on the running
+    result. Pure codegen'd expressions (regexp_count /
+    regexp_replace) — per-row map, no shuffle, scan-speed at 100 TB.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    out: dict[str, Column] = {}
+    scrubbed = c
+    for name, pat, tag in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(c, F.lit(pat)).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    out["scrubbed"] = scrubbed
+    return out
+
+
 def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass per-document profile: token counts + language +
     quality + fingerprints. Pure projection — no shuffle."""

@@ -261,6 +261,36 @@ def test_lang_id_prefers_stopword_language(spark):
     assert got == ["en", "de", "und"]
 
 
+def test_pii_scrub_counts_and_replacements(spark):
+    from opentsdb_rollup_rust_spark.pipeline.text import pii_scrub
+
+    rows = [
+        (1, "write to bob.smith@corp.example now"),
+        (2, "host 10.0.12.7 and 192.168.1.200 are up"),
+        (3, "call +1-555-0134 or mail a@b.io from 8.8.8.8"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    s = pii_scrub(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            s["n_email"].alias("n_email"),
+            s["n_ip"].alias("n_ip"),
+            s["n_phone"].alias("n_phone"),
+            s["scrubbed"].alias("scrubbed"),
+        ).collect()
+    }
+    assert (got[1].n_email, got[1].n_ip, got[1].n_phone) == (1, 0, 0)
+    assert got[1].scrubbed == "write to <EMAIL> now"
+    assert (got[2].n_email, got[2].n_ip) == (0, 2)
+    assert got[2].scrubbed == "host <IP> and <IP> are up"
+    assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (1, 1, 1)
+    assert got[3].scrubbed == "call <PHONE> or mail <EMAIL> from <IP>"
+    assert got[4].scrubbed == "no pii here at all"
+
+
 def test_quality_and_token_counts_consistent(docs):
     from opentsdb_rollup_rust_spark.pipeline.text import text_profile
 
