@@ -122,6 +122,51 @@ def test_interp_matches_python_reference(points_1h):
     assert n_synth > 0  # the fixture must actually have gaps
 
 
+def test_interp_property_random_sparse_series(spark):
+    # Property: for ANY sparse series, interp fill equals the pure-python
+    # integer lerp — one Spark round trip over many hypothesis-style
+    # cases batched into a single DataFrame (per-example Spark jobs
+    # would be prohibitively slow, and the semantics are per-series, so
+    # batching loses no coverage).
+    import random
+
+    rng = random.Random(42)
+    rows, expect = [], {}
+    for sid in range(25):
+        n = rng.randint(2, 12)
+        minutes = sorted(rng.sample(range(40), n))
+        vals = [rng.randint(-1000, 1000) for _ in minutes]
+        s = f"s{sid}"
+        for m, v in zip(minutes, vals):
+            rows.append((s, BASE + dt.timedelta(minutes=m), "1m", v, 1, v, v))
+        for (m0, v0), (m1, v1) in zip(
+            zip(minutes, vals), zip(minutes[1:], vals[1:])
+        ):
+            for m in range(m0 + 1, m1):
+                expect[(s, m)] = v0 + (v1 - v0) * (m - m0) * 60 // ((m1 - m0) * 60)
+    df = spark.createDataFrame(
+        rows,
+        "series_id string, window_start timestamp, interval string, "
+        "sum long, count long, min long, max long",
+    )
+    got = {
+        (r.series_id, r.window_start.minute + 60 * r.window_start.hour): r.sum
+        for r in gap_fill(df, "1m", "interp").collect()
+        if r["count"] == 0
+    }
+    assert got == expect
+
+
+def test_interp_plan_single_shuffle(points_1h):
+    # The two neighbor-search frames share one (series_id)-partitioned
+    # sort, so the whole fill must cost exactly ONE exchange beyond the
+    # rollup's own aggregation — a second would mean the backward and
+    # forward windows repartitioned independently.
+    plan = gap_fill(points_1h, "1h", "interp")._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning(series_id")
+    assert n_exchanges <= 2, plan  # spine/join + window; never one per frame
+
+
 def test_calendar_rollup_cascade_matches_direct(points):
     # A17: non-uniform ISO-week windows — cascade from the 1d tier must
     # equal a direct date_trunc('week') aggregation over raw points.
