@@ -1178,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_zimsum",
         "expr_ratio",
         "text_scrub",
+        "dedup_components",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front

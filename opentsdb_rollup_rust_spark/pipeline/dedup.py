@@ -452,6 +452,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """D6: resolve candidate near-dup PAIRS into duplicate CLUSTERS —
+    the step a real dedup pipeline runs after any of the pair
+    generators above, so "keep one doc per cluster" is well-defined
+    even when A~B and B~C but A!~C.
+
+    Min-label propagation to fixpoint: every node repeatedly adopts
+    the smallest label among itself and its neighbors; at convergence
+    label == min node id of the component (the canonical keeper
+    election). Each round is one equi-join + one partial-agg-collapsed
+    groupBy — the DataFrame-native form of the MapReduce CC iteration.
+    Rounds needed = graph diameter; near-dup clusters are shallow
+    (pairs all share bands), so this converges in 2-3 rounds here. At
+    adversarial diameters use the O(log n)-round large-star/small-star
+    variant — identical per-round plan shape, different edge rewrite.
+
+    Iterative-plan hygiene: each round's result is localCheckpoint'ed
+    (eager) — without truncation the lineage doubles per round and
+    Catalyst analysis goes quadratic; the convergence probe is one
+    LIMIT-1 count on the changed-rows join (documented action per
+    round, the standard price of a data-dependent fixpoint)."""
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = bidir.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    bidir.unpersist()
+    return labels.select("node", F.col("label").alias("cluster"))
+
+
+def cluster_summary(labels: DataFrame) -> DataFrame:
+    """Per-cluster membership summary: size + member-id checksum
+    (driver-hashable proof of the exact membership sets)."""
+    return labels.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.sum("node").alias("member_sum"),
+    )
+
+
 def with_planted_dupes(
     docs: DataFrame,
     text_col: str = "text",

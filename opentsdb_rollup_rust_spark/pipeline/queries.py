@@ -21,6 +21,8 @@ from .dedup import (
     SIMHASH_BITS,
     SIMHASH_MAX_BUCKET,
     _mh_perm_consts,
+    cluster_summary,
+    connected_components,
     exact_dup_clusters,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -180,6 +182,16 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(d)
 
 
+def q_dedup_components(spark, sf_dir):
+    """D6: MinHash pairs -> connected components -> per-cluster
+    membership summary (size + member-id checksum). Oracle runs a
+    recursive transitive closure over the identical pair CTEs, so a
+    hash match proves the distributed label propagation found exactly
+    the same components."""
+    d = with_planted_dupes(_mp(_docs(spark, sf_dir)), every=10, mutate=True)
+    return cluster_summary(connected_components(minhash_lsh_pairs(d)))
+
+
 def q_dedup_simhash(spark, sf_dir):
     # 60-bit simhash: planted near-dups land at hamming <= ~13; 7 keeps
     # precision while the 15-bit bands keep the candidate join selective
@@ -301,6 +313,7 @@ PIPELINE_QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_embed": q_dedup_embed,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -362,6 +375,21 @@ _SH_MASK = (1 << _SH_BAND_BITS) - 1
 from .text import BPE_PIECE_RE as _BPE_RE  # noqa: E402
 
 _BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
+
+# MinHash-LSH candidate-pair CTE chain, shared by the dedup_minhash
+# oracle and the dedup_components oracle (which runs a recursive
+# transitive closure on the identical pair set)
+_MH_CTES = f"""{_SHINGLES},
+        wh AS (SELECT doc_id, {_h60('shingle')} % {MINHASH_P} AS hp FROM sh),
+        consts AS (SELECT * FROM (VALUES {_MH_CONSTS}) AS t(i, a, b)),
+        mh AS (SELECT doc_id, i, min((a * hp + b) % {MINHASH_P}) AS mh
+               FROM wh CROSS JOIN consts GROUP BY 1, 2),
+        bands AS (SELECT doc_id, i // 4 AS band,
+                         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
+                  FROM mh GROUP BY 1, 2)"""
+_MH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
 
 _STOPS_EN = "['the','a','of','is','and','to','in','it']"
 _LANG_STOPS = {
@@ -529,17 +557,20 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs,
                min(doc_id) AS keeper
         FROM planted GROUP BY 1 HAVING count(*) > 1""",
-    "dedup_minhash": f"""WITH {_SHINGLES},
-        wh AS (SELECT doc_id, {_h60('shingle')} % {MINHASH_P} AS hp FROM sh),
-        consts AS (SELECT * FROM (VALUES {_MH_CONSTS}) AS t(i, a, b)),
-        mh AS (SELECT doc_id, i, min((a * hp + b) % {MINHASH_P}) AS mh
-               FROM wh CROSS JOIN consts GROUP BY 1, 2),
-        bands AS (SELECT doc_id, i // 4 AS band,
-                         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
-                  FROM mh GROUP BY 1, 2)
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""",
+    "dedup_minhash": f"""WITH {_MH_CTES}
+        {_MH_PAIRS_SELECT}""",
+    "dedup_components": f"""WITH RECURSIVE {_MH_CTES},
+        pairs AS ({_MH_PAIRS_SELECT}),
+        bidir AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (SELECT DISTINCT u AS node, u AS r FROM bidir
+                  UNION
+                  SELECT reach.node, bidir.v
+                  FROM reach JOIN bidir ON reach.r = bidir.u),
+        lab AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+        SELECT cluster, count(*)::BIGINT AS n_members,
+               sum(node)::BIGINT AS member_sum
+        FROM lab GROUP BY cluster""",
     "dedup_simhash": f"""WITH {_SHINGLES},
         wh AS (SELECT doc_id, {_h60('shingle')} AS h FROM sh),
         bits AS (SELECT doc_id, j,

@@ -261,6 +261,30 @@ def test_lang_id_prefers_stopword_language(spark):
     assert got == ["en", "de", "und"]
 
 
+def test_connected_components_matches_python_union_find(spark):
+    from opentsdb_rollup_rust_spark.pipeline.dedup import (
+        cluster_summary,
+        connected_components,
+    )
+
+    # Chain (1-2-3-4), triangle+pendant (10,11,12,13), isolated edge
+    # (20,21): label propagation must find min-id labels per component
+    # even through multi-hop chains.
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (12, 13), (20, 21)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = {
+        r.node: r.cluster for r in connected_components(df).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1,
+                      10: 10, 11: 10, 12: 10, 13: 10,
+                      20: 20, 21: 20}
+    summary = {
+        r.cluster: (r.n_members, r.member_sum)
+        for r in cluster_summary(connected_components(df)).collect()
+    }
+    assert summary == {1: (4, 10), 10: (4, 46), 20: (2, 41)}
+
+
 def test_pii_scrub_counts_and_replacements(spark):
     from opentsdb_rollup_rust_spark.pipeline.text import pii_scrub
 
