@@ -514,6 +514,116 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster"))
 
 
+def connected_components_twostar(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """D6 scale variant: alternating large-star / small-star connected
+    components (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds on ANY graph, where plain min-label
+    propagation (connected_components) needs diameter rounds and a
+    10^6-node chain would take 10^6 of them.
+
+    Per round, for each node u with m(u) = min(N(u) ∪ {u}):
+      large-star: rewire every LARGER neighbor v > u to (v, m(u));
+      small-star: rewire every v ≤ u in N(u), plus u itself, to m(u).
+    Both are one groupBy(min) + one join over the bidirected edge
+    list — the same shuffle shape as a propagation round — and the
+    edge set contracts toward stars rooted at component minima.
+    Convergence = edge set unchanged over a full LS+SS pair, detected
+    with an order-invariant (count, sum-of-xxhash64) checksum — one
+    tiny action per pair, no full-set comparison join.
+
+    Property-tested equal to connected_components on random graphs
+    (tests/test_pipeline.py::test_twostar_matches_fixpoint)."""
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _bi(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    def _mins(b: DataFrame) -> DataFrame:
+        return b.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+
+    def _checksum(e: DataFrame) -> tuple:
+        # pmod keeps the summed hash < 1e9 per row: ANSI mode makes a
+        # raw sum(xxhash64) overflow long and THROW
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_000_007))),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    sig = _checksum(cur)
+    for _ in range(max_iter):
+        # large-star: every node u rewires its LARGER neighbors to
+        # m(u) = min(N(u) ∪ {u}); the output REPLACES the edge set —
+        # each undirected edge {x,y}, x<y, survives as (y, m(x)).
+        b = _bi(cur)
+        large = (
+            b.where(F.col("v") > F.col("u"))
+            .join(_mins(b), "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        cur = _canon(large).localCheckpoint(eager=True)
+
+        # small-star: every node u rewires its SMALLER neighborhood
+        # N⁻(u) (and itself) to min(N⁻(u) ∪ {u}) — which is just
+        # min(N⁻(u)), every member being < u.
+        sm = _bi(cur).where(F.col("v") < F.col("u"))
+        mins_small = sm.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            sm.join(mins_small, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins_small.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        )
+        cur = _canon(small).localCheckpoint(eager=True)
+
+        new_sig = _checksum(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_twostar: no fixpoint in {max_iter} rounds"
+        )
+    # Converged star graph: each non-root node carries exactly the
+    # edge (node, component-min); the root's own label is itself.
+    return (
+        _bi(cur)
+        .groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("cluster"))
+        .select(F.col("u").alias("node"), "cluster")
+    )
+
+
 def cluster_summary(labels: DataFrame) -> DataFrame:
     """Per-cluster membership summary: size + member-id checksum
     (driver-hashable proof of the exact membership sets)."""

@@ -285,6 +285,46 @@ def test_connected_components_matches_python_union_find(spark):
     assert summary == {1: (4, 10), 10: (4, 46), 20: (2, 41)}
 
 
+def test_twostar_matches_fixpoint(spark):
+    # Property: on random graphs (including a long chain — the
+    # adversarial-diameter case two-star exists for) the O(log n)
+    # large-star/small-star labels equal the propagate-to-fixpoint
+    # labels exactly. Batched into one DataFrame per case set; chain
+    # case kept separate so its diameter actually stresses the rounds.
+    import random
+
+    from opentsdb_rollup_rust_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    edges = []
+    for g in range(8):
+        base = g * 1000
+        n = rng.randint(2, 30)
+        for _ in range(rng.randint(1, 40)):
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                edges.append((base + a, base + b))
+    cases.append(edges)
+    cases.append([(i, i + 1) for i in range(60)])  # 61-node chain
+    for es in cases:
+        df = spark.createDataFrame(es, "doc_a long, doc_b long")
+        # the chain needs diameter(=60) propagation rounds — precisely
+        # the regime the O(log n) two-star variant exists for
+        fix = {
+            r.node: r.cluster
+            for r in connected_components(df, max_iter=80).collect()
+        }
+        two = {
+            r.node: r.cluster
+            for r in connected_components_twostar(df).collect()
+        }
+        assert two == fix
+
+
 def test_pii_scrub_counts_and_replacements(spark):
     from opentsdb_rollup_rust_spark.pipeline.text import pii_scrub
 
