@@ -1179,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expr_ratio",
         "text_scrub",
         "dedup_components",
+        "dedup_components_star",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front

@@ -23,6 +23,7 @@ from .dedup import (
     _mh_perm_consts,
     cluster_summary,
     connected_components,
+    connected_components_twostar,
     exact_dup_clusters,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -192,6 +193,18 @@ def q_dedup_components(spark, sf_dir):
     return cluster_summary(connected_components(minhash_lsh_pairs(d)))
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """D6 scale variant under the driver gate: identical clusters via
+    the O(log n) large-star/small-star algorithm. Components are
+    algorithm-independent, so this shares dedup_components' oracle —
+    a hash match proves twostar == recursive closure == fixpoint on
+    the same pair set."""
+    d = with_planted_dupes(_mp(_docs(spark, sf_dir)), every=10, mutate=True)
+    return cluster_summary(
+        connected_components_twostar(minhash_lsh_pairs(d))
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     # 60-bit simhash: planted near-dups land at hamming <= ~13; 7 keeps
     # precision while the 15-bit bands keep the candidate join selective
@@ -314,6 +327,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "dedup_embed": q_dedup_embed,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -768,3 +782,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
           FROM walk w JOIN d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
         SELECT bucket, doc_id, bin, bin_start FROM walk""",
 }
+
+# identical clusters regardless of CC algorithm -> same oracle
+PIPELINE_ORACLE_SQL["dedup_components_star"] = PIPELINE_ORACLE_SQL["dedup_components"]
