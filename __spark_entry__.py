@@ -163,22 +163,60 @@ def _q_hist_percentile(spark, sf_dir):
 
 
 def _q_agg_distinct_sketch(spark, sf_dir):
-    """A16: mergeable HLL distinct tier — 1h estimates from a 1m->1h
-    sketch union cascade. rows-only by design: DuckDB's
-    approx_count_distinct is a different HLL implementation, so no SQL
-    twin can reproduce the estimates; correctness is pinned by
-    tests/test_rollup.py::test_distinct_sketch_cascade_equals_direct
-    (cascade == direct exactly + estimates within HLL error of exact
-    countDistinct)."""
+    """A16 under the FULL driver gate (r3 VERDICT task #2): DuckDB's
+    HLL cannot reproduce Spark's Datasketches estimates, but it does
+    not need to — the registered surface is the sketch tier's
+    INVARIANTS, all SQL-expressible from raw:
+
+      exact_distinct  — per (series, 1h window) exact countDistinct
+                        (both engines compute it independently);
+      delta_est       — estimate(cascade 1m->1h sketch union) minus
+                        estimate(direct 1h sketch): always 0, because
+                        HLL register state unions by per-register max
+                        (order-independent), the mergeability that
+                        makes the tier re-aggregable;
+      within_err      — |est_direct - exact| <= ceil(5% * exact)
+                        (lg_k=12 => ~1.6% std err; 3-sigma bound).
+
+    The oracle emits the same grid with literal 0/true, so the hash
+    match PROVES cascade==direct and the error bound per window under
+    the gate, not just in pytest. Exact register equality + estimate
+    determinism remain pinned by
+    tests/test_rollup.py::test_distinct_sketch_cascade_equals_direct."""
+    from opentsdb_rollup_rust_spark.functions.timeutil import time_bucket
     from opentsdb_rollup_rust_spark.operators.rollup import (
         distinct_from_sketch,
         distinct_sketch_cascade,
         distinct_sketch_rollup,
     )
 
-    s1m = distinct_sketch_rollup(_event_points(spark, sf_dir), "1m")
-    est = distinct_from_sketch(distinct_sketch_cascade(s1m, "1h"))
-    return est.select("series_id", _epoch(), "interval", "distinct_est")
+    pts = _event_points(spark, sf_dir)
+    casc = (
+        distinct_from_sketch(
+            distinct_sketch_cascade(distinct_sketch_rollup(pts, "1m"), "1h")
+        )
+        .withColumnRenamed("distinct_est", "est_cascade")
+        .drop("interval")
+    )
+    direct = pts.groupBy(
+        "series_id", time_bucket("ts", 3600).alias("window_start")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("value", 12))
+        .cast("long")
+        .alias("est_direct"),
+        F.countDistinct("value").alias("exact_distinct"),
+    )
+    j = direct.join(casc, ["series_id", "window_start"])
+    return j.select(
+        "series_id",
+        _epoch(),
+        "exact_distinct",
+        (F.col("est_cascade") - F.col("est_direct")).alias("delta_est"),
+        (
+            F.abs(F.col("est_direct") - F.col("exact_distinct"))
+            <= F.ceil(F.col("exact_distinct") * F.lit(0.05))
+        ).alias("within_err"),
+    )
 
 
 def _q_avg_derived(spark, sf_dir):
@@ -773,6 +811,39 @@ def _q_route_read(spark, sf_dir):
     )
 
 
+def _q_route_read_stored(spark, sf_dir):
+    """S4+S6+P5 composition — the PRODUCTION read path under the gate
+    (r3 VERDICT task #4): the 1h tier is WRITTEN through ManifestStore
+    (bucketed + sort-within-partition series-major layout, snapshot-
+    pinned commit) and the 2h query is answered from the STORED table
+    via read_rollup (route -> pruned scan of the tier parquet ->
+    re-agg -> zero-fill -> derived avg). Same direct-from-raw oracle
+    as route_read, so the hash match proves the store round-trip
+    composes exactly with routing — not just the in-memory cascade."""
+    import tempfile
+
+    from opentsdb_rollup_rust_spark.functions.hashing import (
+        series_hash_bucket,
+    )
+    from opentsdb_rollup_rust_spark.plans.tier_router import read_rollup
+    from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+
+    store = ManifestStore(
+        spark, tempfile.mkdtemp(prefix="spark_graft_route_stored_")
+    )
+    r1h = cascade_reagg(tumbling_rollup(_event_points(spark, sf_dir), "1m"), "1h")
+    tier_df = (
+        r1h.withColumn("bucket", series_hash_bucket("series_id", 8))
+        .repartition(8, "bucket")
+        .sortWithinPartitions("series_id", "window_start")
+    )
+    store.append("rollup_1h", tier_df)
+    out = read_rollup(store, 7200, fill="zero", with_avg=True)
+    return out.select(
+        "series_id", _epoch(), "sum", "count", "min", "max", "avg"
+    )
+
+
 def _q_gapfill_zero(spark, sf_dir):
     r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
     return _rollup_out(gap_fill(r1h, "1h", "zero"))
@@ -1015,9 +1086,29 @@ def _chunk_table(spark, sf_dir, chunk_points: int) -> DataFrame:
 
     with open(G.__file__, "rb") as f:
         fp = hashlib.md5(f.read()).hexdigest()[:10]
+    # Fold the SOURCE DATA into the key too (mtime+size of every
+    # events parquet): regenerated testdata at the same path must not
+    # serve a stale chunk table (ADVICE r3 — stale cache reads as
+    # wrong bench timings / spurious gate mismatches).
+    src = os.path.join(sf_dir, "events.parquet")
+    paths = (
+        sorted(
+            os.path.join(src, p)
+            for p in os.listdir(src)
+            if p.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    data_sig = hashlib.md5(
+        "|".join(
+            f"{p}:{os.path.getmtime(p):.0f}:{os.path.getsize(p)}"
+            for p in paths
+        ).encode()
+    ).hexdigest()[:10]
     path = (
         f"/tmp/spark_graft_cache/chunks_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_1h_c{chunk_points}_{fp}.parquet"
+        f"_1h_c{chunk_points}_{fp}_{data_sig}.parquet"
     )
     if not os.path.exists(path):
         r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
@@ -1130,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_equi": _q_join_equi,
         "join_range": _q_join_range,
         "route_read": _q_route_read,
+        "route_read_stored": _q_route_read_stored,
         "gapfill_zero": _q_gapfill_zero,
         "gapfill_ffill": _q_gapfill_ffill,
         "gapfill_interp": _q_gapfill_interp,
@@ -1156,10 +1248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(PIPELINE_QUERIES)
 
     # The driver gate samples 50 of the registered queries preserving
-    # dict order; these keys never landed in CORRECTNESS_r01/r02, so
-    # they go first until every operator has a green driver row
-    # (round-2 VERDICT task #2).
+    # dict order; round-4 front = the keys that are NEW or CHANGED
+    # this round (must land in CORRECTNESS_r04), then the r3 front.
     front = [
+        "hist_percentile",
+        "agg_distinct_sketch",
+        "route_read_stored",
+        "ann_recall",
         "ann_topk",
         "ann_lsh",
         "ann_ivf",
@@ -1170,8 +1265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean",
         "pack_materialize",
         "hist_rollup",
-        "hist_percentile",
-        "agg_distinct_sketch",
         "route_read",
         "gapfill_interp",
         "rollup_cal_week",
@@ -1353,8 +1446,12 @@ def oracle_sql() -> dict[str, str]:
                            AS total
                   FROM h)
             SELECT series_id, w_start, min(bucket) AS bucket,
-                   CAST(power(2, min(bucket)) AS BIGINT) - 1 AS est_max,
-                   min(total) AS total
+                   (CASE WHEN min(bucket) < 0 THEN -1
+                         WHEN min(bucket) = 0 THEN 0
+                         ELSE ((1::BIGINT << (min(bucket) - 1)) - 1)
+                              + (1::BIGINT << (min(bucket) - 1))
+                    END)::BIGINT AS est_max,
+                   min(total)::BIGINT AS total
             FROM c WHERE cum >= (total * 950 + 999) // 1000
             GROUP BY 1, 2""",
         "avg_derived": f"""{_PTS_CTE}
@@ -1555,6 +1652,28 @@ def oracle_sql() -> dict[str, str]:
               ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
              AND a.series_id <> b.series_id
             GROUP BY 1, 2""",
+        "route_read_stored": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w,
+                         sum(value)::BIGINT AS s, count(value)::BIGINT AS c,
+                         min(value) AS mn, max(value) AS mx
+                  FROM pts GROUP BY 1, 2),
+            b AS (SELECT series_id, min(w) AS w0, max(w) AS w1 FROM r GROUP BY 1),
+            spine AS (SELECT series_id, unnest(generate_series(w0, w1, 7200)) AS w
+                      FROM b)
+            SELECT spine.series_id, spine.w AS w_start,
+                   coalesce(s, 0)::BIGINT AS "sum", coalesce(c, 0)::BIGINT AS "count",
+                   coalesce(mn, 0)::BIGINT AS "min", coalesce(mx, 0)::BIGINT AS "max",
+                   CASE WHEN coalesce(c, 0) > 0
+                        THEN (s::DOUBLE) / (c::DOUBLE) END AS avg
+            FROM spine LEFT JOIN r ON spine.series_id = r.series_id AND spine.w = r.w""",
+        "agg_distinct_sketch": f"""{_PTS_CTE}
+            SELECT series_id,
+                   CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                   count(DISTINCT value)::BIGINT AS exact_distinct,
+                   0::BIGINT AS delta_est,
+                   true AS within_err
+            FROM pts GROUP BY 1, 2""",
         "route_read": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w,

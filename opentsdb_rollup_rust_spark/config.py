@@ -25,6 +25,21 @@ INTERVAL_SECONDS = {
 }
 
 
+def resolve_interval_seconds(interval: str) -> int:
+    """Seconds for an interval name. Named tiers resolve through the
+    table above; ad-hoc read-path resolutions use the '<N>s' form
+    (e.g. '7200s') and are parsed here WITHOUT mutating the global
+    table — the query planner must stay pure (r3 VERDICT purity nit:
+    rollup_read_pipeline used to setdefault() into INTERVAL_SECONDS
+    at query time)."""
+    sec = INTERVAL_SECONDS.get(interval)
+    if sec is not None:
+        return sec
+    if interval.endswith("s") and interval[:-1].isdigit():
+        return int(interval[:-1])
+    raise KeyError(interval)
+
+
 @dataclass(frozen=True)
 class TierSpec:
     """One retention tier of the downsample cascade."""

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..config import INTERVAL_SECONDS
+from ..config import resolve_interval_seconds
 
 FILL_POLICIES = ("none", "zero", "null", "nan", "ffill", "interp")
 
@@ -39,7 +39,7 @@ FILL_POLICIES = ("none", "zero", "null", "nan", "ffill", "interp")
 def window_spine(rollup: DataFrame, interval: str) -> DataFrame:
     """Dense (series_id, window_start) spine spanning each series'
     observed [min, max] window range at ``interval``."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     bounds = rollup.groupBy("series_id").agg(
         F.min("window_start").alias("w0"), F.max("window_start").alias("w1")
     )

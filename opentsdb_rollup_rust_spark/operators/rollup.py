@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import INTERVAL_SECONDS, SERIES_SEP, TOKEN_STATS
+from ..config import SERIES_SEP, TOKEN_STATS, resolve_interval_seconds
 from ..functions.timeutil import time_bucket
 
 ROLLUP_COLS = ("series_id", "window_start", "interval", "sum", "count", "min", "max")
@@ -34,7 +34,7 @@ ROLLUP_COLS = ("series_id", "window_start", "interval", "sum", "count", "min", "
 
 def tumbling_rollup(points: DataFrame, interval: str) -> DataFrame:
     """A1: points(series_id, ts, value) -> rollup rows at ``interval``."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     return (
         points.groupBy(
             "series_id", time_bucket("ts", sec).alias("window_start")
@@ -59,7 +59,7 @@ def tumbling_rollup(points: DataFrame, interval: str) -> DataFrame:
 
 def cascade_reagg(finer: DataFrame, interval: str) -> DataFrame:
     """A2: re-aggregate a finer rollup tier to ``interval``."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     return (
         finer.groupBy(
             "series_id", time_bucket("window_start", sec).alias("window_start")
@@ -158,7 +158,7 @@ def fused_rollup_wide(
     frame (source, ts_sec, <TOKEN_STATS>) — split out so the driver
     correctness gate can feed it a DuckDB-reproducible wide source
     (__spark_entry__ rollup_fused)."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     win = (F.floor(F.col("ts_sec") / F.lit(sec).cast("long")) * sec).cast("long")
 
     def stat_aggs(src: dict[str, str]) -> list:
@@ -283,7 +283,7 @@ def histogram_rollup(points: DataFrame, interval: str) -> DataFrame:
     OpenTSDB histogram / Prometheus native-histogram design). Output
     rows are |series x windows x <=64 buckets| — the bucket dimension
     is a small constant factor on the tier size."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     return (
         points.groupBy(
             "series_id",
@@ -305,7 +305,7 @@ def histogram_cascade(hist: DataFrame, interval: str) -> DataFrame:
     """A14 cascade: coarser histogram tier from a finer one — counts
     re-add per bucket. cascade(direct_1m) == direct-at-coarser exactly
     (same decomposability argument as A2; golden + oracle-checked)."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     return (
         hist.groupBy(
             "series_id",
@@ -338,7 +338,7 @@ def distinct_sketch_rollup(
     within HLL's ~1.6% (lg_k=12) error. The sketch is a <= 2^lg_k-byte
     binary column — a constant factor on tier row width, the same
     trade the Gorilla chunks make."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     return (
         points.groupBy(
             "series_id", time_bucket("ts", sec).alias("window_start")
@@ -356,7 +356,7 @@ def distinct_sketch_rollup(
 def distinct_sketch_cascade(sketches: DataFrame, interval: str) -> DataFrame:
     """A16 cascade: coarser distinct tier by unioning finer sketches
     (register-wise max — hll_union_agg)."""
-    sec = INTERVAL_SECONDS[interval]
+    sec = resolve_interval_seconds(interval)
     return (
         sketches.groupBy(
             "series_id", time_bucket("window_start", sec).alias("window_start")
@@ -410,6 +410,17 @@ def percentile_from_histogram(hist: DataFrame, q_permille: int) -> DataFrame:
         F.sum("n").over(w_all).alias("total"),
     )
     thr = F.expr(f"(total * {int(q_permille)} + 999) DIV 1000")
+    # est_max = 2^bucket - 1, computed entirely in int64 (no float pow):
+    # bucket<0 -> -1 (negative-value bucket), bucket=0 -> 0, else
+    # half-1+half where half = 1 << (bucket-1).  The split avoids the
+    # 1<<63 overflow (bucket 63 -> 2^62-1 + 2^62 = Long.MAX), so the
+    # expression is ANSI-safe for every reachable bucket.
+    half = F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    est_max = (
+        F.when(F.col("bucket") < 0, F.lit(-1).cast("long"))
+        .when(F.col("bucket") == 0, F.lit(0).cast("long"))
+        .otherwise(half - F.lit(1) + half)
+    )
     return (
         c.where(F.col("cum") >= thr)
         .groupBy("series_id", "window_start")
@@ -418,9 +429,7 @@ def percentile_from_histogram(hist: DataFrame, q_permille: int) -> DataFrame:
             "series_id",
             "window_start",
             "bucket",
-            (F.pow(F.lit(2.0), F.col("bucket")).cast("long") - F.lit(1)).alias(
-                "est_max"
-            ),
+            est_max.alias("est_max"),
             "total",
         )
     )

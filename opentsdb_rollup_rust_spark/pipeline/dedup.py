@@ -514,6 +514,102 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster"))
 
 
+# Crossover default for connected_components_auto, set from
+# scripts/cc_crossover_bench.py (see SURVEY §8 "CC crossover"):
+# per-round cost of the two algorithms is within ~1.3x of each other
+# on shallow graphs, so propagation only wins while it converges in
+# few rounds; on a 4096-node chain fixpoint needs diameter rounds
+# (~minutes) while two-star closes in ~10. Probing PROBE_ROUNDS
+# propagation rounds costs at most ~PROBE_ROUNDS extra round-times
+# before switching, and near-dup graphs (diameter 2-3) converge well
+# inside it.
+CC_PROBE_ROUNDS = 4
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    probe_rounds: int = CC_PROBE_ROUNDS,
+    max_iter: int = 30,
+) -> DataFrame:
+    """D6 default policy: diameter is unknowable a priori, so probe
+    with min-label propagation (cheapest per round on the shallow
+    graphs near-dup dedup actually produces) for ``probe_rounds``
+    rounds; if unconverged, CONTRACT the graph by the partial labels
+    (edge {u,v} -> {label(u), label(v)}, a component-preserving
+    quotient) and finish with O(log n) two-star on the much smaller
+    contracted edge set, composing the labelings. Worst case pays
+    probe_rounds propagation rounds extra; adversarial-diameter
+    graphs still finish in O(log n) total rounds, and shallow graphs
+    never pay two-star's constant factor. Property-tested equal to
+    both base variants (tests/test_pipeline.py)."""
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .persist()
+    )
+    labels = (
+        bidir.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(probe_rounds):
+        nbr = bidir.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            converged = True
+            break
+    if converged:
+        bidir.unpersist()
+        return labels.select("node", F.col("label").alias("cluster"))
+    # quotient graph: one node per current label, edges between the
+    # labels of each original edge's endpoints (self-loops drop)
+    lu = labels.withColumnRenamed("node", "u").withColumnRenamed(
+        "label", "lu"
+    )
+    lv = labels.withColumnRenamed("node", "v").withColumnRenamed(
+        "label", "lv"
+    )
+    contracted = (
+        bidir.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("lu") != F.col("lv"))
+        .select(F.col("lu").alias("doc_a"), F.col("lv").alias("doc_b"))
+    )
+    bidir.unpersist()
+    meta = connected_components_twostar(contracted, max_iter=max_iter)
+    # compose: node -> probe label -> contracted-component min. Labels
+    # that were already component minima (not present in the quotient's
+    # node set) keep themselves.
+    return (
+        labels.join(
+            meta.withColumnRenamed("node", "label"), "label", "left"
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("cluster"), F.col("label")).alias("cluster"),
+        )
+    )
+
+
 def connected_components_twostar(
     edges: DataFrame,
     src: str = "doc_a",
@@ -533,8 +629,12 @@ def connected_components_twostar(
     list — the same shuffle shape as a propagation round — and the
     edge set contracts toward stars rooted at component minima.
     Convergence = edge set unchanged over a full LS+SS pair, detected
-    with an order-invariant (count, sum-of-xxhash64) checksum — one
-    tiny action per pair, no full-set comparison join.
+    with an order-invariant (count, two independently-salted
+    sum-of-xxhash64) checksum — one tiny action per pair, no full-set
+    comparison join. The check is PROBABILISTIC (a false stop needs
+    two simultaneous 64-bit hash-sum collisions at equal edge count,
+    ~2^-120); callers needing a deterministic fixpoint should use
+    connected_components, whose per-round delta count is exact.
 
     Property-tested equal to connected_components on random graphs
     (tests/test_pipeline.py::test_twostar_matches_fixpoint)."""
@@ -568,16 +668,30 @@ def connected_components_twostar(
         )
 
     def _checksum(e: DataFrame) -> tuple:
-        # pmod keeps the summed hash < 1e9 per row: ANSI mode makes a
-        # raw sum(xxhash64) overflow long and THROW
+        # Order-invariant edge-set fingerprint. NOTE: this makes the
+        # fixpoint test probabilistic — two DIFFERENT edge sets with
+        # equal count AND equal hash-sums would terminate the loop
+        # early with wrong clusters. Two independently-salted xxhash64
+        # sums are kept so a false stop needs two simultaneous 64-bit
+        # coincidences (~2^-120 with the count); pmod keeps each summed
+        # term < 1e9 so the sums can't overflow long under ANSI mode.
         row = e.agg(
             F.count("*").alias("n"),
             F.coalesce(
                 F.sum(F.pmod(F.xxhash64("a", "b"), F.lit(1_000_000_007))),
                 F.lit(0),
             ).alias("h"),
+            F.coalesce(
+                F.sum(
+                    F.pmod(
+                        F.xxhash64(F.lit("cc-salt-2"), "a", "b"),
+                        F.lit(998_244_353),
+                    )
+                ),
+                F.lit(0),
+            ).alias("h2"),
         ).collect()[0]
-        return (row.n, row.h)
+        return (row.n, row.h, row.h2)
 
     sig = _checksum(cur)
     for _ in range(max_iter):

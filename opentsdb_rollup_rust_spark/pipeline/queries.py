@@ -56,6 +56,12 @@ from .text import text_profile
 
 EMB_DIM = 64
 
+# Per-method recall@3 floors the ann_recall gate asserts (ppm).
+# Measured: lsh 694_666 (sf0.01) / 729_000 (sf0.1); ivf 476_000 /
+# 512_833 (n_probe=4 of 16 lists — probing a quarter of the corpus
+# bounds recall by design). Floors sit below both scales with margin.
+ANN_RECALL_FLOORS_PPM = {"lsh": 650_000, "ivf": 450_000}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -249,6 +255,45 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN QUALITY as a gate-checked number (r3 VERDICT task #5):
+    recall@3 of lsh_topk and ivf_topk against exact brute-force top-3
+    over the full query set (every vector queries; identical
+    deterministic tie-break cos DESC, id ASC in both engines). All
+    three pipelines are md5-deterministic, so the oracle recomputes
+    the IDENTICAL recall in SQL — the hash match pins the approximate
+    operators' retrieval quality, not just their candidate mechanics —
+    and ``meets_floor`` asserts recall_ppm >= the per-method floor
+    in ANN_RECALL_FLOORS_PPM.
+    Integer arithmetic only (ppm via DIV), no float recall."""
+    e = _mp(_embs(spark, sf_dir))
+    truth = brute_force_topk(e, e, k=3).select("q_id", "neighbor_id")
+    possible = e.agg((F.count("*") * 3).cast("long").alias("possible"))
+
+    def _row(method, approx):
+        hits = (
+            approx.select("q_id", "neighbor_id")
+            .join(truth, ["q_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").cast("long").alias("hits"))
+        )
+        # 1-row x 1-row crossJoin: scalar assembly, not a data join
+        return hits.crossJoin(possible).select(
+            F.lit(method).alias("method"),
+            "hits",
+            "possible",
+            F.expr("CAST((hits * 1000000) DIV possible AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                f"(hits * 1000000) DIV possible >= {ANN_RECALL_FLOORS_PPM[method]}"
+            ).alias("meets_floor"),
+        )
+
+    return _row("lsh", lsh_topk(e, dim=EMB_DIM, k=3)).unionByName(
+        _row("ivf", ivf_topk(e, dim=EMB_DIM, k=3))
+    )
+
+
 def q_pipeline_clean(spark, sf_dir):
     """End-to-end training-data cleaning pass composing the pipeline
     operators the way a real corpus build does:
@@ -332,6 +377,7 @@ PIPELINE_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_recall": q_ann_recall,
     "pipeline_clean": q_pipeline_clean,
     "mm_features": q_mm_features,
     "pack_concat": q_pack_concat,
@@ -785,3 +831,30 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 
 # identical clusters regardless of CC algorithm -> same oracle
 PIPELINE_ORACLE_SQL["dedup_components_star"] = PIPELINE_ORACLE_SQL["dedup_components"]
+
+# ann_recall: exact recall@3 of the two approximate indexes vs brute
+# force, recomputed wholly in SQL by nesting the ann_lsh / ann_ivf
+# oracles as CTE subqueries (DuckDB allows WITH inside parens).
+PIPELINE_ORACLE_SQL["ann_recall"] = f"""WITH {_prepared_vecs("ve AS (SELECT vec_id, embedding FROM embeddings)", "ve")},
+    truth AS (
+      SELECT q_id, neighbor_id
+      FROM (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_sql_cos_q(_sql_dot("a.qe", "b.qe"), "a.n2", "b.n2")} DESC,
+                                b.vec_id) AS rnk
+            FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)
+      WHERE rnk <= 3),
+    lsh AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_lsh"]})),
+    ivf AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_ivf"]})),
+    poss AS (SELECT 3 * count(*)::BIGINT AS possible FROM embeddings),
+    lh AS (SELECT count(*)::BIGINT AS hits FROM lsh JOIN truth USING (q_id, neighbor_id)),
+    ih AS (SELECT count(*)::BIGINT AS hits FROM ivf JOIN truth USING (q_id, neighbor_id))
+    SELECT 'lsh' AS method, hits, possible,
+           ((hits * 1000000) // possible)::BIGINT AS recall_ppm,
+           (hits * 1000000) // possible >= {ANN_RECALL_FLOORS_PPM["lsh"]} AS meets_floor
+    FROM lh CROSS JOIN poss
+    UNION ALL
+    SELECT 'ivf' AS method, hits, possible,
+           ((hits * 1000000) // possible)::BIGINT AS recall_ppm,
+           (hits * 1000000) // possible >= {ANN_RECALL_FLOORS_PPM["ivf"]} AS meets_floor
+    FROM ih CROSS JOIN poss"""

@@ -65,9 +65,10 @@ def rollup_read_pipeline(
     if series_predicate is not None:
         df = df.where(series_predicate)
     if resolution_seconds != INTERVAL_SECONDS[tier]:
-        # exact re-aggregation to the requested resolution
+        # exact re-aggregation to the requested resolution; the '<N>s'
+        # name resolves through config.resolve_interval_seconds — no
+        # global-table mutation at query time (the planner is pure)
         name = f"{resolution_seconds}s"
-        INTERVAL_SECONDS.setdefault(name, resolution_seconds)
         df = cascade_reagg(df, name)
         interval_name = name
     else:

@@ -798,10 +798,13 @@ class IcebergStore:
         files). Iceberg retains snapshot summary metadata through
         expiry on its own, so resume markers survive here natively.
         Orphan collection runs as Iceberg's separate
-        remove_orphan_files procedure with the same
-        ``orphan_grace_seconds`` age guard the manifest backend applies
-        — both backends honor the parameter identically behind the
-        make_store surface."""
+        remove_orphan_files procedure. DIVERGENCE from ManifestStore:
+        Iceberg's RemoveOrphanFilesProcedure rejects intervals under
+        24 hours (IllegalArgumentException, bypassable only via
+        spark.testing or the Action API), so the cutoff here is
+        clamped to max(orphan_grace_seconds, 86400) — the manifest
+        backend honors the raw parameter, this backend never sweeps
+        files younger than a day."""
         from datetime import datetime, timedelta, timezone
 
         before = len(self.snapshot_summaries(table))
@@ -815,7 +818,7 @@ class IcebergStore:
         ).collect()[0]
         after = len(self.snapshot_summaries(table))
         orphan_cutoff = (
-            now_dt - timedelta(seconds=orphan_grace_seconds)
+            now_dt - timedelta(seconds=max(orphan_grace_seconds, 86400.0))
         ).strftime("%Y-%m-%d %H:%M:%S")
         orow = self.spark.sql(
             f"CALL {self.catalog}.system.remove_orphan_files("

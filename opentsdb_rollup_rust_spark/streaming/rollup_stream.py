@@ -347,26 +347,43 @@ def commit_stream_batch(
     return True
 
 
-def _checkpoint_stream_id(checkpoint: str) -> str:
+def _checkpoint_identity(checkpoint: str) -> tuple[str, bool]:
     """Stable identity for one checkpoint-directory GENERATION: a uuid
     minted on first use and persisted as a sidecar file inside the
     checkpoint dir. Deleting/recreating the checkpoint (which resets
     Structured Streaming's batch ids to 0) also deletes the sidecar,
     so the new generation gets a fresh identity and its batches are
-    never mistaken for replays of the old one."""
+    never mistaken for replays of the old one.
+
+    Returns ``(stream_id, legacy)``. ``legacy`` is True exactly when
+    the sidecar was minted just now inside a checkpoint that ALREADY
+    holds Structured Streaming state (offsets/commits written before
+    identity scoping existed): that generation's prior store commits
+    carry no stream_id, so callers must seed their replay high-water
+    mark from the UNSCOPED mark or a crash-replayed already-committed
+    micro-batch would be re-committed (duplicate rows)."""
     import uuid
 
     os.makedirs(checkpoint, exist_ok=True)
     sidecar = os.path.join(checkpoint, "stream_identity.json")
     if os.path.exists(sidecar):
         with open(sidecar) as f:
-            return json.load(f)["stream_id"]
+            return json.load(f)["stream_id"], False
+    legacy = any(
+        os.path.isdir(os.path.join(checkpoint, d))
+        for d in ("offsets", "commits")
+    )
     sid = uuid.uuid4().hex
     tmp = f"{sidecar}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump({"stream_id": sid}, f)
     os.replace(tmp, sidecar)
-    return sid
+    return sid, legacy
+
+
+def _checkpoint_stream_id(checkpoint: str) -> str:
+    """Back-compat shim over _checkpoint_identity (id only)."""
+    return _checkpoint_identity(checkpoint)[0]
 
 
 def stream_rollup_to_store(
@@ -402,8 +419,15 @@ def stream_rollup_to_store(
     # GENERATION's identity: a recreated checkpoint restarts batch ids
     # at 0, and comparing those against an older generation's mark
     # would silently drop every new batch as a "replay".
-    stream_id = _checkpoint_stream_id(checkpoint)
-    state = {"max": latest_stream_batch(store, table, stream_id)}
+    stream_id, legacy = _checkpoint_identity(checkpoint)
+    seed = latest_stream_batch(store, table, stream_id)
+    if legacy:
+        # pre-scoping checkpoint: its earlier commits carry no
+        # stream_id, so the scoped mark is -1 even though batches were
+        # committed — seed from the unscoped mark to keep exactly-once
+        # across the upgrade (batch ids continue, they don't reset).
+        seed = max(seed, latest_stream_batch(store, table, None))
+    state = {"max": seed}
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         if commit_stream_batch(

@@ -325,6 +325,43 @@ def test_twostar_matches_fixpoint(spark):
         assert two == fix
 
 
+def test_auto_cc_matches_fixpoint_both_paths(spark):
+    # connected_components_auto: shallow graphs converge inside the
+    # propagation probe (no contraction); the 61-node chain cannot
+    # converge in probe_rounds=2, forcing the contract-then-two-star
+    # fallback — both paths must equal the plain fixpoint labels.
+    from opentsdb_rollup_rust_spark.pipeline.dedup import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    fix = {
+        r.node: r.cluster
+        for r in connected_components(chain, max_iter=80).collect()
+    }
+    auto = {
+        r.node: r.cluster
+        for r in connected_components_auto(chain, probe_rounds=2).collect()
+    }
+    assert auto == fix
+
+    shallow = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    fix_s = {
+        r.node: r.cluster for r in connected_components(shallow).collect()
+    }
+    auto_s = {
+        r.node: r.cluster
+        for r in connected_components_auto(shallow).collect()
+    }
+    assert auto_s == fix_s
+
+
 def test_pii_scrub_counts_and_replacements(spark):
     from opentsdb_rollup_rust_spark.pipeline.text import pii_scrub
 

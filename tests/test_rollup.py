@@ -166,6 +166,33 @@ def test_percentile_from_histogram_error_bound(points):
         assert r["est_max"] < 2 * max(p95, 1)
 
 
+def test_percentile_est_max_integer_edges(spark):
+    """A15 est_max is pure int64 (no float pow): bucket 63 yields
+    2^63-1 without overflow (the old pow(2.0, 63) cast would THROW
+    under ANSI), bucket 0 -> 0, negative bucket -> -1."""
+    import datetime
+
+    from opentsdb_rollup_rust_spark.operators.rollup import (
+        percentile_from_histogram,
+    )
+
+    w = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", w, 63, 10),  # values >= 2^62: est_max = Long.MAX
+        ("b", w, 0, 10),
+        ("c", w, -1, 10),
+        ("d", w, 10, 10),
+    ]
+    h = spark.createDataFrame(
+        rows, "series_id string, window_start timestamp, bucket int, n long"
+    )
+    got = {
+        r["series_id"]: r["est_max"]
+        for r in percentile_from_histogram(h, 950).collect()
+    }
+    assert got == {"a": (1 << 63) - 1, "b": 0, "c": -1, "d": 1023}
+
+
 def test_distinct_sketch_cascade_equals_direct(points):
     """A16: HLL register state is order-independent max, so
     union-cascaded sketches estimate EXACTLY what a direct coarse

@@ -219,6 +219,32 @@ def test_stream_checkpoint_regeneration_not_mistaken_for_replay(spark, tmp_path)
     assert latest_stream_batch(store, "t") == 2
 
 
+def test_legacy_checkpoint_detected_for_seed(tmp_path):
+    """r3 ADVICE: a checkpoint that already holds Structured Streaming
+    state (offsets/commits) but no identity sidecar is a PRE-SCOPING
+    generation — its earlier store commits carry no stream_id, so the
+    sink must seed its replay mark from the unscoped high-water mark
+    instead of -1 (else a crash-replayed committed batch re-commits).
+    _checkpoint_identity flags exactly that case."""
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        _checkpoint_identity,
+    )
+
+    # fresh checkpoint: minted sidecar, NOT legacy
+    fresh = tmp_path / "ckpt_fresh"
+    sid, legacy = _checkpoint_identity(str(fresh))
+    assert not legacy
+    # pre-existing streaming state without a sidecar: legacy once
+    old = tmp_path / "ckpt_old"
+    (old / "offsets").mkdir(parents=True)
+    (old / "commits").mkdir()
+    sid2, legacy2 = _checkpoint_identity(str(old))
+    assert legacy2
+    # identity persists; the legacy flag fires only on first mint
+    sid3, legacy3 = _checkpoint_identity(str(old))
+    assert sid3 == sid2 and not legacy3
+
+
 def test_stateful_forward_fill_tws_parity(spark, tmp_path):
     """ST6 == ST4: the transformWithState (Spark 4 StatefulProcessor +
     RocksDB state store) forward-fill produces the identical output to
