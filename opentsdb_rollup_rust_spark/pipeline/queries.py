@@ -23,6 +23,7 @@ from .dedup import (
     _mh_perm_consts,
     cluster_summary,
     connected_components,
+    connected_components_auto,
     connected_components_twostar,
     exact_dup_clusters,
     minhash_lsh_pairs,
@@ -56,10 +57,11 @@ from .text import text_profile
 
 EMB_DIM = 64
 
-# Per-method recall@3 floors the ann_recall gate asserts (ppm).
-# Measured: lsh 694_666 (sf0.01) / 729_000 (sf0.1); ivf 476_000 /
-# 512_833 (n_probe=4 of 16 lists — probing a quarter of the corpus
-# bounds recall by design). Floors sit below both scales with margin.
+# Per-method recall@3 floors the ann_recall gate asserts (ppm), over
+# the deterministic 10% query panel (vec_id % 10 == 0). Measured:
+# lsh 693_333 (sf0.01) / 731_666 (sf0.1); ivf 526_666 / 500_000
+# (n_probe=4 of 16 lists — probing a quarter of the corpus bounds
+# recall by design). Floors sit below both scales with margin.
 ANN_RECALL_FLOORS_PPM = {"lsh": 650_000, "ivf": 450_000}
 
 
@@ -211,6 +213,17 @@ def q_dedup_components_star(spark, sf_dir):
     )
 
 
+def q_dedup_components_auto(spark, sf_dir):
+    """D6 default policy under the driver gate: the probe-then-
+    contract hybrid (connected_components_auto) on the same pair set
+    — shares dedup_components' recursive-closure oracle, so a hash
+    match proves auto == twostar == fixpoint == closure."""
+    d = with_planted_dupes(_mp(_docs(spark, sf_dir)), every=10, mutate=True)
+    return cluster_summary(
+        connected_components_auto(minhash_lsh_pairs(d))
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     # 60-bit simhash: planted near-dups land at hamming <= ~13; 7 keeps
     # precision while the 15-bit bands keep the candidate join selective
@@ -265,10 +278,22 @@ def q_ann_recall(spark, sf_dir):
     operators' retrieval quality, not just their candidate mechanics —
     and ``meets_floor`` asserts recall_ppm >= the per-method floor
     in ANN_RECALL_FLOORS_PPM.
-    Integer arithmetic only (ppm via DIV), no float recall."""
+    Integer arithmetic only (ppm via DIV), no float recall.
+
+    Scale shape: ground truth is brute force, inherently quadratic,
+    so it runs over a deterministic 10% QUERY PANEL (vec_id % 10 == 0
+    — the standard recall-evaluation pattern: sample queries, never
+    the corpus) and is localCheckpoint'ed so the lsh and ivf branches
+    share ONE materialization instead of recomputing the brute-force
+    plan per branch (measured 339s -> seconds at sf0.1)."""
     e = _mp(_embs(spark, sf_dir))
-    truth = brute_force_topk(e, e, k=3).select("q_id", "neighbor_id")
-    possible = e.agg((F.count("*") * 3).cast("long").alias("possible"))
+    panel = e.where(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    truth = (
+        brute_force_topk(e, panel, k=3)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    possible = panel.agg((F.count("*") * 3).cast("long").alias("possible"))
 
     def _row(method, approx):
         hits = (
@@ -373,6 +398,7 @@ PIPELINE_QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_components": q_dedup_components,
     "dedup_components_star": q_dedup_components_star,
+    "dedup_components_auto": q_dedup_components_auto,
     "dedup_embed": q_dedup_embed,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -831,6 +857,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 
 # identical clusters regardless of CC algorithm -> same oracle
 PIPELINE_ORACLE_SQL["dedup_components_star"] = PIPELINE_ORACLE_SQL["dedup_components"]
+PIPELINE_ORACLE_SQL["dedup_components_auto"] = PIPELINE_ORACLE_SQL["dedup_components"]
 
 # ann_recall: exact recall@3 of the two approximate indexes vs brute
 # force, recomputed wholly in SQL by nesting the ann_lsh / ann_ivf
@@ -842,11 +869,13 @@ PIPELINE_ORACLE_SQL["ann_recall"] = f"""WITH {_prepared_vecs("ve AS (SELECT vec_
                    row_number() OVER (PARTITION BY a.vec_id
                        ORDER BY {_sql_cos_q(_sql_dot("a.qe", "b.qe"), "a.n2", "b.n2")} DESC,
                                 b.vec_id) AS rnk
-            FROM pv a JOIN pv b ON a.vec_id <> b.vec_id)
+            FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 10 = 0)
       WHERE rnk <= 3),
     lsh AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_lsh"]})),
     ivf AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_ivf"]})),
-    poss AS (SELECT 3 * count(*)::BIGINT AS possible FROM embeddings),
+    poss AS (SELECT 3 * count(*)::BIGINT AS possible FROM embeddings
+             WHERE vec_id % 10 = 0),
     lh AS (SELECT count(*)::BIGINT AS hits FROM lsh JOIN truth USING (q_id, neighbor_id)),
     ih AS (SELECT count(*)::BIGINT AS hits FROM ivf JOIN truth USING (q_id, neighbor_id))
     SELECT 'lsh' AS method, hits, possible,

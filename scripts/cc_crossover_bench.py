@@ -69,6 +69,13 @@ def main():
             ("twostar", connected_components_twostar),
             ("auto", connected_components_auto),
         ):
+            # drop the previous variant's localCheckpoint RDD refs:
+            # without this the iterative cases degrade each other
+            # (measured: chains-len5 auto 84s in-session vs 21s fresh)
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.monotonic()
             try:
                 res = {r.node: r.cluster for r in fn(df).collect()}
