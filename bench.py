@@ -119,12 +119,20 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "3"))
     seqs = spark.read.parquet(seq_path)
 
+    # BENCH_DERIVE_IMPL: "arrow" (default, mapInArrow + numpy reduceat)
+    # vs "sql" (codegen'd higher-order functions, no Python boundary).
+    # Both are exact (golden-tested equal); the A/B exists because the
+    # Arrow IPC/Python-wait slice is 33% of heavy-stage task time at
+    # local[32] (BENCH/BASELINE.md forensics) and the JVM path trades
+    # that for per-element HOF evaluation.
+    derive_impl = os.environ.get("BENCH_DERIVE_IMPL", "arrow")
+
     def pipeline() -> float:
         # mirrors the tier job: materialize the 1m tier once (persist =
         # the tier write), then cascade 1h/1d from it — derive runs once.
         # fused_tier_rollup = the job's wide-form derive+agg scale path
         t0 = time.monotonic()
-        r1m = fused_tier_rollup(seqs, "1m", impl="arrow").persist()
+        r1m = fused_tier_rollup(seqs, "1m", impl=derive_impl).persist()
         _sink(r1m)
         _sink(cascade_reagg(cascade_reagg(r1m, "1h"), "1d"))
         r1m.unpersist()
