@@ -94,6 +94,23 @@ def main() -> None:
             # throttling otherwise injects multi-second stalls)
             "spark.local.dir": "/dev/shm/spark-tmp",
             "spark.driver.memory": f"{gb_per_core * cpus}g",
+            # -Xms=-Xmx + AlwaysPreTouch: fault + zero the whole heap
+            # ONCE at JVM start (untimed) instead of during timed reps.
+            # G1 otherwise grows/uncommits regions between reps and the
+            # kernel re-zeroes tens of GB of pages inside the
+            # measurement window — pure sys-time that scales with heap
+            # size, i.e. 4x worse at the 4N level than at N (the
+            # documented "kernel-time burst" signature). Disable with
+            # SPARK_GRAFT_PRETOUCH=0 for A/B.
+            **(
+                {
+                    "spark.driver.extraJavaOptions": (
+                        f"-Xms{gb_per_core * cpus}g -XX:+AlwaysPreTouch"
+                    )
+                }
+                if os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0"
+                else {}
+            ),
         },
     )
 
@@ -119,13 +136,19 @@ def main() -> None:
     reps = int(os.environ.get("BENCH_REPS", "3"))
     seqs = spark.read.parquet(seq_path)
 
-    # BENCH_DERIVE_IMPL: "arrow" (default, mapInArrow + numpy reduceat)
-    # vs "sql" (codegen'd higher-order functions, no Python boundary).
-    # Both are exact (golden-tested equal); the A/B exists because the
-    # Arrow IPC/Python-wait slice is 33% of heavy-stage task time at
-    # local[32] (BENCH/BASELINE.md forensics) and the JVM path trades
-    # that for per-element HOF evaluation.
-    derive_impl = os.environ.get("BENCH_DERIVE_IMPL", "arrow")
+    # BENCH_DERIVE_IMPL: "sql" (default since r4: JVM higher-order
+    # functions, no Python boundary) vs "arrow" (mapInArrow + numpy
+    # reduceat — the r1-r3 default). Both are exact (golden-tested
+    # equal). Switched after the r4 interleaved ABAB A/B
+    # (scripts/derive_ab.py, 24M seqs, same JVM): every sql rep beat
+    # every arrow rep at BOTH levels (local[32] min 17.5 s vs 39.6 s;
+    # local[8] min 50.8 s vs 248 s) — the host's kernel-time bursts
+    # (futex storms inside the JVM) land overwhelmingly on the
+    # Arrow-IPC path, and the r3 forensics already showed Arrow
+    # IPC/Python wait was the worst-scaling slice (1.57x inflation at
+    # 32 cores). The Gorilla codec stays Arrow (mandated); derive is
+    # expressible in built-ins, and built-ins beat UDFs.
+    derive_impl = os.environ.get("BENCH_DERIVE_IMPL", "sql")
 
     def pipeline() -> float:
         # mirrors the tier job: materialize the 1m tier once (persist =
