@@ -1146,6 +1146,71 @@ def _q_codec_stats(spark, sf_dir):
     return compression_stats(_chunk_table(spark, sf_dir, chunk_points=4096))
 
 
+def _q_codec_check(spark, sf_dir):
+    """C1/C2/C3 as gate-checked INVARIANTS (r3 VERDICT task #2 applied
+    to the codec, the same move that greened the HLL sketch): DuckDB
+    cannot reproduce Gorilla bitstreams, but it can verify what they
+    must preserve. Per agg kind the Spark side emits
+      - points: total points across the 1h chunk table (sum of chunk
+        n) — must equal the direct 1h rollup's row count, proving the
+        chunk table covers every (series, window) exactly once;
+      - mismatch_rows: full-outer compare of decode(encode(tier))
+        against the directly-computed rollup — any missing, extra, or
+        value-different row counts here (always 0);
+      - bpp_ok: bytes/point in (0, 16] — 2x the uncompressed 8B word
+        as the sanity ceiling, catching a codec that 'roundtrips' by
+        storing raw.
+    The oracle computes the same grid from raw with literal
+    0/true, so a hash match proves the lossless-roundtrip, coverage,
+    and compression-sanity invariants under the driver gate."""
+    from opentsdb_rollup_rust_spark.codec.gorilla import (
+        compression_stats,
+        decode_chunks,
+    )
+
+    chunks = _chunk_table(spark, sf_dir, chunk_points=4096)
+    decoded = decode_chunks(chunks)
+    direct = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    d_long = direct.select(
+        "series_id",
+        "window_start",
+        F.stack(
+            F.lit(4),
+            F.lit("sum"), F.col("sum"),
+            F.lit("count"), F.col("count"),
+            F.lit("min"), F.col("min"),
+            F.lit("max"), F.col("max"),
+        ).alias("agg", "dval"),
+    )
+    j = decoded.join(
+        d_long, ["series_id", "window_start", "agg"], "full_outer"
+    )
+    mism = (
+        j.where(
+            F.col("value").isNull()
+            | F.col("dval").isNull()
+            | (F.col("value") != F.col("dval"))
+        )
+        .groupBy("agg")
+        .agg(F.count("*").alias("mismatch_rows"))
+    )
+    stats = compression_stats(chunks).select(
+        "agg",
+        F.col("points").cast("long").alias("points"),
+        (
+            (F.col("bytes_per_point") > 0) & (F.col("bytes_per_point") <= 16)
+        ).alias("bpp_ok"),
+    )
+    return stats.join(mism, "agg", "left").select(
+        "agg",
+        "points",
+        F.coalesce(F.col("mismatch_rows"), F.lit(0)).cast("long").alias(
+            "mismatch_rows"
+        ),
+        "bpp_ok",
+    )
+
+
 def _q_udaf_hist(spark, sf_dir):
     """A10: grouped-map pandas UDAF — per-source histogram of document
     lengths (bucket = 200 chars). Two-phase since r3: the histogram
@@ -1243,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": _q_codec_roundtrip,
         "codec_pruned_read": _q_codec_pruned_read,
         "codec_stats": _q_codec_stats,
+        "codec_check": _q_codec_check,
         "udaf_hist": _q_udaf_hist,
     }
     qs.update(PIPELINE_QUERIES)
@@ -1251,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order; round-4 front = the keys that are NEW or CHANGED
     # this round (must land in CORRECTNESS_r04), then the r3 front.
     front = [
+        "codec_check",
         "hist_percentile",
         "agg_distinct_sketch",
         "route_read_stored",
@@ -1849,7 +1916,14 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip": _rollup_sql(3600, "1h"),
         "codec_pruned_read": f"""SELECT * FROM ({_rollup_sql(3600, "1h")})
             WHERE w_start >= {_PRUNE_T0} AND w_start < {_PRUNE_T1}""",
-        # codec_stats: rows-only (depends on codec internals by design)
+        # codec_stats: rows-only (depends on codec internals by design);
+        # codec_check pins its invariants under the gate instead:
+        "codec_check": f"""WITH r AS ({_rollup_sql(3600, "1h")})
+            SELECT t.agg,
+                   (SELECT count(*) FROM r)::BIGINT AS points,
+                   CAST(0 AS BIGINT) AS mismatch_rows,
+                   true AS bpp_ok
+            FROM (VALUES ('sum'), ('count'), ('min'), ('max')) AS t(agg)""",
         "udaf_hist": """
             SELECT source, CAST(n_chars // 200 AS BIGINT) AS bucket,
                    count(*)::BIGINT AS n

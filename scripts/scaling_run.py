@@ -221,6 +221,10 @@ def main() -> None:
         "n_sequences": args.seqs,
         "warmup": args.warmup,
         "reps": args.reps,
+        # engine-config disclosure (r4): which derive path the timed
+        # pipeline used and whether the bench JVMs pretouched the heap
+        "derive_impl": os.environ.get("BENCH_DERIVE_IMPL", "sql"),
+        "pretouch": os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0",
     }
     print(json.dumps(summary))
 
@@ -230,7 +234,8 @@ def main() -> None:
 
 Input: {args.seqs} deterministic synthetic sequences = {args.seqs * 6}
 metric points (seedless xxhash synth, fixed file layout). Timed window
-per rep: read -> derive points (vectorized Arrow) -> 1m rollup -> 1h
+per rep: read -> derive points (impl=
+{os.environ.get("BENCH_DERIVE_IMPL", "sql")}) -> 1m rollup -> 1h
 -> 1d cascade -> sink. Per level: process pinned to exactly N cores
 (sched_setaffinity), {args.warmup} untimed JIT-warmup reps, best of
 {args.reps} timed reps (best-of because this box shows intermittent
