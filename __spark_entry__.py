@@ -844,6 +844,40 @@ def _q_route_read_stored(spark, sf_dir):
     )
 
 
+def _q_route_read_spliced(spark, sf_dir):
+    """P5b — REAL-TIME continuous-aggregate read: the 1h tier is
+    materialized only up to a watermark; the 2h query is answered by
+    splicing tier rows (< watermark) with an on-the-fly 1h rollup of
+    raw points (>= watermark) at FINE granularity, then re-aggregating
+    to 2h. The watermark is deliberately an ODD multiple of 3600, so
+    one 2h output window straddles it — its cold half comes from the
+    tier and its hot half from raw, and the hash match against the
+    direct-from-raw oracle proves the splice recombines it exactly.
+    The watermark probe is a 1-row min/max aggregate (not a data
+    collect)."""
+    from opentsdb_rollup_rust_spark.plans.tier_router import (
+        realtime_read_pipeline,
+    )
+
+    pts = _event_points(spark, sf_dir)
+    lo, hi = (
+        pts.agg(
+            F.min(F.unix_timestamp("ts")).alias("lo"),
+            F.max(F.unix_timestamp("ts")).alias("hi"),
+        ).first()
+    )
+    wm = ((lo + hi) // 2) // 7200 * 7200 + 3600
+    tier_1h = cascade_reagg(tumbling_rollup(pts, "1m"), "1h").where(
+        F.col("window_start") < F.timestamp_seconds(F.lit(wm))
+    )
+    out = realtime_read_pipeline(
+        tier_1h, pts, "1h", 7200, wm, fill="zero", with_avg=True
+    )
+    return out.select(
+        "series_id", _epoch(), "sum", "count", "min", "max", "avg"
+    )
+
+
 def _q_gapfill_zero(spark, sf_dir):
     r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
     return _rollup_out(gap_fill(r1h, "1h", "zero"))
@@ -1287,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": _q_join_range,
         "route_read": _q_route_read,
         "route_read_stored": _q_route_read_stored,
+        "route_read_spliced": _q_route_read_spliced,
         "gapfill_zero": _q_gapfill_zero,
         "gapfill_ffill": _q_gapfill_ffill,
         "gapfill_interp": _q_gapfill_interp,
@@ -1317,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order; round-4 front = the keys that are NEW or CHANGED
     # this round (must land in CORRECTNESS_r04), then the r3 front.
     front = [
+        "route_read_spliced",
         "codec_check",
         "hist_percentile",
         "agg_distinct_sketch",
@@ -1742,6 +1778,23 @@ def oracle_sql() -> dict[str, str]:
                    0::BIGINT AS delta_est,
                    true AS within_err
             FROM pts GROUP BY 1, 2""",
+        # spliced real-time read: same direct-from-raw 2h answer — the
+        # hash match proves tier<watermark ∪ raw>=watermark ≡ direct
+        "route_read_spliced": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w,
+                         sum(value)::BIGINT AS s, count(value)::BIGINT AS c,
+                         min(value) AS mn, max(value) AS mx
+                  FROM pts GROUP BY 1, 2),
+            b AS (SELECT series_id, min(w) AS w0, max(w) AS w1 FROM r GROUP BY 1),
+            spine AS (SELECT series_id, unnest(generate_series(w0, w1, 7200)) AS w
+                      FROM b)
+            SELECT spine.series_id, spine.w AS w_start,
+                   coalesce(s, 0)::BIGINT AS "sum", coalesce(c, 0)::BIGINT AS "count",
+                   coalesce(mn, 0)::BIGINT AS "min", coalesce(mx, 0)::BIGINT AS "max",
+                   CASE WHEN coalesce(c, 0) > 0
+                        THEN (s::DOUBLE) / (c::DOUBLE) END AS avg
+            FROM spine LEFT JOIN r ON spine.series_id = r.series_id AND spine.w = r.w""",
         "route_read": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w,

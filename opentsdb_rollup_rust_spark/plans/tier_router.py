@@ -80,6 +80,63 @@ def rollup_read_pipeline(
     return df
 
 
+def realtime_read_pipeline(
+    tier_df: DataFrame,
+    raw_points: DataFrame,
+    tier: str,
+    resolution_seconds: int,
+    watermark_epoch: int,
+    t0=None,
+    t1=None,
+    series_predicate=None,
+    fill: str = "none",
+    with_avg: bool = True,
+) -> DataFrame:
+    """Real-time continuous-aggregate splice (the TimescaleDB
+    real-time-caggs / OpenTSDB rollup+raw merge read): the
+    materialized tier answers every fine window strictly BEFORE the
+    materialization watermark; raw points at/after the watermark are
+    rolled up on the fly at the same fine interval; the two halves
+    union at fine granularity and then flow through the normal read
+    pipeline (exact re-aggregation to the requested resolution ->
+    fill -> derived avg).
+
+    Splicing at the FINE tier's granularity (not the requested
+    resolution) is what makes the result exact even when a coarse
+    output window straddles the watermark — its cold half comes from
+    the tier, its hot half from raw, and ``cascade_reagg`` recombines
+    them because sum/count/min/max are decomposable.
+
+    ``watermark_epoch`` must be a multiple of the fine tier's
+    interval — the invariant every materializer maintains (a tier
+    only ever contains COMPLETE windows). Both watermark predicates
+    are literal comparisons, so they push into the respective scans
+    (tier parquet footer pruning on window_start; raw event-time
+    pruning on ts).
+    """
+    sec = INTERVAL_SECONDS[tier]
+    if watermark_epoch % sec:
+        raise ValueError(
+            f"watermark {watermark_epoch} not aligned to tier {tier} ({sec}s)"
+        )
+    from ..operators.rollup import tumbling_rollup
+
+    wm = F.timestamp_seconds(F.lit(watermark_epoch))
+    cold = tier_df.where(F.col("window_start") < wm)
+    hot = tumbling_rollup(raw_points.where(F.col("ts") >= wm), tier)
+    fine = cold.unionByName(hot)
+    return rollup_read_pipeline(
+        fine,
+        tier,
+        resolution_seconds,
+        t0=t0,
+        t1=t1,
+        series_predicate=series_predicate,
+        fill=fill,
+        with_avg=with_avg,
+    )
+
+
 def read_rollup(
     store: ManifestStore,
     resolution_seconds: int,

@@ -180,3 +180,45 @@ def test_read_rollup_reaggregates(spark, store):
         == direct.agg(F.sum("count")).first()[0]
     )
     assert "avg" in two_h.columns
+
+
+def test_realtime_splice_equals_direct(spark, points):
+    """P5b: tier<watermark ∪ on-the-fly raw>=watermark re-aggregated
+    to 2h equals the direct single-source read, for watermarks at the
+    range edges (all-cold / all-hot) and at an ODD 1h boundary (a 2h
+    window straddles the splice — its halves must recombine exactly)."""
+    from opentsdb_rollup_rust_spark.operators.rollup import cascade_reagg
+    from opentsdb_rollup_rust_spark.plans.tier_router import (
+        realtime_read_pipeline,
+        rollup_read_pipeline,
+    )
+    from tests.conftest import assert_df_equal
+
+    pts = points
+    tier_full = cascade_reagg(tumbling_rollup(pts, "1m"), "1h")
+    direct = rollup_read_pipeline(
+        tier_full, "1h", 7200, fill="zero", with_avg=True
+    )
+    lo, hi = pts.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    mid_odd = ((lo + hi) // 2) // 7200 * 7200 + 3600
+    all_cold = (hi // 3600 + 1) * 3600
+    all_hot = lo // 3600 * 3600
+    for wm in (mid_odd, all_cold, all_hot):
+        tier = tier_full.where(
+            F.col("window_start") < F.timestamp_seconds(F.lit(wm))
+        )
+        spliced = realtime_read_pipeline(
+            tier, pts, "1h", 7200, wm, fill="zero", with_avg=True
+        )
+        assert_df_equal(spliced, direct)
+
+
+def test_realtime_splice_rejects_unaligned_watermark(spark, points):
+    from opentsdb_rollup_rust_spark.plans.tier_router import (
+        realtime_read_pipeline,
+    )
+
+    with pytest.raises(ValueError):
+        realtime_read_pipeline(points, points, "1h", 7200, 1800)
