@@ -1353,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round (must land in CORRECTNESS_r04), then the r3 front.
     front = [
         "route_read_spliced",
+        "text_repetition",
         "codec_check",
         "hist_percentile",
         "agg_distinct_sketch",

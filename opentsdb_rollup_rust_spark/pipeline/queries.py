@@ -386,8 +386,19 @@ def q_pack_greedy(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """T7: Gopher-style repetition quality signals — duplicate-word /
+    duplicate-2gram / top-2gram fractions as exact-integer ppm. The
+    2-gram mode is a real distributed aggregation (explode ->
+    partial-agg), not a per-row O(L^2) array scan."""
+    from .text import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir))
+
+
 PIPELINE_QUERIES = {
     "text_tokens": q_text_tokens,
+    "text_repetition": q_text_repetition,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -567,6 +578,27 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                len(regexp_extract_all(text, {_BPE_SQL}))::BIGINT AS n_bpe_tokens,
                length(text)::BIGINT AS n_text_chars
         FROM d""",
+    "text_repetition": f"""WITH {_D},
+        pw AS (SELECT doc_id, {_WORDS} AS w FROM d),
+        b AS (SELECT doc_id, len(w)::BIGINT AS nw,
+                     len(list_distinct(w))::BIGINT AS dw,
+                     list_transform(generate_series(1, len(w)-1),
+                                    i -> w[i] || ' ' || w[i+1]) AS g
+              FROM pw WHERE len(w) >= 2),
+        e AS (SELECT doc_id, nw, dw, unnest(g) AS gram FROM b),
+        pg AS (SELECT doc_id, gram, count(*)::BIGINT AS cnt,
+                      min(nw) AS nw, min(dw) AS dw
+               FROM e GROUP BY 1, 2),
+        a AS (SELECT doc_id, min(nw) AS nw, min(dw) AS dw,
+                     sum(cnt)::BIGINT AS n2, count(*)::BIGINT AS d2,
+                     max(cnt)::BIGINT AS topc
+              FROM pg GROUP BY 1)
+        SELECT doc_id, nw AS n_words,
+               ((nw - dw) * 1000000 // nw)::BIGINT AS dup_word_ppm,
+               n2 AS n_2grams,
+               ((n2 - d2) * 1000000 // n2)::BIGINT AS dup_2gram_ppm,
+               (topc * 1000000 // n2)::BIGINT AS top_2gram_ppm
+        FROM a""",
     "text_quality": f"""WITH {_D},
         t AS (SELECT doc_id, text, {_WORDS} AS w,
                      length(text)::BIGINT AS n_chars2,

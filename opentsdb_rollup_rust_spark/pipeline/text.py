@@ -153,6 +153,63 @@ def bag_fingerprint(text: Column | str) -> Column:
     return F.md5(F.array_join(w, " "))
 
 
+def repetition_profile(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """T7: Gopher-style repetition signals — the quality filters that
+    catch boilerplate and degenerate generations: duplicate-word
+    fraction, duplicate-2gram fraction, and the fraction of all 2-gram
+    occurrences taken by the single most frequent 2-gram. All three
+    are exact-integer ppm (``x * 1e6 DIV total``) so the DuckDB oracle
+    matches bit-for-bit.
+
+    Scale shape: word stats are array HOFs (no shuffle); the 2-gram
+    mode needs a real aggregation, done as explode -> partial-agg on
+    (doc_id, gram) -> per-doc rollup — two map-side-combined shuffles
+    keyed by doc_id, never a per-row quadratic scan of the gram array
+    (O(L^2) per document would not survive book-length docs at 100 TB).
+    Documents with fewer than two words have no 2-grams and drop out
+    (mirrored in the oracle's ``len(w) >= 2`` filter)."""
+    w = doc_words(F.col(text_col))
+    tail = F.size(w) - F.lit(1)
+    grams = F.zip_with(
+        F.slice(w, 1, tail),
+        F.slice(w, 2, tail),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("d_words"),
+        grams.alias("grams"),
+    )
+    e = base.select(
+        "doc_id", "n_words", "d_words", F.explode("grams").alias("gram")
+    )
+    per_gram = e.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.min("n_words").alias("n_words"),
+        F.min("d_words").alias("d_words"),
+    )
+    agg = per_gram.groupBy("doc_id").agg(
+        F.min("n_words").alias("n_words"),
+        F.min("d_words").alias("d_words"),
+        F.sum("cnt").alias("n_2grams"),
+        F.count("*").alias("d_2grams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        F.expr("(n_words - d_words) * 1000000 DIV n_words").alias(
+            "dup_word_ppm"
+        ),
+        "n_2grams",
+        F.expr("(n_2grams - d_2grams) * 1000000 DIV n_2grams").alias(
+            "dup_2gram_ppm"
+        ),
+        F.expr("top_cnt * 1000000 DIV n_2grams").alias("top_2gram_ppm"),
+    )
+
+
 # PII patterns kept to plain character classes + bounded repeats so
 # Java regex (Spark) and RE2 (DuckDB) match the identical spans —
 # no lookarounds, no backrefs, no alternation-order subtleties.

@@ -441,3 +441,35 @@ def test_mm_frame_sample_plan(docs):
     metas = {r["doc_id"]: r["media_frames"] for r in media.collect()}
     for r in rows:
         assert r["n"] == (metas[r["doc_id"]] - 1) // 10 + 1
+
+
+def test_repetition_profile_golden(spark):
+    """T7 golden: hand-computed repetition ppm on tiny docs, incl. a
+    fully-repetitive doc, a no-repeat doc, and a 1-word doc (drops —
+    no 2-grams, mirrored in the oracle's len(w)>=2 filter)."""
+    from opentsdb_rollup_rust_spark.pipeline.text import repetition_profile
+
+    rows = [
+        (1, "a a a a"),          # words 4/distinct 1; grams: 'a a' x3
+        (2, "x y z"),            # no repetition anywhere
+        (3, "p q p q p"),        # grams: p q, q p, p q, q p -> top 2/4
+        (4, "solo"),             # 1 word -> no 2-grams -> dropped
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    d1 = out[1]
+    assert (d1["n_words"], d1["dup_word_ppm"]) == (4, 750000)
+    assert (d1["n_2grams"], d1["dup_2gram_ppm"], d1["top_2gram_ppm"]) == (
+        3, 666666, 1000000)
+    d2 = out[2]
+    assert (d2["dup_word_ppm"], d2["dup_2gram_ppm"], d2["top_2gram_ppm"]) == (
+        0, 0, 500000)
+    d3 = out[3]
+    assert (d3["n_words"], d3["dup_word_ppm"]) == (5, 600000)
+    assert (d3["n_2grams"], d3["dup_2gram_ppm"], d3["top_2gram_ppm"]) == (
+        4, 500000, 500000)
