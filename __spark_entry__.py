@@ -1354,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "route_read_spliced",
         "text_repetition",
+        "sample_mixture",
         "codec_check",
         "hist_percentile",
         "agg_distinct_sketch",

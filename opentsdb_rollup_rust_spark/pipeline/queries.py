@@ -386,6 +386,24 @@ def q_pack_greedy(spark, sf_dir):
     )
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Q-MIX: deterministic training-mixture sampling — src0 up-sampled
+    2.5x, src1 1x, src2 0.5x, everything else 0.1x, decided by a pure
+    per-doc md5 hash (resumable: retried tasks re-derive the identical
+    sample). The query MATERIALIZES the mixture (explode) and pins the
+    emitted multiset per source: row count, distinct docs, doc_id and
+    copy_idx sums."""
+    from .sampling import mixture_sample
+
+    out = mixture_sample(_docs(spark, sf_dir))
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_emitted"),
+        F.countDistinct("doc_id").alias("n_docs_kept"),
+        F.sum("doc_id").alias("doc_id_sum"),
+        F.sum("copy_idx").cast("long").alias("copy_idx_sum"),
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """T7: Gopher-style repetition quality signals — duplicate-word /
     duplicate-2gram / top-2gram fractions as exact-integer ppm. The
@@ -399,6 +417,7 @@ def q_text_repetition(spark, sf_dir):
 PIPELINE_QUERIES = {
     "text_tokens": q_text_tokens,
     "text_repetition": q_text_repetition,
+    "sample_mixture": q_sample_mixture,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -578,6 +597,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                len(regexp_extract_all(text, {_BPE_SQL}))::BIGINT AS n_bpe_tokens,
                length(text)::BIGINT AS n_text_chars
         FROM d""",
+    "sample_mixture": None,  # filled below from sampling's constants
     "text_repetition": f"""WITH {_D},
         pw AS (SELECT doc_id, {_WORDS} AS w FROM d),
         b AS (SELECT doc_id, len(w)::BIGINT AS nw,
@@ -888,6 +908,46 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
 }
 
 # identical clusters regardless of CC algorithm -> same oracle
+# mixture-sampling oracle, generated from sampling's ONE constant
+# table so engine and oracle can never drift
+def _mixture_oracle_sql() -> str:
+    from .sampling import (
+        DEFAULT_WEIGHT,
+        MIXTURE_WEIGHTS,
+        SAMPLE_DENOM,
+        SAMPLE_SALT,
+        _weight_maps,
+    )
+
+    whole, frac, d_whole, d_frac = _weight_maps(MIXTURE_WEIGHTS, DEFAULT_WEIGHT)
+    w_case = " ".join(
+        f"WHEN '{s}' THEN {whole[s]}" for s in sorted(MIXTURE_WEIGHTS)
+    )
+    f_case = " ".join(
+        f"WHEN '{s}' THEN {frac[s]}" for s in sorted(MIXTURE_WEIGHTS)
+    )
+    bucket = (
+        f"(('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {SAMPLE_DENOM})"
+    )
+    return f"""WITH {_D},
+        c AS (SELECT doc_id, source,
+                     (CASE source {w_case} ELSE {d_whole} END)
+                     + (CASE WHEN {bucket} <
+                             (CASE source {f_case} ELSE {d_frac} END)
+                        THEN 1 ELSE 0 END) AS n
+              FROM d),
+        e AS (SELECT doc_id, source,
+                     unnest(generate_series(0, n - 1)) AS copy_idx
+              FROM c WHERE n > 0)
+        SELECT source, count(*)::BIGINT AS n_emitted,
+               count(DISTINCT doc_id)::BIGINT AS n_docs_kept,
+               sum(doc_id)::BIGINT AS doc_id_sum,
+               sum(copy_idx)::BIGINT AS copy_idx_sum
+        FROM e GROUP BY 1"""
+
+
+PIPELINE_ORACLE_SQL["sample_mixture"] = _mixture_oracle_sql()
 PIPELINE_ORACLE_SQL["dedup_components_star"] = PIPELINE_ORACLE_SQL["dedup_components"]
 PIPELINE_ORACLE_SQL["dedup_components_auto"] = PIPELINE_ORACLE_SQL["dedup_components"]
 

@@ -473,3 +473,37 @@ def test_repetition_profile_golden(spark):
     assert (d3["n_words"], d3["dup_word_ppm"]) == (5, 600000)
     assert (d3["n_2grams"], d3["dup_2gram_ppm"], d3["top_2gram_ppm"]) == (
         4, 500000, 500000)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Q-MIX: realized per-source rates converge to the weights
+    (hash-uniform, binomial noise), n_copies never exceeds ceil(w),
+    and the sample is INVARIANT under repartitioning (pure per-key
+    hash, no rand()) — the resumability property."""
+    from opentsdb_rollup_rust_spark.pipeline.sampling import mixture_sample
+    from tests.conftest import assert_df_equal
+
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+    )
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.5}  # src3 -> 0.1
+    out = mixture_sample(docs, weights)
+    rates = {
+        r["source"]: r["n"] / (n / 4)
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, w in [("src0", 2.5), ("src1", 1.0), ("src2", 0.5), ("src3", 0.1)]:
+        got = rates.get(src, 0.0)
+        assert abs(got - w) < 0.05, (src, got, w)
+    # determinism: identical multiset from a differently-partitioned input
+    assert_df_equal(out, mixture_sample(docs.repartition(13), weights))
+    # copy_idx bounded by ceil(w)
+    top = {
+        r["source"]: r["m"]
+        for r in out.groupBy("source").agg(F.max("copy_idx").alias("m")).collect()
+    }
+    assert top["src0"] <= 2 and top["src1"] <= 1 and top["src2"] == 0
