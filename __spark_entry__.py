@@ -1355,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_read_spliced",
         "text_repetition",
         "sample_mixture",
+        "decontam",
         "codec_check",
         "hist_percentile",
         "agg_distinct_sketch",

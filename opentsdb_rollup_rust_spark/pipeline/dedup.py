@@ -769,3 +769,45 @@ def with_planted_dupes(
             F.array_join(F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1))), " "),
         )
     return docs.unionByName(mutated)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — the pass every training corpus runs
+    before release: flag training documents that share any k-word
+    shingle with a held-out evaluation set, with the count of distinct
+    shared shingles as the contamination score.
+
+    Scale shape: the eval side is tiny relative to a 100 TB corpus, so
+    its distinct shingle set is BROADCAST — the corpus never shuffles
+    for the join; each scan task probes the in-memory shingle set and
+    only matching (doc_id, shingle) rows reach the final per-doc
+    aggregation (map-side combined, keyed by doc_id). Shingles are
+    per-doc distinct already (_shingled), so count(*) after the join
+    IS the distinct-shared count.
+    """
+    tr = _shingled(train, text_col, k)
+    ev = (
+        _shingled(eval_docs, text_col, k)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    tr_e = tr.select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hits = tr_e.join(F.broadcast(ev), "shingle").groupBy("doc_id").agg(
+        F.min("n_shingles").alias("n_shingles"),
+        F.count("*").alias("n_shared"),
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.expr("n_shared * 1000000 DIV n_shingles").alias("share_ppm"),
+    )

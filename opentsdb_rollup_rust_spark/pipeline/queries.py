@@ -404,6 +404,18 @@ def q_sample_mixture(spark, sf_dir):
     )
 
 
+def q_decontam(spark, sf_dir):
+    """D7: benchmark decontamination — docs with doc_id % 37 == 0 play
+    the held-out eval set; every other doc is scored by its count of
+    distinct 3-word shingles shared with that set. Eval shingles are
+    broadcast, so the training corpus never shuffles for the join."""
+    from .dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    panel = F.col("doc_id") % 37 == 0
+    return decontaminate(d.where(~panel), d.where(panel))
+
+
 def q_text_repetition(spark, sf_dir):
     """T7: Gopher-style repetition quality signals — duplicate-word /
     duplicate-2gram / top-2gram fractions as exact-integer ppm. The
@@ -418,6 +430,7 @@ PIPELINE_QUERIES = {
     "text_tokens": q_text_tokens,
     "text_repetition": q_text_repetition,
     "sample_mixture": q_sample_mixture,
+    "decontam": q_decontam,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -598,6 +611,26 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                length(text)::BIGINT AS n_text_chars
         FROM d""",
     "sample_mixture": None,  # filled below from sampling's constants
+    "decontam": f"""WITH {_D},
+        tr AS (SELECT doc_id, text FROM d WHERE doc_id % 37 <> 0),
+        ev AS (SELECT doc_id, text FROM d WHERE doc_id % 37 = 0),
+        ta AS (SELECT doc_id, list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN list_transform(generate_series(1, len(w)-2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                      ELSE [array_to_string(w, ' ')] END) AS sa
+               FROM (SELECT doc_id, {_WORDS} AS w FROM tr)),
+        te AS (SELECT doc_id, len(sa)::BIGINT AS ns, unnest(sa) AS shingle
+               FROM ta),
+        es AS (SELECT DISTINCT unnest(list_distinct(
+                 CASE WHEN len(w) >= 3
+                      THEN list_transform(generate_series(1, len(w)-2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                      ELSE [array_to_string(w, ' ')] END)) AS shingle
+               FROM (SELECT {_WORDS} AS w FROM ev))
+        SELECT doc_id, min(ns) AS n_shingles, count(*)::BIGINT AS n_shared,
+               (count(*) * 1000000 // min(ns))::BIGINT AS share_ppm
+        FROM te JOIN es USING (shingle) GROUP BY 1""",
     "text_repetition": f"""WITH {_D},
         pw AS (SELECT doc_id, {_WORDS} AS w FROM d),
         b AS (SELECT doc_id, len(w)::BIGINT AS nw,

@@ -507,3 +507,31 @@ def test_mixture_sample_rates_and_determinism(spark):
         for r in out.groupBy("source").agg(F.max("copy_idx").alias("m")).collect()
     }
     assert top["src0"] <= 2 and top["src1"] <= 1 and top["src2"] == 0
+
+
+def test_decontaminate_golden_and_broadcast(spark):
+    """D7 golden: exact shared-shingle counts on a planted overlap,
+    clean docs absent; and the eval side joins as a BROADCAST hash
+    join (the corpus must never shuffle for decontamination)."""
+    from opentsdb_rollup_rust_spark.pipeline.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words only here friend"),
+            (3, "quick brown fox runs fast"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox jumps high")], "doc_id long, text string"
+    )
+    out = decontaminate(train, ev)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # doc 1 shares 'quick brown fox' + 'brown fox jumps'; doc 3 only the first
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_shared"] == 2 and rows[1]["n_shingles"] == 7
+    assert rows[3]["n_shared"] == 1
+    assert rows[1]["share_ppm"] == 2 * 1_000_000 // 7
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
