@@ -645,6 +645,40 @@ def _q_win_rate(spark, sf_dir):
     )
 
 
+def _q_win_rate_wrap(spark, sf_dir):
+    """W6b: the other half of OpenTSDB's rate options — counterMax
+    WRAP correction plus resetValue spike suppression. A negative
+    delta on a counter is assumed to be a wrap, so counterMax is added
+    back (recovering the true delta for a counter stored mod M); but
+    if the corrected delta exceeds resetValue the sample is treated as
+    a genuine restart and the rate is 0 (OpenTSDB's guard against the
+    colossal false rate a real reset would otherwise produce under
+    wrap correction). Same sawtooth counter as win_rate, so the two
+    demos differ ONLY in the rate rule."""
+    counter_max, reset_value = 1_000_000, 500_000
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    w = Window.partitionBy("series_id").orderBy("window_start")
+    cum = F.sum("sum").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_ctr = r1h.select(
+        "series_id", _epoch(), F.pmod(cum, F.lit(counter_max)).alias("counter")
+    )
+    ws = Window.partitionBy("series_id").orderBy("w_start")
+    delta = F.col("counter") - F.lag("counter").over(ws)
+    dt = (F.col("w_start") - F.lag("w_start").over(ws)).cast("double")
+    corrected = F.when(delta < 0, delta + F.lit(counter_max)).otherwise(delta)
+    rate = F.when(corrected > F.lit(reset_value), F.lit(0.0)).otherwise(
+        corrected.cast("double") / dt
+    )
+    return with_ctr.select(
+        "series_id",
+        "w_start",
+        "counter",
+        F.floor(rate * F.lit(1_000_000)).cast("long").alias("rate_q"),
+    )
+
+
 def _q_win_moving(spark, sf_dir):
     r1d = tumbling_rollup(_event_points(spark, sf_dir), "1d")
     w = (
@@ -1309,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_topk": _q_win_topk,
         "win_delta": _q_win_delta,
         "win_rate": _q_win_rate,
+        "win_rate_wrap": _q_win_rate_wrap,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -1354,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = [
         "route_read_spliced",
         "text_repetition",
+        "win_rate_wrap",
         "sample_mixture",
         "decontam",
         "codec_check",
@@ -1676,6 +1712,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT w_start, sum(iv_q)::BIGINT AS sum_q,
                    count(*)::BIGINT AS n_series
             FROM iv WHERE iv_q IS NOT NULL GROUP BY w_start""",
+        "win_rate_wrap": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS s
+                  FROM pts GROUP BY 1, 2),
+            c AS (SELECT series_id, w_start,
+                         (sum(s) OVER (PARTITION BY series_id ORDER BY w_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          % 1000000)::BIGINT AS counter
+                  FROM r),
+            d AS (SELECT series_id, w_start, counter,
+                         counter - lag(counter) OVER
+                           (PARTITION BY series_id ORDER BY w_start) AS delta,
+                         (w_start - lag(w_start) OVER
+                           (PARTITION BY series_id ORDER BY w_start))::DOUBLE AS dt
+                  FROM c),
+            e AS (SELECT series_id, w_start, counter, dt,
+                         CASE WHEN delta < 0 THEN delta + 1000000
+                              ELSE delta END AS corrected
+                  FROM d)
+            SELECT series_id, w_start, counter,
+                   CAST(FLOOR(1000000 * CASE WHEN corrected > 500000 THEN 0.0
+                                             ELSE corrected::DOUBLE / dt END)
+                        AS BIGINT) AS rate_q
+            FROM e""",
         "win_rate": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
