@@ -308,6 +308,33 @@ def _q_derive_points(spark, sf_dir):
     )
 
 
+def _q_dedup_seq_exact(spark, sf_dir):
+    """D1b: SEQUENCE-level exact dedup — the token-payload twin of
+    the text dedup_exact: the key is md5 over the comma-joined token
+    array itself, so byte-identical token sequences collapse no matter
+    what document text produced them (post-tokenization dedup is what
+    a packing pipeline actually needs — same text tokenized twice, or
+    different text normalizing to the same ids). Planted duplicates
+    relabel every 10th sequence with a shifted id while KEEPING its
+    token array. hash-groupBy, partial agg collapses per task."""
+    seqs = _md5_token_seqs(spark, sf_dir, numeric_id=True)
+    dup = seqs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    planted = seqs.unionByName(dup)
+    key = F.md5(
+        F.array_join(
+            F.transform("tokens", lambda x: x.cast("string")), ","
+        )
+    )
+    return (
+        planted.select(key.alias("seq_hash"), "doc_id")
+        .groupBy("seq_hash")
+        .agg(F.count("*").alias("n_seqs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_seqs") > 1)
+    )
+
+
 def _q_rollup_fused(spark, sf_dir):
     """A1/A5/S3 fused scale path (rollup.fused_rollup_wide) over a
     DuckDB-reproducible wide source: same md5-token sequences as
@@ -1337,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile": _q_agg_percentile,
         "agg_rollup_sets": _q_agg_rollup_sets,
         "derive_points": _q_derive_points,
+        "dedup_seq_exact": _q_dedup_seq_exact,
         "rollup_fused": _q_rollup_fused,
         "pack_materialize": _q_pack_materialize,
         "tok_topk": _q_tok_topk,
@@ -1390,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
+        "dedup_seq_exact",
         "sample_mixture",
         "decontam",
         "codec_check",
@@ -1712,6 +1741,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT w_start, sum(iv_q)::BIGINT AS sum_q,
                    count(*)::BIGINT AS n_series
             FROM iv WHERE iv_q IS NOT NULL GROUP BY w_start""",
+        "dedup_seq_exact": """
+            WITH seqs AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents),
+            planted AS (
+              SELECT doc_id, tokens FROM seqs
+              UNION ALL
+              SELECT doc_id + 10000000, tokens FROM seqs WHERE doc_id % 10 = 0)
+            SELECT md5(array_to_string(tokens, ',')) AS seq_hash,
+                   count(*)::BIGINT AS n_seqs, min(doc_id) AS keeper
+            FROM planted GROUP BY 1 HAVING count(*) > 1""",
         "win_rate_wrap": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,

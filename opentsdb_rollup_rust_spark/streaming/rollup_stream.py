@@ -126,6 +126,30 @@ def streaming_histogram_rollup(
     )
 
 
+def streaming_dedup_rollup(
+    points: DataFrame,
+    interval: str,
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("series_id", "ts"),
+) -> DataFrame:
+    """ST8: exactly-once EVENT dedup upstream of the rollup. Kafka
+    replays and at-least-once producers deliver duplicate points; a
+    plain dropDuplicates would keep every key ever seen (unbounded
+    state), so this uses dropDuplicatesWithinWatermark — a key's
+    dedup state is dropped once the watermark passes it, bounding
+    state to the late-data horizon while still collapsing every
+    duplicate that can legally arrive. Dedup state survives across
+    micro-batches (pinned by the maxFilesPerTrigger=1 parity test)."""
+    deduped = points.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+    sec = INTERVAL_SECONDS[interval]
+    return _agg_select(
+        deduped.groupBy("series_id", F.window("ts", f"{sec} seconds")),
+        interval,
+    )
+
+
 def streaming_sliding_rollup(
     points: DataFrame,
     length: str = "10 minutes",

@@ -303,3 +303,23 @@ def test_stateful_forward_fill_tws_parity(spark, tmp_path):
     assert got[("s1", e + 10800)] == (40, 0)
     assert got[("s2", e + 3600)] == (7, 0)
     assert len(got) == 5
+
+
+def test_streaming_dedup_across_batches(spark, points, points_dir, tmp_path):
+    """ST8: the input is delivered TWICE in separate files, forced into
+    separate micro-batches (maxFilesPerTrigger=1) — dedup state must
+    carry across batches so the completed stream equals the batch
+    rollup over per-key-unique points."""
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        streaming_dedup_rollup,
+    )
+    from opentsdb_rollup_rust_spark.operators.rollup import tumbling_rollup
+
+    dup_dir = str(tmp_path / "dup_points")
+    points.write.mode("overwrite").parquet(dup_dir)
+    points.write.mode("append").parquet(dup_dir)
+    stream = read_points_stream(spark, dup_dir, max_files_per_trigger=1)
+    name = _memname()
+    run_to_memory_table(streaming_dedup_rollup(stream, "1h"), name)
+    want = tumbling_rollup(points.dropDuplicates(["series_id", "ts"]), "1h")
+    assert_df_equal(spark.table(name), want)
