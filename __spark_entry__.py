@@ -622,6 +622,33 @@ def _q_agg_rollup_sets(spark, sf_dir):
     )
 
 
+def _q_tok_coverage(spark, sf_dir):
+    """T8: per-source vocabulary coverage — tokenizer QA numbers: total
+    token occurrences, distinct vocab size, and the exact-ppm share of
+    occurrences covered by the top-10 tokens (Zipf head mass — a
+    skewed head is how you spot a tokenizer/corpus mismatch). Same
+    two-phase shape as tok_topk: the (source, token) partial agg
+    bounds everything downstream by |vocab|, not the scan."""
+    seqs = _md5_token_seqs(spark, sf_dir)
+    counts = (
+        seqs.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = counts.select(
+        "source", "cnt", F.row_number().over(w).alias("rank")
+    )
+    return ranked.groupBy("source").agg(
+        F.sum("cnt").alias("n_occ"),
+        F.count("*").alias("n_vocab"),
+        F.expr(
+            "sum(CASE WHEN rank <= 10 THEN cnt ELSE 0 END) * 1000000"
+            " DIV sum(cnt)"
+        ).alias("top10_ppm"),
+    )
+
+
 def _q_win_topk(spark, sf_dir):
     return topk_hot_series(_event_points(spark, sf_dir), k=3)
 
@@ -848,6 +875,34 @@ def _q_join_range(spark, sf_dir):
         & (F.col("a_series") != F.col("b_series"))
     )
     return pairs.groupBy("a_series", "b_series").agg(F.count("*").alias("n_pairs"))
+
+
+def _q_join_asof(spark, sf_dir):
+    """J8: general backward AS-OF join — every raw point picks up the
+    config value effective at or before its timestamp (config rows =
+    one per series per 6h boundary with an hourly observation, cfg =
+    md5 bucket of (series, boundary)). Implemented as union + ONE
+    per-series window (last ignorenulls, dim-first on ties), never a
+    range join — the composition that survives a 100 TB fact table.
+    Points before their series' first config row keep null cfg (both
+    engines)."""
+    from opentsdb_rollup_rust_spark.operators.asof import asof_join
+
+    pts = _event_points(spark, sf_dir)
+    facts = pts.select(
+        "series_id", F.unix_timestamp("ts").cast("long").alias("ts_e"), "value"
+    )
+    r1h = tumbling_rollup(pts, "1h")
+    dims = r1h.select(
+        "series_id", _epoch()
+    ).where(F.pmod(F.col("w_start"), F.lit(21600)) == 0).select(
+        "series_id",
+        F.col("w_start").alias("eff_ts"),
+        md5_bucket(
+            F.concat_ws("-", F.col("series_id"), F.col("w_start")), 1000
+        ).cast("long").alias("cfg"),
+    )
+    return asof_join(facts, dims, fact_ts="ts_e")
 
 
 def _q_route_read(spark, sf_dir):
@@ -1368,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_fused": _q_rollup_fused,
         "pack_materialize": _q_pack_materialize,
         "tok_topk": _q_tok_topk,
+        "tok_coverage": _q_tok_coverage,
         "win_topk": _q_win_topk,
         "win_delta": _q_win_delta,
         "win_rate": _q_win_rate,
@@ -1382,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": _q_join_semi,
         "join_equi": _q_join_equi,
         "join_range": _q_join_range,
+        "join_asof": _q_join_asof,
         "route_read": _q_route_read,
         "route_read_stored": _q_route_read_stored,
         "route_read_spliced": _q_route_read_spliced,
@@ -1419,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition",
         "win_rate_wrap",
         "dedup_seq_exact",
+        "join_asof",
+        "tok_coverage",
         "sample_mixture",
         "decontam",
         "codec_check",
@@ -1741,6 +1800,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT w_start, sum(iv_q)::BIGINT AS sum_q,
                    count(*)::BIGINT AS n_series
             FROM iv WHERE iv_q IS NOT NULL GROUP BY w_start""",
+        "tok_coverage": """
+            WITH seqs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents),
+            c AS (SELECT source, unnest(tokens) AS tok FROM seqs),
+            g AS (SELECT source, tok, count(*)::BIGINT AS cnt
+                  FROM c GROUP BY 1, 2),
+            rk AS (SELECT source, cnt,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY cnt DESC, tok ASC) AS rank
+                   FROM g)
+            SELECT source, sum(cnt)::BIGINT AS n_occ,
+                   count(*)::BIGINT AS n_vocab,
+                   (sum(CASE WHEN rank <= 10 THEN cnt ELSE 0 END) * 1000000
+                    // sum(cnt))::BIGINT AS top10_ppm
+            FROM rk GROUP BY 1""",
         "dedup_seq_exact": """
             WITH seqs AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1840,6 +1918,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(FLOOR(c_acctbal*100) AS BIGINT))::BIGINT AS acctbal_cents
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1""",
+        "join_asof": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start
+                  FROM pts GROUP BY 1, 2),
+            dims AS (SELECT series_id, w_start AS eff_ts,
+                            (('0x' || substr(md5(series_id || '-' ||
+                               CAST(w_start AS VARCHAR)), 1, 8))::BIGINT
+                             % 1000) AS cfg
+                     FROM r WHERE w_start % 21600 = 0),
+            u AS (SELECT series_id, eff_ts AS t, 1 AS is_dim, cfg,
+                         NULL::BIGINT AS ts_e, NULL::BIGINT AS value
+                  FROM dims
+                  UNION ALL
+                  -- DuckDB epoch() keeps fractional seconds; floor to
+                  -- match Spark's unix_timestamp. Dims are integer-
+                  -- aligned, so flooring never flips the <= relation.
+                  SELECT series_id, CAST(FLOOR(epoch(ts)) AS BIGINT), 0,
+                         NULL, CAST(FLOOR(epoch(ts)) AS BIGINT), value
+                  FROM pts),
+            carried AS (SELECT series_id, is_dim, ts_e, value,
+                               last_value(cfg IGNORE NULLS) OVER
+                                 (PARTITION BY series_id
+                                  ORDER BY t ASC, is_dim DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cfg
+                        FROM u)
+            SELECT series_id, ts_e, value, cfg
+            FROM carried WHERE is_dim = 0""",
         "join_anti": """
             SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l

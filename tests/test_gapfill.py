@@ -220,3 +220,37 @@ def points_1h(points):
     from opentsdb_rollup_rust_spark.operators.rollup import tumbling_rollup
 
     return tumbling_rollup(points, "1h").cache()
+
+
+def test_asof_join_golden(spark):
+    """J8 golden: backward as-of with dim-applies-at-its-own-ts tie
+    rule, null before the first dim, and facts preserved verbatim."""
+    from opentsdb_rollup_rust_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [("a", 5, 50), ("a", 10, 100), ("a", 15, 150), ("b", 7, 70)],
+        "series_id string, ts_e long, value long",
+    )
+    dims = spark.createDataFrame(
+        [("a", 10, 1), ("a", 12, 2)],
+        "series_id string, eff_ts long, cfg long",
+    )
+    got = {
+        (r["series_id"], r["ts_e"]): r["cfg"]
+        for r in asof_join(facts, dims, fact_ts="ts_e").collect()
+    }
+    assert got == {
+        ("a", 5): None,   # before first dim
+        ("a", 10): 1,     # dim at ts applies to the fact AT ts
+        ("a", 15): 2,     # latest <= 15
+        ("b", 7): None,   # series with no dims at all
+    }
+    # the whole point vs a range join: ONE shuffle (the per-series
+    # window sort), no join node at all
+    plan = (
+        asof_join(facts, dims, fact_ts="ts_e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
