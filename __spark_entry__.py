@@ -38,6 +38,11 @@ from opentsdb_rollup_rust_spark.operators.rollup import (
     tumbling_rollup,
 )
 from opentsdb_rollup_rust_spark.operators.gapfill import gap_fill
+from opentsdb_rollup_rust_spark.operators.tagquery import (
+    TagFilter,
+    suggest,
+    tag_filter_rollup,
+)
 from opentsdb_rollup_rust_spark.operators.skew import salted_rollup, topk_hot_series
 from opentsdb_rollup_rust_spark.functions.hashing import md5_bucket
 from opentsdb_rollup_rust_spark.sources.synth import MAX_LEN, VOCAB
@@ -67,6 +72,17 @@ _PTS_CTE = (
     "WITH pts AS (SELECT event_type AS series_id, ts, "
     "CAST(FLOOR(value*1000) AS BIGINT) AS value FROM events)"
 )
+
+# DuckDB twin of _tagged_points: the map tags re-derived as plain
+# columns (the synthesis is deterministic off user_id/event_type).
+_TAGGED_CTE = """WITH tp AS (
+    SELECT event_type AS series_id, ts,
+           CAST(FLOOR(value*1000) AS BIGINT) AS value,
+           'web' || CAST(user_id % 12 AS VARCHAR) AS host,
+           event_type AS dc,
+           'r' || CAST(user_id % 3 AS VARCHAR) AS rack,
+           CASE WHEN user_id % 5 = 0 THEN 'prod' ELSE 'dev' END AS env
+    FROM events)"""
 
 
 def _epoch(col: str = "window_start") -> F.Column:
@@ -730,6 +746,104 @@ def _q_win_rate_wrap(spark, sf_dir):
         "w_start",
         "counter",
         F.floor(rate * F.lit(1_000_000)).cast("long").alias("rate_q"),
+    )
+
+
+def _q_win_rate_drop(spark, sf_dir):
+    """W6c: OpenTSDB's `dropResets` rate option — the third reset
+    policy. Where `rate` counts a reset from zero and `counterMax`
+    wrap-corrects it, dropResets simply EMITS NOTHING for the sample
+    after a reset (and, as in OpenTSDB, nothing for the first sample
+    of a series — there is no previous point to difference). Same
+    sawtooth counter as win_rate/win_rate_wrap so the three queries
+    differ only in the rate rule; the delta>=0 predicate drops both
+    the NULL first rows and the negative-delta resets."""
+    r1h = tumbling_rollup(_event_points(spark, sf_dir), "1h")
+    w = Window.partitionBy("series_id").orderBy("window_start")
+    cum = F.sum("sum").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_ctr = r1h.select(
+        "series_id", _epoch(), F.pmod(cum, F.lit(1_000_000)).alias("counter")
+    )
+    ws = Window.partitionBy("series_id").orderBy("w_start")
+    delta = F.col("counter") - F.lag("counter").over(ws)
+    dt = (F.col("w_start") - F.lag("w_start").over(ws)).cast("double")
+    return (
+        with_ctr.select(
+            "series_id", "w_start", "counter", delta.alias("delta"), dt.alias("dt")
+        )
+        .where(F.col("delta") >= 0)
+        .select(
+            "series_id",
+            "w_start",
+            "counter",
+            F.floor(F.col("delta") / F.col("dt") * F.lit(1_000_000))
+            .cast("long")
+            .alias("rate_q"),
+        )
+    )
+
+
+def _tagged_points(spark, sf_dir):
+    """The demo TAGGED metric stream: events with a deterministic
+    map<string,string> tag set (host/dc/rack/env derived from
+    user_id/event_type — no randomness, so the DuckDB oracle derives
+    the identical tags as plain columns)."""
+    e = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    return e.select(
+        F.col("event_type").alias("series_id"),
+        F.col("ts"),
+        F.floor(F.col("value") * F.lit(1000)).cast("long").alias("value"),
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("web"), F.pmod(uid, F.lit(12)).cast("string")),
+            F.lit("dc"),
+            F.col("event_type"),
+            F.lit("rack"),
+            F.concat(F.lit("r"), F.pmod(uid, F.lit(3)).cast("string")),
+            F.lit("env"),
+            F.when(F.pmod(uid, F.lit(5)) == 0, F.lit("prod")).otherwise(
+                F.lit("dev")
+            ),
+        ).alias("tags"),
+    )
+
+
+# OpenTSDB /api/query filter spec exercised by query_tag_filters —
+# one of each implemented family, mirrored literally in the oracle.
+_TAG_FILTERS = [
+    TagFilter("iwildcard", "host", "WEB1*", group_by=True),
+    TagFilter("literal_or", "dc", "click|view"),
+    TagFilter("regexp", "rack", "r[01]"),
+    TagFilter("not_literal_or", "env", "dev"),
+]
+
+
+def _q_query_tag_filters(spark, sf_dir):
+    """P6: OpenTSDB 2.2 /api/query tag-filter semantics over a
+    map-typed tag column: iwildcard (case-insensitive glob, groupBy
+    dimension), literal_or, full-match regexp, and not_literal_or
+    AND together; non-groupBy series collapse under the aggregator
+    (daily sum/count/min/max + derived avg). The whole predicate is a
+    codegen'd expression over the map — no UDF, no explode."""
+    return tag_filter_rollup(
+        _tagged_points(spark, sf_dir), _TAG_FILTERS, 86400
+    )
+
+
+def _q_suggest(spark, sf_dir):
+    """/api/suggest autocomplete, all three kinds in one result:
+    metrics capped at 3 (the `max` param doing real work), every tag
+    key, and tag values under prefix 'web' capped at 5 (lexicographic,
+    so web10 < web2 — string order, as in OpenTSDB). DISTINCT
+    collapses map-side; only the name dictionary shuffles."""
+    pts = _tagged_points(spark, sf_dir)
+    return (
+        suggest(pts, "metrics", "", 3)
+        .unionAll(suggest(pts, "tagk", "", 25))
+        .unionAll(suggest(pts, "tagv", "web", 5))
     )
 
 
@@ -1428,6 +1542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_delta": _q_win_delta,
         "win_rate": _q_win_rate,
         "win_rate_wrap": _q_win_rate_wrap,
+        "win_rate_drop": _q_win_rate_drop,
+        "query_tag_filters": _q_query_tag_filters,
+        "suggest_names": _q_suggest,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -1472,6 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order; round-4 front = the keys that are NEW or CHANGED
     # this round (must land in CORRECTNESS_r04), then the r3 front.
     front = [
+        "query_tag_filters",
+        "suggest_names",
+        "win_rate_drop",
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
@@ -1858,6 +1978,55 @@ def oracle_sql() -> dict[str, str]:
                                              ELSE corrected::DOUBLE / dt END)
                         AS BIGINT) AS rate_q
             FROM e""",
+        "win_rate_drop": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         sum(value)::BIGINT AS s
+                  FROM pts GROUP BY 1, 2),
+            c AS (SELECT series_id, w_start,
+                         (sum(s) OVER (PARTITION BY series_id ORDER BY w_start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          % 1000000)::BIGINT AS counter
+                  FROM r),
+            d AS (SELECT series_id, w_start, counter,
+                         counter - lag(counter) OVER
+                           (PARTITION BY series_id ORDER BY w_start) AS delta,
+                         (w_start - lag(w_start) OVER
+                           (PARTITION BY series_id ORDER BY w_start))::DOUBLE AS dt
+                  FROM c)
+            SELECT series_id, w_start, counter,
+                   CAST(FLOOR(1000000 * (delta::DOUBLE / dt)) AS BIGINT)
+                     AS rate_q
+            FROM d WHERE delta >= 0""",
+        "query_tag_filters": f"""{_TAGGED_CTE}
+            SELECT host,
+                   CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                   sum(value)::BIGINT AS "sum", count(value)::BIGINT AS "count",
+                   min(value) AS "min", max(value) AS "max",
+                   (sum(value)::DOUBLE) / (count(value)::DOUBLE) AS avg
+            FROM tp
+            WHERE lower(host) LIKE 'web1%'
+              AND dc IN ('click', 'view')
+              AND regexp_matches(rack, '^(?:r[01])$')
+              AND env NOT IN ('dev')
+            GROUP BY 1, 2""",
+        "suggest_names": f"""{_TAGGED_CTE},
+            m AS (SELECT 'metrics' AS kind, name FROM (
+                    SELECT DISTINCT series_id AS name FROM tp)
+                  ORDER BY name LIMIT 3),
+            k AS (SELECT 'tagk' AS kind, name FROM (
+                    SELECT DISTINCT unnest(['host', 'dc', 'rack', 'env'])
+                      AS name)
+                  ORDER BY name LIMIT 25),
+            v AS (SELECT 'tagv' AS kind, name FROM (
+                    SELECT DISTINCT name FROM (
+                      SELECT host AS name FROM tp
+                      UNION ALL SELECT dc FROM tp
+                      UNION ALL SELECT rack FROM tp
+                      UNION ALL SELECT env FROM tp))
+                  WHERE name LIKE 'web%' ORDER BY name LIMIT 5)
+            SELECT * FROM m UNION ALL SELECT * FROM k
+            UNION ALL SELECT * FROM v""",
         "win_rate": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,

@@ -1,0 +1,175 @@
+"""OpenTSDB /api/query tag-FILTER semantics and /api/suggest.
+
+OpenTSDB 2.2+ queries carry a list of tag filters, each
+``{type, tagk, filter, groupBy}`` (public HTTP-API docs,
+/api/query + net.opentsdb.query.filter.TagVFilter). The core filter
+family implemented here:
+
+  literal_or / iliteral_or      pipe-separated exact values (i = case-
+                                insensitive)
+  not_literal_or                tag present AND value not in the list
+  wildcard / iwildcard          '*' glob (the only wildcard OpenTSDB
+                                supports); translated to SQL LIKE with
+                                literal %/_ escaped
+  regexp                        full-match regex (Java Pattern.matches
+                                semantics — OpenTSDB anchors the whole
+                                value, so we wrap '^(?:...)$')
+
+Semantics faithful to the reference engine:
+  - every filter requires the tag to be PRESENT on the series (a
+    series without the tagk never matches, including not_literal_or);
+  - multiple filters AND together;
+  - filters with groupBy=true become output dimensions; all other
+    series collapse under the aggregator (here: the decomposable
+    sum/count/min/max family plus derived avg).
+
+Scale notes: the compiled predicate is a pure Catalyst expression
+tree over a ``map<string,string>`` column — codegen'd, pushdown-
+eligible when the tags are stored as top-level columns, and never a
+Python UDF. The group-by tags are extracted BEFORE the aggregation so
+the shuffle key is (narrow string tags, window), not the whole map.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TagFilter:
+    """One /api/query filter: {type, tagk, filter, groupBy}."""
+
+    type: str
+    tagk: str
+    filter: str
+    group_by: bool = field(default=False)
+
+
+def _like_pattern(glob: str) -> str:
+    """OpenTSDB wildcard ('*' only) -> SQL LIKE pattern.
+
+    Literal %/_/\\ in tag values are escaped with backslash (both
+    Spark LIKE and DuckDB LIKE ... ESCAPE '\\' honor it)."""
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append("%")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def compile_tag_filter(tags: Column, f: TagFilter) -> Column:
+    """One filter spec -> a boolean Column over a map<string,string>.
+
+    Pure built-in expressions (element_at / in / like / rlike) — the
+    whole predicate stays inside whole-stage codegen."""
+    v = F.element_at(tags, F.lit(f.tagk))
+    present = v.isNotNull()
+    t = f.type
+    if t == "literal_or":
+        return present & v.isin(*f.filter.split("|"))
+    if t == "iliteral_or":
+        vals = [s.lower() for s in f.filter.split("|")]
+        return present & F.lower(v).isin(*vals)
+    if t == "not_literal_or":
+        return present & ~v.isin(*f.filter.split("|"))
+    if t == "wildcard":
+        return present & v.like(_like_pattern(f.filter))
+    if t == "iwildcard":
+        return present & F.lower(v).like(_like_pattern(f.filter.lower()))
+    if t == "regexp":
+        return present & v.rlike("^(?:" + f.filter + ")$")
+    raise ValueError(f"unknown filter type: {f.type}")
+
+
+def tag_filter_rollup(
+    points: DataFrame,
+    filters: list[TagFilter],
+    interval_sec: int,
+    tags_col: str = "tags",
+) -> DataFrame:
+    """/api/query over tagged points: filter, group by the groupBy
+    tags + tumbling window, aggregate everything else.
+
+    ``points``: (ts timestamp, value long, tags map<string,string>).
+    Output: one row per (groupBy-tag values..., w_start) with
+    sum/count/min/max and derived avg — the same decomposable family
+    every rollup tier in this engine uses, so the result of a tag
+    query can itself cascade (SURVEY.md §2 A2).
+    """
+    tags = F.col(tags_col)
+    pred = None
+    for f in filters:
+        c = compile_tag_filter(tags, f)
+        pred = c if pred is None else (pred & c)
+    filtered = points.where(pred) if pred is not None else points
+
+    group_tags = [f.tagk for f in filters if f.group_by]
+    # narrow projection BEFORE the shuffle: extracted groupBy tag
+    # strings + window + value; the map column never reaches the agg
+    w_start = (
+        F.floor(F.unix_timestamp("ts") / F.lit(interval_sec)).cast("long")
+        * F.lit(interval_sec)
+    ).alias("w_start")
+    narrow = filtered.select(
+        *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+        w_start,
+        "value",
+    )
+    agg = narrow.groupBy(*group_tags, "w_start").agg(
+        F.sum("value").alias("sum"),
+        F.count("value").alias("count"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    )
+    return agg.select(
+        *group_tags,
+        "w_start",
+        "sum",
+        "count",
+        "min",
+        "max",
+        (F.col("sum").cast("double") / F.col("count").cast("double")).alias(
+            "avg"
+        ),
+    )
+
+
+def suggest(
+    points: DataFrame,
+    kind: str,
+    prefix: str = "",
+    limit: int = 25,
+    tags_col: str = "tags",
+    metric_col: str = "series_id",
+) -> DataFrame:
+    """/api/suggest: autocomplete over metrics / tag keys / tag values.
+
+    Returns (kind, name) sorted ascending, capped at ``limit`` —
+    OpenTSDB's suggest contract (lexicographic, max param). DISTINCT
+    collapses map-side (partial agg) so the shuffle carries only the
+    name dictionary, never the point stream; the limit is a
+    TakeOrdered over that already-tiny set.
+    """
+    if kind == "metrics":
+        names = points.select(F.col(metric_col).alias("name"))
+    elif kind == "tagk":
+        names = points.select(
+            F.explode(F.map_keys(F.col(tags_col))).alias("name")
+        )
+    elif kind == "tagv":
+        names = points.select(
+            F.explode(F.map_values(F.col(tags_col))).alias("name")
+        )
+    else:
+        raise ValueError(f"unknown suggest kind: {kind}")
+    out = names.where(F.col("name").startswith(prefix)).distinct()
+    return out.select(F.lit(kind).alias("kind"), "name").orderBy(
+        "name"
+    ).limit(limit)
