@@ -45,6 +45,12 @@ from opentsdb_rollup_rust_spark.operators.tagquery import (
 )
 from opentsdb_rollup_rust_spark.operators.skew import salted_rollup, topk_hot_series
 from opentsdb_rollup_rust_spark.functions.hashing import md5_bucket
+from opentsdb_rollup_rust_spark.functions.uid import (
+    build_uid_table,
+    decode_uids,
+    encode_uids,
+)
+from opentsdb_rollup_rust_spark.pipeline.sampling import split_assign
 from opentsdb_rollup_rust_spark.sources.synth import MAX_LEN, VOCAB
 
 
@@ -847,6 +853,43 @@ def _q_suggest(spark, sf_dir):
     )
 
 
+def _q_uid_encode(spark, sf_dir):
+    """F9: the tsdb-uid dictionary round trip under the gate — build
+    the deterministic name->uid table, ENCODE the stream (broadcast
+    join, points never shuffle), aggregate daily by the 8-byte uid,
+    then DECODE for presentation. The oracle rebuilds the same
+    dictionary with a SQL row_number over sorted distinct names, so a
+    hash match proves both the dense-rank assignment and that encode
+    -> agg -> decode loses nothing."""
+    pts = _event_points(spark, sf_dir)
+    uids = build_uid_table(pts)
+    enc = encode_uids(pts, uids)
+    daily = (
+        enc.withColumn(
+            "w_start",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+            * F.lit(86400),
+        )
+        .groupBy("uid", "w_start")
+        .agg(F.sum("value").alias("sum"), F.count("value").alias("count"))
+    )
+    return decode_uids(daily, uids).select(
+        "series_id", "uid", "w_start", "sum", "count"
+    )
+
+
+def _q_split_assign(spark, sf_dir):
+    """Q2: deterministic hash train/val/test split (90/5/5) over the
+    documents table, reported as per-(source, split) doc counts and
+    char sums — any document migrating between splits moves integer
+    mass between rows, so the gate pins the full assignment."""
+    d = split_assign(_t(spark, sf_dir, "documents"))
+    return d.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def _q_win_moving(spark, sf_dir):
     r1d = tumbling_rollup(_event_points(spark, sf_dir), "1d")
     w = (
@@ -1545,6 +1588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_rate_drop": _q_win_rate_drop,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
+        "uid_encode": _q_uid_encode,
+        "split_assign": _q_split_assign,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -1592,6 +1637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_tag_filters",
         "suggest_names",
         "win_rate_drop",
+        "uid_encode",
+        "split_assign",
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
@@ -1978,6 +2025,33 @@ def oracle_sql() -> dict[str, str]:
                                              ELSE corrected::DOUBLE / dt END)
                         AS BIGINT) AS rate_q
             FROM e""",
+        "uid_encode": f"""{_PTS_CTE},
+            u AS (SELECT name,
+                         (row_number() OVER (ORDER BY name) - 1)::BIGINT
+                           AS uid
+                  FROM (SELECT DISTINCT series_id AS name FROM pts)),
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT)
+                           AS w_start,
+                         sum(value)::BIGINT AS "sum",
+                         count(value)::BIGINT AS "count"
+                  FROM pts GROUP BY 1, 2)
+            SELECT r.series_id, u.uid, r.w_start, r."sum", r."count"
+            FROM r JOIN u ON r.series_id = u.name""",
+        "split_assign": """
+            WITH s AS (
+              SELECT source, n_chars,
+                     ('0x' || substr(md5('split:v1:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                       AS bucket
+              FROM documents)
+            SELECT source,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM s GROUP BY 1, 2""",
         "win_rate_drop": f"""{_PTS_CTE},
             r AS (SELECT series_id,
                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,

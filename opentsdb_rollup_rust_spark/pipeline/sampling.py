@@ -97,3 +97,60 @@ def mixture_sample(
         .withColumn("copy_idx", F.explode(copies))
         .drop("n_copies")
     )
+
+
+# --- deterministic train/val/test split ---------------------------------
+
+# thresholds in 1/SAMPLE_DENOM units: [0, train) train,
+# [train, train+val) val, rest test
+SPLIT_RATIOS: dict[str, float] = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SALT = "split:v1:"
+
+
+def split_col(
+    key: Column,
+    ratios: dict[str, float] | None = None,
+    salt: str = SPLIT_SALT,
+) -> Column:
+    """Deterministic split label for a row: hash the key once, carve
+    [0, DENOM) into contiguous ranges sized by the ratios.
+
+    The same hash-not-rand argument as the mixture sampler: retries,
+    repartitions and incremental re-runs all re-derive the identical
+    assignment, and a document can never migrate between splits when
+    the corpus grows (its bucket depends only on its own key). The
+    salt namespaces the split decision away from the mixture
+    sampler's buckets so the two decisions are independent.
+
+    Ratios must sum to 1 (validated in integer space after rounding,
+    so float dust cannot leave a dead or double-assigned bucket)."""
+    ratios = SPLIT_RATIOS if ratios is None else ratios
+    cuts = {k: round(v * SAMPLE_DENOM) for k, v in ratios.items()}
+    if sum(cuts.values()) != SAMPLE_DENOM:
+        raise ValueError(f"split ratios must sum to 1, got {ratios}")
+    bucket = md5_bucket(F.concat(F.lit(salt), key.cast("string")), SAMPLE_DENOM)
+    out: Column | None = None
+    hi = 0
+    *head, last = list(cuts)
+    for name in head:
+        hi += cuts[name]
+        cond = bucket < F.lit(hi)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(
+            cond, F.lit(name)
+        )
+    return (F.lit(last) if out is None else out.otherwise(F.lit(last))).alias(
+        "split"
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    ratios: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Attach the split label — a pure projection (no shuffle, no
+    rand); downstream writers partition output by it."""
+    return docs.withColumn(
+        "split", split_col(F.col(key_col), ratios, salt)
+    )

@@ -535,3 +535,69 @@ def test_decontaminate_golden_and_broadcast(spark):
     assert rows[1]["share_ppm"] == 2 * 1_000_000 // 7
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_split_assign_coverage_ratios_determinism(spark):
+    """Q2: every row gets exactly one split, realized shares track the
+    ratios (hash-uniform), assignment is repartition-invariant, and a
+    document's split never changes when the corpus grows (per-key
+    hash — the no-leakage-on-append property)."""
+    from opentsdb_rollup_rust_spark.pipeline.sampling import split_assign
+    from tests.conftest import assert_df_equal
+
+    n = 20_000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = split_assign(docs).cache()
+    shares = {
+        r["split"]: r["n"] / n
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(shares) == {"train", "val", "test"}
+    assert abs(shares["train"] - 0.9) < 0.02
+    assert abs(shares["val"] - 0.05) < 0.01
+    assert abs(shares["test"] - 0.05) < 0.01
+    assert_df_equal(out, split_assign(docs.repartition(13)))
+    # stability under corpus growth: the first half's assignment is a
+    # strict subset of the full corpus's assignment
+    half = split_assign(docs.where(F.col("doc_id") < n // 2))
+    assert half.exceptAll(out).count() == 0
+
+
+def test_split_assign_rejects_bad_ratios(spark):
+    import pytest as _pytest
+
+    from opentsdb_rollup_rust_spark.pipeline.sampling import split_assign
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError):
+        split_assign(docs, {"train": 0.6, "val": 0.3})
+
+
+def test_uid_roundtrip_dense_and_lossless(spark):
+    """F9: uids are dense [0, |names|), assigned in name order,
+    deterministic across partitionings, and encode->decode is the
+    identity on the stream."""
+    from opentsdb_rollup_rust_spark.functions.uid import (
+        build_uid_table,
+        decode_uids,
+        encode_uids,
+    )
+    from tests.conftest import assert_df_equal
+
+    df = spark.range(5_000).select(
+        F.concat(F.lit("m"), (F.col("id") % 97).cast("string")).alias(
+            "series_id"
+        ),
+        F.col("id").alias("value"),
+    )
+    uids = build_uid_table(df)
+    rows = sorted(
+        (r["name"], r["uid"]) for r in uids.collect()
+    )
+    names = sorted({f"m{i}" for i in range(97)})
+    assert rows == [(nm, i) for i, nm in enumerate(names)]
+    assert_df_equal(uids, build_uid_table(df.repartition(11)))
+    decoded = decode_uids(encode_uids(df, uids), uids).select(
+        "series_id", "value"
+    )
+    assert_df_equal(decoded, df)
