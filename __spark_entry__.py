@@ -40,6 +40,7 @@ from opentsdb_rollup_rust_spark.operators.rollup import (
 from opentsdb_rollup_rust_spark.operators.gapfill import gap_fill
 from opentsdb_rollup_rust_spark.operators.tagquery import (
     TagFilter,
+    compile_tag_filter,
     suggest,
     tag_filter_rollup,
 )
@@ -50,7 +51,10 @@ from opentsdb_rollup_rust_spark.functions.uid import (
     decode_uids,
     encode_uids,
 )
-from opentsdb_rollup_rust_spark.pipeline.sampling import split_assign
+from opentsdb_rollup_rust_spark.pipeline.sampling import (
+    shard_order,
+    split_assign,
+)
 from opentsdb_rollup_rust_spark.sources.synth import MAX_LEN, VOCAB
 
 
@@ -853,6 +857,77 @@ def _q_suggest(spark, sf_dir):
     )
 
 
+def _q_lookup_series(spark, sf_dir):
+    """P8: /api/search/lookup — enumerate the distinct series (metric
+    + full tag set) matching a tag filter, with point counts, never
+    touching values. The filter predicate is the same compiled
+    expression family as query_tag_filters; DISTINCT-with-count
+    collapses map-side so only the series dictionary shuffles."""
+    pts = _tagged_points(spark, sf_dir)
+    tags = F.col("tags")
+    pred = compile_tag_filter(
+        tags, TagFilter("wildcard", "host", "web*")
+    ) & compile_tag_filter(tags, TagFilter("literal_or", "dc", "click|error"))
+    return (
+        pts.where(pred)
+        .select(
+            F.col("series_id").alias("metric"),
+            F.element_at(tags, F.lit("host")).alias("host"),
+            F.element_at(tags, F.lit("dc")).alias("dc"),
+            F.element_at(tags, F.lit("rack")).alias("rack"),
+            F.element_at(tags, F.lit("env")).alias("env"),
+        )
+        .groupBy("metric", "host", "dc", "rack", "env")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def _q_annotation_overlay(spark, sf_dir):
+    """P9: /api/annotation read path — OpenTSDB attaches time-ranged
+    annotations (incidents, deploys) to series and queries return the
+    ones overlapping each window. Annotations here are synthesized
+    deterministically (error events with value > 4.5 open a 30-minute
+    incident), then overlaid on the error series' hourly rollup via
+    an interval join: window [w, w+1h) x annotation [a_start, a_end).
+    The annotation side is tiny and BROADCAST, so the tier never
+    shuffles for the overlay — the same small-dim join shape as J3."""
+    pts = _event_points(spark, sf_dir)
+    anns = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_type") == "error") & (F.col("value") > 4.5))
+        .select(
+            F.col("event_id").alias("ann_id"),
+            F.unix_timestamp("ts").cast("long").alias("a_start"),
+            (F.unix_timestamp("ts").cast("long") + F.lit(1800)).alias(
+                "a_end"
+            ),
+        )
+    )
+    r1h = tumbling_rollup(pts.where(F.col("series_id") == "error"), "1h")
+    windows = r1h.select(
+        "series_id", _epoch(), F.col("sum").alias("sum")
+    )
+    joined = windows.join(
+        F.broadcast(anns),
+        (F.col("a_start") < F.col("w_start") + F.lit(3600))
+        & (F.col("a_end") > F.col("w_start")),
+        "left",
+    )
+    return joined.groupBy("series_id", "w_start", "sum").agg(
+        F.count("ann_id").alias("n_annotations"),
+        F.min("ann_id").alias("first_ann"),
+    )
+
+
+def _q_shard_order(spark, sf_dir):
+    """Q3: deterministic global shuffle + shard layout for a training
+    dataloader — every doc gets (shard, pos) as a pure function of
+    its key. Full per-doc assignment under the gate (500 rows at
+    sf0.01); the oracle recomputes the identical hash rank in SQL."""
+    d = shard_order(_t(spark, sf_dir, "documents"), n_shards=8)
+    return d.select("doc_id", "shard", "pos")
+
+
 def _q_uid_encode(spark, sf_dir):
     """F9: the tsdb-uid dictionary round trip under the gate — build
     the deterministic name->uid table, ENCODE the stream (broadcast
@@ -1590,6 +1665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
         "split_assign": _q_split_assign,
+        "lookup_series": _q_lookup_series,
+        "annotation_overlay": _q_annotation_overlay,
+        "shard_order": _q_shard_order,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -1639,6 +1717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_rate_drop",
         "uid_encode",
         "split_assign",
+        "lookup_series",
+        "annotation_overlay",
+        "shard_order",
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
@@ -2025,6 +2106,40 @@ def oracle_sql() -> dict[str, str]:
                                              ELSE corrected::DOUBLE / dt END)
                         AS BIGINT) AS rate_q
             FROM e""",
+        "lookup_series": f"""{_TAGGED_CTE}
+            SELECT series_id AS metric, host, dc, rack, env,
+                   count(*)::BIGINT AS n_points
+            FROM tp
+            WHERE host LIKE 'web%' AND dc IN ('click', 'error')
+            GROUP BY 1, 2, 3, 4, 5""",
+        "annotation_overlay": f"""{_PTS_CTE},
+            r AS (SELECT series_id,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT)
+                           AS w_start,
+                         sum(value)::BIGINT AS s
+                  FROM pts WHERE series_id = 'error' GROUP BY 1, 2),
+            a AS (SELECT event_id AS ann_id,
+                         CAST(FLOOR(epoch(ts)) AS BIGINT) AS a_start,
+                         CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS a_end
+                  FROM events
+                  WHERE event_type = 'error' AND value > 4.5)
+            SELECT r.series_id, r.w_start, r.s AS "sum",
+                   count(a.ann_id)::BIGINT AS n_annotations,
+                   min(a.ann_id) AS first_ann
+            FROM r LEFT JOIN a
+              ON a.a_start < r.w_start + 3600 AND a.a_end > r.w_start
+            GROUP BY 1, 2, 3""",
+        "shard_order": """
+            WITH s AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('shard:v1:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents)
+            SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                   (row_number() OVER (PARTITION BY h % 8
+                                       ORDER BY h, doc_id) - 1)::BIGINT
+                     AS pos
+            FROM s""",
         "uid_encode": f"""{_PTS_CTE},
             u AS (SELECT name,
                          (row_number() OVER (ORDER BY name) - 1)::BIGINT

@@ -154,3 +154,50 @@ def split_assign(
     return docs.withColumn(
         "split", split_col(F.col(key_col), ratios, salt)
     )
+
+
+# --- deterministic shuffle + shard layout -------------------------------
+
+SHARD_SALT = "shard:v1:"
+
+
+def shard_order(
+    docs: DataFrame,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    salt: str = SHARD_SALT,
+) -> DataFrame:
+    """Assign every row a (shard, pos) — the deterministic GLOBAL
+    SHUFFLE a training dataloader wants, without a global sort.
+
+    shard = hash bucket of the key (uniform, so shards balance);
+    pos   = rank of the key's hash within its shard, tie-broken by
+            the key itself.
+
+    Ordering by a per-key hash IS the shuffle: adjacent input docs
+    land in unrelated (shard, pos) slots, yet the layout is a pure
+    function of the key set — retries, repartitions and incremental
+    rebuilds reproduce it exactly (same argument as ``split_col``).
+    Cost at scale: ONE hash-partition exchange on shard plus the
+    within-shard sort the sharded writer needs anyway; nothing global.
+    The within-shard rank is a window over each shard's rows — each
+    shard is |docs|/n_shards, sized by choosing n_shards so a shard
+    fits an executor (the same contract as any sharded writer).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int60
+
+    h = md5_int60(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ).alias("h")
+    with_shard = docs.withColumn("h", h).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        with_shard.withColumn(
+            "pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .drop("h")
+    )

@@ -601,3 +601,40 @@ def test_uid_roundtrip_dense_and_lossless(spark):
         "series_id", "value"
     )
     assert_df_equal(decoded, df)
+
+
+def test_shard_order_layout_properties(spark):
+    """Q3: (shard, pos) is a bijection onto contiguous slots per
+    shard, shards balance (hash-uniform), the layout is repartition-
+    invariant, and it actually SHUFFLES — input-adjacent keys do not
+    stay adjacent in (shard, pos) order."""
+    from opentsdb_rollup_rust_spark.pipeline.sampling import shard_order
+    from tests.conftest import assert_df_equal
+
+    n, shards = 8_000, 16
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = shard_order(docs, n_shards=shards).cache()
+    per = {
+        r["shard"]: r["n"]
+        for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per) == set(range(shards))
+    assert max(per.values()) < 1.25 * n / shards
+    # positions are exactly [0, |shard|) in every shard
+    chk = out.groupBy("shard").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    for r in chk.collect():
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+    assert_df_equal(out, shard_order(docs.repartition(7), n_shards=shards))
+    # shuffledness: of the first 100 keys, far fewer than half sit
+    # next to their key-predecessor in layout order
+    rows = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    adjacent = sum(
+        1
+        for i in range(1, 100)
+        if rows[i][0] == rows[i - 1][0]
+        and abs(rows[i][1] - rows[i - 1][1]) == 1
+    )
+    assert adjacent < 10
