@@ -1257,6 +1257,24 @@ def _q_rollup_cal_week(spark, sf_dir):
     return _rollup_out(calendar_rollup(r1d, "week"))
 
 
+def _q_rollup_cal_day_tz(spark, sf_dir):
+    """A17b: timezone-aligned calendar-day downsample (OpenTSDB 2.3
+    downsample timezone option), cascaded 1m -> 1h -> America/New_York
+    local days. The oracle computes direct from raw via DuckDB's ICU
+    timezone math, so a hash match proves BOTH engines agree on the
+    tz boundary placement AND that the cascade is exact; the DST
+    non-uniform-day behavior (23 h / 25 h) is pinned separately in
+    pytest — the gate's January window has no transition."""
+    from opentsdb_rollup_rust_spark.operators.rollup import calendar_rollup_tz
+
+    r1h = cascade_reagg(
+        tumbling_rollup(_event_points(spark, sf_dir), "1m"), "1h"
+    )
+    return calendar_rollup_tz(r1h, "America/New_York").select(
+        "series_id", "w_start", "interval", "sum", "count", "min", "max"
+    )
+
+
 def _q_set_union(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("int").alias("nationkey")
@@ -1686,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_ffill": _q_gapfill_ffill,
         "gapfill_interp": _q_gapfill_interp,
         "rollup_cal_week": _q_rollup_cal_week,
+        "rollup_cal_day_tz": _q_rollup_cal_day_tz,
         "set_union": _q_set_union,
         "set_except": _q_set_except,
         "set_intersect": _q_set_intersect,
@@ -1720,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_series",
         "annotation_overlay",
         "shard_order",
+        "rollup_cal_day_tz",
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
@@ -2461,6 +2481,16 @@ def oracle_sql() -> dict[str, str]:
                               - (((((nx-px)*(w-pt)) % (nt-pt)) + (nt-pt)) % (nt-pt)))
                              // (nt-pt)) END AS "max"
             FROM k""",
+        "rollup_cal_day_tz": f"""{_PTS_CTE}
+            SELECT series_id,
+                   epoch(timezone('America/New_York',
+                     date_trunc('day', timezone('America/New_York',
+                       timezone('UTC', ts)))))::BIGINT AS w_start,
+                   '1dc-America/New_York' AS "interval",
+                   sum(value)::BIGINT AS "sum",
+                   count(value)::BIGINT AS "count",
+                   min(value) AS "min", max(value) AS "max"
+            FROM pts GROUP BY 1, 2""",
         "rollup_cal_week": f"""{_PTS_CTE}
             SELECT series_id,
                    epoch(date_trunc('week', ts))::BIGINT AS w_start,

@@ -127,6 +127,53 @@ def calendar_rollup(finer: DataFrame, unit: str = "week") -> DataFrame:
     )
 
 
+def calendar_rollup_tz(
+    finer: DataFrame, tz: str = "America/New_York"
+) -> DataFrame:
+    """A17b: TIMEZONE-aligned calendar-day downsample (OpenTSDB 2.3's
+    downsample ``timezone`` option — '1dc' aligned to a named zone,
+    not UTC).
+
+    Window key = the finer window's LOCAL calendar day in ``tz``,
+    emitted as the epoch second of local midnight (an absolute
+    instant, so tiers stay timezone-free downstream). Local days are
+    NON-UNIFORM across DST — 23 h at spring-forward, 25 h at
+    fall-back — which epoch-multiple flooring cannot express;
+    from_utc_timestamp/date_trunc/to_utc_timestamp are all codegen'd
+    JVM expressions. Cascading from a 1h tier is exact for
+    whole-hour-offset zones (every hourly window falls entirely
+    inside one local day, DST transitions included — they happen on
+    the hour); zones with :30/:45 offsets would need the 1m tier.
+    DST non-uniformity is pinned by tests/test_rollup.py on a fixture
+    spanning both 2024 transitions."""
+    local_day = F.date_trunc(
+        "DAY", F.from_utc_timestamp(F.col("window_start"), tz)
+    )
+    w_start = (
+        F.unix_timestamp(F.to_utc_timestamp(local_day, tz))
+        .cast("long")
+        .alias("w_start")
+    )
+    return (
+        finer.groupBy("series_id", w_start)
+        .agg(
+            F.sum("sum").alias("sum"),
+            F.sum("count").alias("count"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select(
+            "series_id",
+            "w_start",
+            F.lit("1dc-" + tz).alias("interval"),
+            "sum",
+            "count",
+            "min",
+            "max",
+        )
+    )
+
+
 def fused_tier_rollup(
     sequences: DataFrame, interval: str, salts: int = 0, impl: str = "arrow"
 ) -> DataFrame:

@@ -222,3 +222,49 @@ def test_distinct_sketch_cascade_equals_direct(points):
     assert joined
     for r in joined:
         assert abs(r["distinct_est"] - r["exact"]) <= max(0.05 * r["exact"], 2)
+
+
+def test_calendar_rollup_tz_dst_day_lengths(spark):
+    """A17b: local days are NON-uniform across DST — the 2024
+    America/New_York spring-forward day has 23 hourly windows, the
+    fall-back day 25, and the day boundary sits at local (not UTC)
+    midnight on both sides of each transition."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from opentsdb_rollup_rust_spark.operators.rollup import calendar_rollup_tz
+
+    hours = []
+    for start, days in [(dt.datetime(2024, 3, 8), 5), (dt.datetime(2024, 11, 1), 5)]:
+        base = int(start.replace(tzinfo=dt.timezone.utc).timestamp())
+        hours += [base + 3600 * i for i in range(24 * days)]
+    tier = spark.createDataFrame(
+        [("m", h) for h in hours], "series_id string, sec long"
+    ).select(
+        "series_id",
+        F.timestamp_seconds("sec").alias("window_start"),
+        F.lit(1).cast("long").alias("sum"),
+        F.lit(1).cast("long").alias("count"),
+        F.lit(1).cast("long").alias("min"),
+        F.lit(1).cast("long").alias("max"),
+    )
+    out = {
+        r["w_start"]: r["count"]
+        for r in calendar_rollup_tz(tier, "America/New_York").collect()
+    }
+
+    def nymid(y, m, d, utc_h):
+        return int(
+            dt.datetime(y, m, d, utc_h, tzinfo=dt.timezone.utc).timestamp()
+        )
+
+    # EST midnight = 05:00 UTC; EDT midnight = 04:00 UTC
+    assert out[nymid(2024, 3, 9, 5)] == 24     # full EST day
+    assert out[nymid(2024, 3, 10, 5)] == 23    # spring-forward day
+    assert out[nymid(2024, 3, 11, 4)] == 24    # full EDT day (new offset)
+    assert out[nymid(2024, 11, 2, 4)] == 24    # full EDT day
+    assert out[nymid(2024, 11, 3, 4)] == 25    # fall-back day
+    assert out[nymid(2024, 11, 4, 5)] == 24    # full EST day (new offset)
+    # conservation: every hourly window lands in exactly one local day
+    assert sum(out.values()) == len(hours)
