@@ -248,3 +248,47 @@ def test_engine_session_confs_pinned(spark):
     assert get("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS"
     assert get("spark.sql.execution.arrow.maxRecordsPerBatch") == "65536"
     assert get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_uid_encode_uses_broadcast_joins(spark, mp_points):
+    """F9: both the encode and decode joins must be broadcast hash
+    joins — the point stream must never shuffle for dictionary
+    encoding (the dictionary is |series|-bounded)."""
+    from opentsdb_rollup_rust_spark.functions.uid import (
+        build_uid_table,
+        decode_uids,
+        encode_uids,
+    )
+
+    uids = build_uid_table(mp_points)
+    enc = decode_uids(encode_uids(mp_points, uids), uids)
+    plan = plan_of(enc)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tag_filter_rollup_no_udf_and_partial_agg(spark):
+    """P6: the compiled tag predicate is pure codegen (no Python
+    eval nodes) and the aggregation keeps its map-side partial
+    phase."""
+    from opentsdb_rollup_rust_spark.operators.tagquery import (
+        TagFilter,
+        tag_filter_rollup,
+    )
+
+    pts = spark.range(0, 10_000, 1, 4).select(
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("value"),
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("id") % 7).cast("string")),
+        ).alias("tags"),
+    )
+    q = tag_filter_rollup(
+        pts, [TagFilter("wildcard", "host", "h*", group_by=True)], 3600
+    )
+    plan = plan_of(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan or "HashAggregate" in plan
+    # two-phase agg: partial before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
