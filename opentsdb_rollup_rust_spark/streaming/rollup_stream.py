@@ -96,6 +96,55 @@ def streaming_tumbling_rollup(
     )
 
 
+def streaming_tag_filter_rollup(
+    points: DataFrame,
+    filters,
+    interval: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST9 (r4): P6's tag-filter query over a stream. The compiled
+    predicate and the narrow groupBy-tag extraction are stateless
+    projections, so they compose with the watermarked windowed agg
+    unchanged — streaming state is one (sum,count,min,max) tuple per
+    (tag values, window), exactly like ST1, and a completed stream
+    equals the batch tag_filter_rollup (parity pinned in
+    tests/test_streaming.py)."""
+    from ..operators.tagquery import compile_tag_filter
+
+    tags = F.col("tags")
+    pred = None
+    for f in filters:
+        c = compile_tag_filter(tags, f)
+        pred = c if pred is None else (pred & c)
+    group_tags = [f.tagk for f in filters if f.group_by]
+    sec = INTERVAL_SECONDS[interval]
+    narrow = (points.where(pred) if pred is not None else points).select(
+        *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+        "ts",
+        "value",
+    )
+    return (
+        narrow.withWatermark("ts", watermark)
+        .groupBy(*group_tags, F.window("ts", f"{sec} seconds"))
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select(
+            *group_tags,
+            F.unix_timestamp(F.col("window.start"))
+            .cast("long")
+            .alias("w_start"),
+            "sum",
+            "count",
+            "min",
+            "max",
+        )
+    )
+
+
 def streaming_histogram_rollup(
     points: DataFrame, interval: str, watermark: str = "10 minutes"
 ) -> DataFrame:

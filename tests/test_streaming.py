@@ -323,3 +323,46 @@ def test_streaming_dedup_across_batches(spark, points, points_dir, tmp_path):
     run_to_memory_table(streaming_dedup_rollup(stream, "1h"), name)
     want = tumbling_rollup(points.dropDuplicates(["series_id", "ts"]), "1h")
     assert_df_equal(spark.table(name), want)
+
+
+def test_streaming_tag_filter_equals_batch(spark, tmp_path_factory):
+    """ST9 == P6: a completed tagged stream under the compiled filter
+    + groupBy split equals the batch tag_filter_rollup exactly."""
+    from pyspark.sql import types as T
+
+    from opentsdb_rollup_rust_spark.operators.tagquery import (
+        TagFilter,
+        tag_filter_rollup,
+    )
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        streaming_tag_filter_rollup,
+    )
+
+    tagged = spark.range(0, 5_000, 1, 4).select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 7).alias("ts"),
+        (F.col("id") % 101).alias("value"),
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("id") % 5).cast("string")),
+            F.lit("dc"),
+            F.when(F.col("id") % 2 == 0, F.lit("east")).otherwise(
+                F.lit("west")
+            ),
+        ).alias("tags"),
+    )
+    d = str(tmp_path_factory.mktemp("tagpts")) + "/tagged.parquet"
+    tagged.write.mode("overwrite").parquet(d)
+    filters = [
+        TagFilter("wildcard", "host", "h*", group_by=True),
+        TagFilter("literal_or", "dc", "east"),
+    ]
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    )
+    name = _memname()
+    run_to_memory_table(
+        streaming_tag_filter_rollup(stream, filters, "1h"), name
+    )
+    got = spark.table(name)
+    want = tag_filter_rollup(spark.read.parquet(d), filters, 3600)
+    assert_df_equal(got, want.select(*got.columns))
