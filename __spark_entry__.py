@@ -928,6 +928,62 @@ def _q_shard_order(spark, sf_dir):
     return d.select("doc_id", "shard", "pos")
 
 
+def _q_query_last(spark, sf_dir):
+    """P10: /api/query/last — the most recent data point per matching
+    series at query time (OpenTSDB's dashboard-current-value
+    endpoint), composed WITH the tag-filter family: filter first,
+    then one struct-max aggregation picks (ts, value) atomically per
+    series+host (no self-join, no window over the full stream; ties
+    on ts broken by value inside the struct comparison, deterministic
+    in both engines)."""
+    pts = _tagged_points(spark, sf_dir)
+    pred = compile_tag_filter(
+        F.col("tags"), TagFilter("literal_or", "dc", "click|error")
+    )
+    narrow = pts.where(pred).select(
+        "series_id",
+        F.element_at(F.col("tags"), F.lit("host")).alias("host"),
+        F.unix_timestamp("ts").cast("long").alias("sec"),
+        "value",
+    )
+    last = narrow.groupBy("series_id", "host").agg(
+        F.max(F.struct("sec", "value")).alias("s")
+    )
+    return last.select(
+        "series_id",
+        "host",
+        F.col("s.sec").alias("last_sec"),
+        F.col("s.value").alias("last_value"),
+    )
+
+
+def _q_tok_pair_topk(spark, sf_dir):
+    """T8: one BPE-training iteration's core statistic — adjacent
+    token-pair frequencies over the corpus, global top-20 merge
+    candidates. The pair stream is an in-stage generator (arrays_zip
+    of two slices, exploded), collapsed by a map-side-combined
+    count whose key space is bounded by |vocab|^2 intersected with
+    observed adjacencies — at 100 TB the shuffle carries the pair
+    dictionary, never the corpus. Top-k over the aggregated counts is
+    a TakeOrdered, not a global sort."""
+    seqs = _md5_token_seqs(spark, sf_dir)
+    n = F.size("tokens")
+    pairs = seqs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tokens", 1, n - 1),
+                F.slice("tokens", 2, n - 1),
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.0").alias("t1"), F.col("p.1").alias("t2")
+    )
+    counts = pairs.groupBy("t1", "t2").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(
+        F.desc("cnt"), F.asc("t1"), F.asc("t2")
+    ).limit(20)
+
+
 def _q_uid_encode(spark, sf_dir):
     """F9: the tsdb-uid dictionary round trip under the gate — build
     the deterministic name->uid table, ENCODE the stream (broadcast
@@ -1686,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_series": _q_lookup_series,
         "annotation_overlay": _q_annotation_overlay,
         "shard_order": _q_shard_order,
+        "query_last": _q_query_last,
+        "tok_pair_topk": _q_tok_pair_topk,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -1740,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotation_overlay",
         "shard_order",
         "rollup_cal_day_tz",
+        "query_last",
+        "tok_pair_topk",
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
@@ -2126,6 +2186,29 @@ def oracle_sql() -> dict[str, str]:
                                              ELSE corrected::DOUBLE / dt END)
                         AS BIGINT) AS rate_q
             FROM e""",
+        "query_last": f"""{_TAGGED_CTE},
+            f AS (SELECT series_id, host,
+                         CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value
+                  FROM tp WHERE dc IN ('click', 'error')),
+            m AS (SELECT series_id, host, max(sec) AS last_sec
+                  FROM f GROUP BY 1, 2)
+            SELECT f.series_id, f.host, m.last_sec,
+                   max(f.value) AS last_value
+            FROM f JOIN m ON f.series_id = m.series_id
+                         AND f.host = m.host AND f.sec = m.last_sec
+            GROUP BY 1, 2, 3""",
+        "tok_pair_topk": """
+            WITH seqs AS (
+              SELECT list_transform(generate_series(0, CAST(n_chars % 8 AS INT)),
+                       j -> CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-' || j), 1, 15))::BIGINT % 997) AS INT))
+                       AS tokens
+              FROM documents),
+            p AS (SELECT unnest(tokens[1:len(tokens)-1]) AS t1,
+                         unnest(tokens[2:len(tokens)]) AS t2
+                  FROM seqs WHERE len(tokens) >= 2)
+            SELECT t1, t2, count(*)::BIGINT AS cnt
+            FROM p GROUP BY 1, 2
+            ORDER BY cnt DESC, t1, t2 LIMIT 20""",
         "lookup_series": f"""{_TAGGED_CTE}
             SELECT series_id AS metric, host, dc, rack, env,
                    count(*)::BIGINT AS n_points
