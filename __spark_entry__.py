@@ -928,6 +928,47 @@ def _q_shard_order(spark, sf_dir):
     return d.select("doc_id", "shard", "pos")
 
 
+def _q_query_explicit_tags(spark, sf_dir):
+    """P11: OpenTSDB 2.3 explicitTags — the tag SET must be exactly
+    the filtered keys, so series carrying any extra tag are excluded
+    even when every filter matches. Demo stream has heterogeneous tag
+    sets ({host,dc} vs {host,dc,rack}, deterministic off user_id);
+    filters on host+dc with explicitTags=true keep only the rack-less
+    rows. Still one codegen'd predicate: size equality + the per-
+    filter presence checks IS set equality."""
+    e = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    base = F.create_map(
+        F.lit("host"),
+        F.concat(F.lit("web"), F.pmod(uid, F.lit(12)).cast("string")),
+        F.lit("dc"),
+        F.col("event_type"),
+    )
+    with_rack = F.map_concat(
+        base,
+        F.create_map(
+            F.lit("rack"),
+            F.concat(F.lit("r"), F.pmod(uid, F.lit(3)).cast("string")),
+        ),
+    )
+    pts = e.select(
+        F.col("ts"),
+        F.floor(F.col("value") * F.lit(1000)).cast("long").alias("value"),
+        F.when(F.pmod(uid, F.lit(4)) == 0, base)
+        .otherwise(with_rack)
+        .alias("tags"),
+    )
+    return tag_filter_rollup(
+        pts,
+        [
+            TagFilter("wildcard", "host", "web*", group_by=True),
+            TagFilter("literal_or", "dc", "click|view"),
+        ],
+        86400,
+        explicit_tags=True,
+    )
+
+
 def _q_query_last(spark, sf_dir):
     """P10: /api/query/last — the most recent data point per matching
     series at query time (OpenTSDB's dashboard-current-value
@@ -1744,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_order": _q_shard_order,
         "query_last": _q_query_last,
         "tok_pair_topk": _q_tok_pair_topk,
+        "query_explicit_tags": _q_query_explicit_tags,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -1800,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cal_day_tz",
         "query_last",
         "tok_pair_topk",
+        "query_explicit_tags",
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
@@ -2186,6 +2229,24 @@ def oracle_sql() -> dict[str, str]:
                                              ELSE corrected::DOUBLE / dt END)
                         AS BIGINT) AS rate_q
             FROM e""",
+        "query_explicit_tags": """
+            WITH tp AS (
+              SELECT ts, CAST(FLOOR(value*1000) AS BIGINT) AS value,
+                     'web' || CAST(user_id % 12 AS VARCHAR) AS host,
+                     event_type AS dc,
+                     CASE WHEN user_id % 4 = 0 THEN NULL
+                          ELSE 'r' || CAST(user_id % 3 AS VARCHAR) END
+                       AS rack
+              FROM events)
+            SELECT host,
+                   CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                   sum(value)::BIGINT AS "sum", count(value)::BIGINT AS "count",
+                   min(value) AS "min", max(value) AS "max",
+                   (sum(value)::DOUBLE) / (count(value)::DOUBLE) AS avg
+            FROM tp
+            WHERE host LIKE 'web%' AND dc IN ('click', 'view')
+              AND rack IS NULL
+            GROUP BY 1, 2""",
         "query_last": f"""{_TAGGED_CTE},
             f AS (SELECT series_id, host,
                          CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value

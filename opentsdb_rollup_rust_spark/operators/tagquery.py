@@ -88,11 +88,25 @@ def compile_tag_filter(tags: Column, f: TagFilter) -> Column:
     raise ValueError(f"unknown filter type: {f.type}")
 
 
+def explicit_tags_predicate(
+    tags: Column, filters: list["TagFilter"]
+) -> Column:
+    """OpenTSDB 2.3 ``explicitTags``: the series' tag set must be
+    EXACTLY the filtered tag keys — a series carrying any extra tag
+    is excluded even if every filter matches. Implemented as a size
+    check (the per-filter compile already requires each filtered key
+    present, so size-equality plus those presence checks IS set
+    equality); still a pure codegen'd map expression."""
+    tagks = sorted({f.tagk for f in filters})
+    return F.size(F.map_keys(tags)) == F.lit(len(tagks))
+
+
 def tag_filter_rollup(
     points: DataFrame,
     filters: list[TagFilter],
     interval_sec: int,
     tags_col: str = "tags",
+    explicit_tags: bool = False,
 ) -> DataFrame:
     """/api/query over tagged points: filter, group by the groupBy
     tags + tumbling window, aggregate everything else.
@@ -108,6 +122,9 @@ def tag_filter_rollup(
     for f in filters:
         c = compile_tag_filter(tags, f)
         pred = c if pred is None else (pred & c)
+    if explicit_tags and filters:
+        e = explicit_tags_predicate(tags, filters)
+        pred = e if pred is None else (pred & e)
     filtered = points.where(pred) if pred is not None else points
 
     group_tags = [f.tagk for f in filters if f.group_by]

@@ -144,3 +144,26 @@ def test_suggest_prefix_limit_and_order(tagged):
 def test_suggest_unknown_kind_raises(tagged):
     with pytest.raises(ValueError):
         suggest(tagged.withColumn("series_id", F.lit("m")), "bogus")
+
+
+def test_explicit_tags_excludes_extra_tagged_series(spark):
+    """P11: with explicitTags, a series matching every filter but
+    carrying an extra tag is excluded; without, it is kept."""
+    from opentsdb_rollup_rust_spark.operators.tagquery import (
+        tag_filter_rollup,
+    )
+
+    rows = [
+        ("a", 0, 1, {"host": "web1"}),
+        ("b", 0, 2, {"host": "web1", "dc": "east"}),  # extra tag
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, ts_sec long, value long, tags map<string,string>"
+    ).select(
+        "id", F.timestamp_seconds("ts_sec").alias("ts"), "value", "tags"
+    )
+    flt = [TagFilter("wildcard", "host", "web*", group_by=True)]
+    strict = tag_filter_rollup(df, flt, 60, explicit_tags=True).collect()
+    assert len(strict) == 1 and strict[0]["sum"] == 1
+    loose = tag_filter_rollup(df, flt, 60).collect()
+    assert len(loose) == 1 and loose[0]["sum"] == 3
