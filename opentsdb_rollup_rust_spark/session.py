@@ -70,14 +70,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 64k-row Arrow batches (default 10k): the derive path streams
-        # millions of small token lists through mapInArrow — bigger
-        # batches amortize per-batch IPC/GIL overhead; worst-case
-        # worker memory stays ~20 MB/batch at 60 int32 tokens/row.
-        # Env-overridable for A/B sizing experiments (scaling protocol).
+        # 256k-row Arrow batches (Spark default 10k): the derive path
+        # streams millions of small token lists through mapInArrow —
+        # bigger batches amortize per-batch IPC/GIL overhead. The r4
+        # interleaved same-JVM ABAB (scripts/arrow_batch_ab.py,
+        # BENCH/BASELINE.md) had 256k beat 64k in every adjacent pair
+        # (1.45x/1.61x in degraded windows, 1.06x near-clean): fewer
+        # IPC round trips = fewer worker wakeups on the VMM fault
+        # path. Worst-case worker memory ~512 MB/batch at the 512-
+        # token cap (256k rows x 512 x int32), well under executor
+        # headroom at 2 g/core. Env-overridable for A/B experiments.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "262144"),
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
         # int64 micros, NOT the legacy INT96 default: INT96 columns get
