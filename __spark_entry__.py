@@ -21,6 +21,7 @@ row-count + schema + value-hash comparison is bit-exact):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1289,6 +1290,57 @@ def _q_route_read_stored(spark, sf_dir):
     )
 
 
+def _q_tag_read_pruned(spark, sf_dir):
+    """P6b: the STORAGE half of the tag-query scale story. A map-typed
+    tag predicate can never reach a parquet footer, so at 100 TB the
+    hot group-by tagks must be storage dimensions: the tagged stream
+    is written PARTITIONED BY dc (Hive-style directory layout, the
+    columnar analogue of OpenTSDB prefixing row keys with the tag
+    UID), with the remaining tags kept as a map column. The dc filter
+    of the /api/query then prunes whole directories at planning time
+    (PartitionFilters in the scan — pinned by
+    tests/test_plans.py::test_tag_read_partition_pruned) and only the
+    map-residual filters evaluate per row. Same result as the
+    all-in-memory query_tag_filters family; the oracle computes
+    direct from the raw events, so the hash match proves the
+    partitioned round trip loses nothing."""
+    import tempfile
+
+    base = os.environ.get("SPARK_GRAFT_TAGSTORE", None)
+    if base is None:
+        import hashlib
+
+        key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        base = f"/tmp/spark_graft_tagstore_{key}"
+    if not os.path.isdir(base):
+        tmp = tempfile.mkdtemp(prefix="tagstore_build_")
+        _tagged_points(spark, sf_dir).withColumn(
+            "dc", F.element_at(F.col("tags"), F.lit("dc"))
+        ).write.partitionBy("dc").mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            pass  # concurrent builder won the rename; theirs is equal
+    stored = spark.read.parquet(base)
+    pred = compile_tag_filter(
+        F.col("tags"), TagFilter("iwildcard", "host", "WEB1*")
+    ) & F.col("dc").isin("click", "view")
+    narrow = stored.where(pred).select(
+        F.element_at(F.col("tags"), F.lit("host")).alias("host"),
+        (
+            F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+            * F.lit(86400)
+        ).alias("w_start"),
+        "value",
+    )
+    return narrow.groupBy("host", "w_start").agg(
+        F.sum("value").alias("sum"),
+        F.count("value").alias("count"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    )
+
+
 def _q_route_read_spliced(spark, sf_dir):
     """P5b — REAL-TIME continuous-aggregate read: the 1h tier is
     materialized only up to a watermark; the 2h query is answered by
@@ -1786,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_last": _q_query_last,
         "tok_pair_topk": _q_tok_pair_topk,
         "query_explicit_tags": _q_query_explicit_tags,
+        "tag_read_pruned": _q_tag_read_pruned,
         "win_moving": _q_win_moving,
         "win_rank": _q_win_rank,
         "filter_range": _q_filter_range,
@@ -1843,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_last",
         "tok_pair_topk",
         "query_explicit_tags",
+        "tag_read_pruned",
         "route_read_spliced",
         "text_repetition",
         "win_rate_wrap",
@@ -2229,6 +2283,14 @@ def oracle_sql() -> dict[str, str]:
                                              ELSE corrected::DOUBLE / dt END)
                         AS BIGINT) AS rate_q
             FROM e""",
+        "tag_read_pruned": f"""{_TAGGED_CTE}
+            SELECT host,
+                   CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                   sum(value)::BIGINT AS "sum", count(value)::BIGINT AS "count",
+                   min(value) AS "min", max(value) AS "max"
+            FROM tp
+            WHERE lower(host) LIKE 'web1%' AND dc IN ('click', 'view')
+            GROUP BY 1, 2""",
         "query_explicit_tags": """
             WITH tp AS (
               SELECT ts, CAST(FLOOR(value*1000) AS BIGINT) AS value,

@@ -292,3 +292,34 @@ def test_tag_filter_rollup_no_udf_and_partial_agg(spark):
     assert "partial_" in plan or "HashAggregate" in plan
     # two-phase agg: partial before the exchange, final after
     assert plan.count("HashAggregate") >= 2
+
+
+def test_tag_read_partition_pruned(spark, tmp_path_factory):
+    """P6b: with the hot tagk as a Hive partition dimension, the tag
+    query's dc filter must prune directories at planning time —
+    PartitionFilters non-empty and the pruned partition's files never
+    scanned."""
+    base = str(tmp_path_factory.mktemp("tagstore"))
+    df = spark.range(0, 1000, 1, 4).select(
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("value"),
+        F.when(F.col("id") % 2 == 0, F.lit("click"))
+        .otherwise(F.lit("error"))
+        .alias("dc"),
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("web"), (F.col("id") % 3).cast("string")),
+        ).alias("tags"),
+    )
+    df.write.partitionBy("dc").mode("overwrite").parquet(base)
+    stored = spark.read.parquet(base)
+    q = stored.where(
+        (F.col("dc") == "click")
+        & F.element_at(F.col("tags"), F.lit("host")).like("web1%")
+    ).groupBy("dc").agg(F.sum("value").alias("s"))
+    plan = plan_of(q)
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "dc" in m[0]
+    # directory pruning visible: only one of the two dc partitions read
+    assert "PartitionFilters: []" not in plan
+    assert q.collect()[0]["s"] > 0
