@@ -246,7 +246,9 @@ def test_engine_session_confs_pinned(spark):
     assert get("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "4k"
     assert "InferFiltersFromGenerate" in get("spark.sql.optimizer.excludedRules")
     assert get("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS"
-    assert get("spark.sql.execution.arrow.maxRecordsPerBatch") == "65536"
+    # 262144 since the r4 ABAB (BENCH/BASELINE.md "Arrow batch-size
+    # A/B"): 256k beat 64k in every adjacent pair
+    assert get("spark.sql.execution.arrow.maxRecordsPerBatch") == "262144"
     assert get("spark.sql.session.timeZone") == "UTC"
 
 
