@@ -1310,7 +1310,14 @@ def _q_tag_read_pruned(spark, sf_dir):
     if base is None:
         import hashlib
 
-        key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        # fold the source data's identity into the cache key so a
+        # regenerated testdata dir can't serve a stale layout (the
+        # r3-ADVICE chunk-cache bug class)
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        key = hashlib.md5(
+            f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+        ).hexdigest()[:10]
         base = f"/tmp/spark_graft_tagstore_{key}"
     if not os.path.isdir(base):
         tmp = tempfile.mkdtemp(prefix="tagstore_build_")
