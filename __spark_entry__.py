@@ -1290,6 +1290,30 @@ def _q_route_read_stored(spark, sf_dir):
     )
 
 
+def _parquet_data_sig(src: str) -> str:
+    """Cache-key fingerprint of a parquet dataset: md5 over the sorted
+    per-file (path, mtime, size) list — robust to in-place rewrites
+    that keep file names (directory st_mtime/st_size are not). Shared
+    by every local demo cache (_chunk_table, the tag store)."""
+    import hashlib
+
+    paths = (
+        sorted(
+            os.path.join(src, p)
+            for p in os.listdir(src)
+            if p.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    return hashlib.md5(
+        "|".join(
+            f"{p}:{os.path.getmtime(p):.0f}:{os.path.getsize(p)}"
+            for p in paths
+        ).encode()
+    ).hexdigest()[:10]
+
+
 def _q_tag_read_pruned(spark, sf_dir):
     """P6b: the STORAGE half of the tag-query scale story. A map-typed
     tag predicate can never reach a parquet footer, so at 100 TB the
@@ -1308,17 +1332,15 @@ def _q_tag_read_pruned(spark, sf_dir):
 
     base = os.environ.get("SPARK_GRAFT_TAGSTORE", None)
     if base is None:
-        import hashlib
-
         # fold the source data's identity into the cache key so a
         # regenerated testdata dir can't serve a stale layout (the
-        # r3-ADVICE chunk-cache bug class)
-        src = os.path.join(sf_dir, "events.parquet")
-        st = os.stat(src)
-        key = hashlib.md5(
-            f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-        ).hexdigest()[:10]
+        # r3-ADVICE chunk-cache bug class). Per-FILE mtime+size (the
+        # _chunk_table fingerprint, r4 ADVICE): a directory's own
+        # st_mtime only changes on entry add/remove, so an in-place
+        # rewrite keeping the same file names would alias the key.
+        key = _parquet_data_sig(os.path.join(sf_dir, "events.parquet"))
         base = f"/tmp/spark_graft_tagstore_{key}"
+    read_path = base
     if not os.path.isdir(base):
         tmp = tempfile.mkdtemp(prefix="tagstore_build_")
         _tagged_points(spark, sf_dir).withColumn(
@@ -1327,8 +1349,13 @@ def _q_tag_read_pruned(spark, sf_dir):
         try:
             os.rename(tmp, base)
         except OSError:
-            pass  # concurrent builder won the rename; theirs is equal
-    stored = spark.read.parquet(base)
+            # concurrent builder won the rename (theirs is equal) — or
+            # the rename failed outright (e.g. cross-device /tmp): fall
+            # back to reading our own tmp build rather than erroring on
+            # a missing base (r4 ADVICE)
+            if not os.path.isdir(base):
+                read_path = tmp
+    stored = spark.read.parquet(read_path)
     pred = compile_tag_filter(
         F.col("tags"), TagFilter("iwildcard", "host", "WEB1*")
     ) & F.col("dc").isin("click", "view")
@@ -1642,26 +1669,11 @@ def _chunk_table(spark, sf_dir, chunk_points: int) -> DataFrame:
 
     with open(G.__file__, "rb") as f:
         fp = hashlib.md5(f.read()).hexdigest()[:10]
-    # Fold the SOURCE DATA into the key too (mtime+size of every
-    # events parquet): regenerated testdata at the same path must not
-    # serve a stale chunk table (ADVICE r3 — stale cache reads as
+    # Fold the SOURCE DATA into the key too (per-file mtime+size of
+    # every events parquet): regenerated testdata at the same path must
+    # not serve a stale chunk table (ADVICE r3 — stale cache reads as
     # wrong bench timings / spurious gate mismatches).
-    src = os.path.join(sf_dir, "events.parquet")
-    paths = (
-        sorted(
-            os.path.join(src, p)
-            for p in os.listdir(src)
-            if p.endswith(".parquet")
-        )
-        if os.path.isdir(src)
-        else [src]
-    )
-    data_sig = hashlib.md5(
-        "|".join(
-            f"{p}:{os.path.getmtime(p):.0f}:{os.path.getsize(p)}"
-            for p in paths
-        ).encode()
-    ).hexdigest()[:10]
+    data_sig = _parquet_data_sig(os.path.join(sf_dir, "events.parquet"))
     path = (
         f"/tmp/spark_graft_cache/chunks_{os.path.basename(sf_dir.rstrip('/'))}"
         f"_1h_c{chunk_points}_{fp}_{data_sig}.parquet"

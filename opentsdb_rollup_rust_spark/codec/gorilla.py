@@ -377,12 +377,36 @@ def encode_chunks(
     )
 
 
+#: flush threshold for decode output frames: decoded points are
+#: accumulated per input Arrow batch and yielded whenever the running
+#: total crosses this — one frame is <=(cap + one chunk) points
+#: (~80 MB at 4M), independent of how many chunk rows the input batch
+#: carried, so worker memory stays bounded even under a foreign
+#: session's large maxRecordsPerBatch.
+DECODE_FLUSH_POINTS = 4_000_000
+
+
 def decode_chunks(chunks: "DataFrame") -> "DataFrame":
-    """C2: chunk table -> decoded points (read path / roundtrip)."""
+    """C2: chunk table -> decoded points (read path / roundtrip).
+
+    Wide-row Arrow path: each input row is a whole compressed chunk
+    (multi-KB blobs, up to 4096 points), so the session's Arrow batch
+    size is scoped down to ARROW_BATCH_WIDE at call time — the 256k
+    narrow-row default would be multi-GB per input batch (r4 ADVICE;
+    see session.set_arrow_batch for the scoping contract). Output
+    frames are additionally flushed every DECODE_FLUSH_POINTS decoded
+    points, bounding the Python-side buffer both ways."""
+    from opentsdb_rollup_rust_spark.session import (
+        ARROW_BATCH_WIDE,
+        set_arrow_batch,
+    )
+
+    set_arrow_batch(chunks.sparkSession, ARROW_BATCH_WIDE)
 
     def decode(batches):
+        outs: list[pd.DataFrame] = []
+        pending = 0
         for pdf in batches:
-            outs = []
             for row in pdf.itertuples(index=False):
                 sec = INTERVAL_SECONDS[row.interval]
                 ts_units, words = decode_chunk_arrays(
@@ -400,8 +424,12 @@ def decode_chunks(chunks: "DataFrame") -> "DataFrame":
                         }
                     )
                 )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                pending += int(row.n)
+                if pending >= DECODE_FLUSH_POINTS:
+                    yield pd.concat(outs, ignore_index=True)
+                    outs, pending = [], 0
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return chunks.mapInPandas(decode, POINT_SCHEMA)
 

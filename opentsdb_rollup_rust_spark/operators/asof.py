@@ -36,13 +36,32 @@ def asof_join(
     """facts columns are preserved; ``payload`` is appended with the
     latest dim value where dim_ts <= fact_ts (null before the first
     dim row). Timestamps may be TIMESTAMP or epoch BIGINT as long as
-    the two inputs agree."""
+    the two inputs agree.
+
+    A dim row whose payload value is explicitly NULL *applies* (facts
+    at or after it see NULL until the next dim row) — the row's
+    presence is the event, not its value. Internally the payload is
+    struct-wrapped so last(ignorenulls) skips only the union's
+    fact-side filler rows, never a dim row carrying NULL.
+
+    Raises ValueError if ``facts`` already contains the internal
+    staging columns or the output ``payload`` name — silently
+    overwriting caller columns is how as-of joins corrupt data."""
+    reserved = {"_t", "_is_dim", "_payload", payload}
+    clash = sorted(reserved & set(facts.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: facts columns {clash} collide with the "
+            f"payload/staging names; rename them before joining"
+        )
     fact_cols = [c for c in facts.columns]
     d = dims.select(
         F.col(key),
         F.col(dim_ts).alias("_t"),
         F.lit(1).alias("_is_dim"),
-        F.col(payload).alias("_payload"),
+        # non-null wrapper even when the payload value is null: the
+        # dim ROW must win the ignorenulls scan
+        F.struct(F.col(payload).alias("v")).alias("_payload"),
         *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
           for c in fact_cols if c != key],
     )
@@ -50,7 +69,9 @@ def asof_join(
         F.col(key),
         F.col(fact_ts).alias("_t"),
         F.lit(0).alias("_is_dim"),
-        F.lit(None).cast(dims.schema[payload].dataType).alias("_payload"),
+        F.lit(None)
+        .cast(f"struct<v:{dims.schema[payload].dataType.simpleString()}>")
+        .alias("_payload"),
         *[F.col(c) for c in fact_cols if c != key],
     )
     u = d.unionByName(f_side)
@@ -61,7 +82,7 @@ def asof_join(
     )
     carried = F.last("_payload", ignorenulls=True).over(w)
     return (
-        u.withColumn(payload, carried)
+        u.withColumn(payload, carried["v"])
         .where(F.col("_is_dim") == 0)
         .select(*fact_cols, payload)
     )

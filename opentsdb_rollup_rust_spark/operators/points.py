@@ -15,6 +15,8 @@ keeps coarser tiers from ever reading it (SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -148,6 +150,20 @@ def _derive_wide_arrow(sequences: DataFrame, keep_doc_id: bool) -> DataFrame:
     out_schema_arrow = pa.schema(out_fields)
     out_schema = ", ".join(
         f"{n} {'string' if t == pa.string() else 'long'}" for n, t in out_fields
+    )
+
+    # narrow-row Arrow path (~60 int32 tokens/row): pin the measured
+    # 256k batch size at call time so the derive throughput does not
+    # depend on what a wide-row operator (codec decode) last set the
+    # session-wide conf to — see session.set_arrow_batch
+    from opentsdb_rollup_rust_spark.session import (
+        ARROW_BATCH_NARROW,
+        set_arrow_batch,
+    )
+
+    set_arrow_batch(
+        sequences.sparkSession,
+        int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", ARROW_BATCH_NARROW)),
     )
 
     def stats_batches(batches):

@@ -166,19 +166,39 @@ def lsh_band_keys(
     )
 
 
+#: band-bucket population cap for minhash_lsh_pairs — the same guard
+#: simhash_pairs (SIMHASH_MAX_BUCKET) and similarity.LSH_MAX_BUCKET
+#: already apply: a band bucket of B members contributes B^2/2
+#: candidate pairs out of the self-equi-join, so ONE degenerate band
+#: key (boilerplate/templated near-dup docs whose band signature
+#: collapses — common in web corpora) is quadratic death at 100x
+#: scale. Members of a capped bucket usually still pair through their
+#: other (bands-1) band keys; a doc-cluster so uniform that EVERY band
+#: is hot is exactly the pathological case the cap exists to refuse.
+MINHASH_MAX_BUCKET = 4096
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    max_bucket: int = MINHASH_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b), distinct.
 
     Plan shape: project(words) -> project(shingles) -> project(hashes)
-    -> project(sig) -> explode(bands) -> self-equi-join on (band, key)
-    -> distinct. The join is the only shuffle; the staged projections
-    keep each intermediate evaluated once per row (see _shingled)."""
+    -> project(sig) -> explode(bands) -> hot-bucket guard ->
+    self-equi-join on (band, key) -> distinct. The join is the only
+    data shuffle; the staged projections keep each intermediate
+    evaluated once per row (see _shingled).
+
+    ``max_bucket`` drops degenerate hot band buckets BEFORE the
+    self-join (mirrored in the DuckDB oracle, exactly as simhash_pairs
+    does): the guard is a count aggregation over the same banded
+    subtree the join probes, so ReuseExchange computes the banding
+    once and the extra cost is one map-side-combined count."""
     shd = _shingled(docs, text_col)
     hs = shd.select("doc_id", shingle_hashes(F.col("shingles")).alias("hs"))
     sig_df = hs.select("doc_id", minhash_signature(F.col("hs"), k).alias("sig"))
@@ -186,8 +206,15 @@ def minhash_lsh_pairs(
         F.col("doc_id"),
         F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    safe = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket)
+        .select("band", "key")
+    )
+    guarded = banded.join(safe, ["band", "key"])
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     return (
         a.join(b, ["band", "key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

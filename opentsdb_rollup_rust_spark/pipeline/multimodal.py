@@ -92,7 +92,18 @@ def extract_features(
     mapInPandas (not a scalar UDF) so one Python invocation handles a
     whole Arrow batch and the payload column never round-trips back to
     the JVM — only the narrow feature columns do.
+
+    Wide-row Arrow path (multi-KB..MB binary payloads): the Arrow
+    batch size is scoped down to ARROW_BATCH_WIDE at call time so the
+    per-batch payload bytes stay bounded regardless of the session's
+    narrow-row default (see session.set_arrow_batch).
     """
+    from opentsdb_rollup_rust_spark.session import (
+        ARROW_BATCH_WIDE,
+        set_arrow_batch,
+    )
+
+    set_arrow_batch(media.sparkSession, ARROW_BATCH_WIDE)
     dec = decoder or _fake_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .dedup import (
     DEFAULT_MAX_DF,
     MINHASH_K,
+    MINHASH_MAX_BUCKET,
     MINHASH_P,
     SIMHASH_BANDS,
     SIMHASH_BITS,
@@ -63,6 +64,18 @@ EMB_DIM = 64
 # (n_probe=4 of 16 lists — probing a quarter of the corpus bounds
 # recall by design). Floors sit below both scales with margin.
 ANN_RECALL_FLOORS_PPM = {"lsh": 650_000, "ivf": 450_000}
+
+# Hard cap on the recall-evaluation query panel (r4 VERDICT task #4).
+# The panel is the deterministic 10% sample vec_id % 10 == 0, further
+# bounded to the first ANN_RECALL_PANEL_CAP panel ids (vec_id <
+# 10 * cap): the ground truth is brute force — intentionally quadratic
+# in |panel| x |corpus| — so without a constant cap the evaluation
+# query itself would stop scaling long before the operators it grades.
+# 2000 queries is ample for a recall estimate (binomial CI ~±1% at
+# recall 0.65) and keeps the truth join bounded at any corpus size.
+# At sf0.01/sf0.1 (5k/50k vectors) the cap is not binding at sf0.01
+# and binds at sf0.1 (panel 5000 -> 2000), both deterministic.
+ANN_RECALL_PANEL_CAP = 2000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,17 +290,26 @@ def q_ann_recall(spark, sf_dir):
     the IDENTICAL recall in SQL — the hash match pins the approximate
     operators' retrieval quality, not just their candidate mechanics —
     and ``meets_floor`` asserts recall_ppm >= the per-method floor
-    in ANN_RECALL_FLOORS_PPM.
+    in ANN_RECALL_FLOORS_PPM. The ORACLE emits literal TRUE for
+    meets_floor (the codec_check / agg_distinct_sketch invariant
+    pattern, r4 ADVICE): a recall drop below the floor makes the Spark
+    side emit false -> hash mismatch -> the gate actually fails,
+    instead of both engines agreeing on false.
     Integer arithmetic only (ppm via DIV), no float recall.
 
     Scale shape: ground truth is brute force, inherently quadratic,
-    so it runs over a deterministic 10% QUERY PANEL (vec_id % 10 == 0
-    — the standard recall-evaluation pattern: sample queries, never
-    the corpus) and is localCheckpoint'ed so the lsh and ivf branches
-    share ONE materialization instead of recomputing the brute-force
-    plan per branch (measured 339s -> seconds at sf0.1)."""
+    so it runs over a deterministic QUERY PANEL (vec_id % 10 == 0 —
+    the standard recall-evaluation pattern: sample queries, never the
+    corpus) hard-bounded at ANN_RECALL_PANEL_CAP queries (vec_id <
+    10*cap — see the constant's rationale) and is localCheckpoint'ed
+    so the lsh and ivf branches share ONE materialization instead of
+    recomputing the brute-force plan per branch (measured 339s ->
+    seconds at sf0.1)."""
     e = _mp(_embs(spark, sf_dir))
-    panel = e.where(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    panel = e.where(
+        (F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+        & (F.col("vec_id") < F.lit(10 * ANN_RECALL_PANEL_CAP))
+    )
     truth = (
         brute_force_topk(e, panel, k=3)
         .select("q_id", "neighbor_id")
@@ -507,15 +529,21 @@ _BPE_SQL = "'" + _BPE_RE.replace("'", "''") + "'"
 
 # MinHash-LSH candidate-pair CTE chain, shared by the dedup_minhash
 # oracle and the dedup_components oracle (which runs a recursive
-# transitive closure on the identical pair set)
+# transitive closure on the identical pair set). Mirrors the engine's
+# MINHASH_MAX_BUCKET hot-bucket guard (drop degenerate band buckets
+# BEFORE the self-join), so engine and oracle agree bit-for-bit on
+# the capped candidate set.
 _MH_CTES = f"""{_SHINGLES},
         wh AS (SELECT doc_id, {_h60('shingle')} % {MINHASH_P} AS hp FROM sh),
         consts AS (SELECT * FROM (VALUES {_MH_CONSTS}) AS t(i, a, b)),
         mh AS (SELECT doc_id, i, min((a * hp + b) % {MINHASH_P}) AS mh
                FROM wh CROSS JOIN consts GROUP BY 1, 2),
-        bands AS (SELECT doc_id, i // 4 AS band,
-                         md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
-                  FROM mh GROUP BY 1, 2)"""
+        bands0 AS (SELECT doc_id, i // 4 AS band,
+                          md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS key
+                   FROM mh GROUP BY 1, 2),
+        mh_safe AS (SELECT band, key FROM bands0 GROUP BY band, key
+                    HAVING count(*) <= {MINHASH_MAX_BUCKET}),
+        bands AS (SELECT bands0.* FROM bands0 JOIN mh_safe USING (band, key))"""
 _MH_PAIRS_SELECT = """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
@@ -995,20 +1023,22 @@ PIPELINE_ORACLE_SQL["ann_recall"] = f"""WITH {_prepared_vecs("ve AS (SELECT vec_
                        ORDER BY {_sql_cos_q(_sql_dot("a.qe", "b.qe"), "a.n2", "b.n2")} DESC,
                                 b.vec_id) AS rnk
             FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
-            WHERE a.vec_id % 10 = 0)
+            WHERE a.vec_id % 10 = 0 AND a.vec_id < {10 * ANN_RECALL_PANEL_CAP})
       WHERE rnk <= 3),
-    lsh AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_lsh"]})),
-    ivf AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_ivf"]})),
+    lsh AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_lsh"]})
+            WHERE q_id % 10 = 0 AND q_id < {10 * ANN_RECALL_PANEL_CAP}),
+    ivf AS (SELECT q_id, neighbor_id FROM ({PIPELINE_ORACLE_SQL["ann_ivf"]})
+            WHERE q_id % 10 = 0 AND q_id < {10 * ANN_RECALL_PANEL_CAP}),
     poss AS (SELECT 3 * count(*)::BIGINT AS possible FROM embeddings
-             WHERE vec_id % 10 = 0),
+             WHERE vec_id % 10 = 0 AND vec_id < {10 * ANN_RECALL_PANEL_CAP}),
     lh AS (SELECT count(*)::BIGINT AS hits FROM lsh JOIN truth USING (q_id, neighbor_id)),
     ih AS (SELECT count(*)::BIGINT AS hits FROM ivf JOIN truth USING (q_id, neighbor_id))
     SELECT 'lsh' AS method, hits, possible,
            ((hits * 1000000) // possible)::BIGINT AS recall_ppm,
-           (hits * 1000000) // possible >= {ANN_RECALL_FLOORS_PPM["lsh"]} AS meets_floor
+           TRUE AS meets_floor
     FROM lh CROSS JOIN poss
     UNION ALL
     SELECT 'ivf' AS method, hits, possible,
            ((hits * 1000000) // possible)::BIGINT AS recall_ppm,
-           (hits * 1000000) // possible >= {ANN_RECALL_FLOORS_PPM["ivf"]} AS meets_floor
+           TRUE AS meets_floor
     FROM ih CROSS JOIN poss"""

@@ -12,6 +12,35 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Arrow batch rows for NARROW-row Python paths (the derive pipeline:
+#: ~60 int32 tokens/row -> ~512 MB/batch worst case at the 512-token
+#: cap). A/B-measured faster than smaller batches at both parallelism
+#: levels (scripts/arrow_batch_ab.py, BENCH/BASELINE.md r4).
+ARROW_BATCH_NARROW = 262144
+
+#: Arrow batch rows for WIDE-row Python paths (Gorilla chunk decode:
+#: one row is a <=4096-point chunk with multi-KB bit blobs; multimodal
+#: payloads). 2048 rows ~= tens of MB in and <=8.4M decoded points per
+#: input batch — the 256k narrow default here would be multi-GB in and
+#: ~10^9 points buffered out, far past 2 g/core executor headroom
+#: (r4 ADVICE). Wide-row operators scope the conf down at call time
+#: because spark.sql.execution.arrow.maxRecordsPerBatch is
+#: session-wide and read at execution.
+ARROW_BATCH_WIDE = 2048
+
+
+def set_arrow_batch(spark: SparkSession, rows: int) -> None:
+    """Scope the session-wide Arrow batch size to ``rows`` for the
+    queries about to execute. Operators with a strong row-width
+    preference (derive: narrow; codec decode / multimodal: wide) call
+    this when they are invoked; since the engine's job, bench and
+    driver-gate flows define-then-execute each query serially, the
+    value set at call time is the value in force at execution. A plan
+    that composes a narrow and a wide Python stage gets the LAST
+    caller's value — compose-time callers can override after building
+    the plan."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+
 
 def get_spark(
     app_name: str = "opentsdb_rollup_rust_spark",
@@ -79,10 +108,13 @@ def get_spark(
         # IPC round trips = fewer worker wakeups on the VMM fault
         # path. Worst-case worker memory ~512 MB/batch at the 512-
         # token cap (256k rows x 512 x int32), well under executor
-        # headroom at 2 g/core. Env-overridable for A/B experiments.
+        # headroom at 2 g/core. This default is sized for NARROW rows
+        # only: wide-row Arrow paths (codec decode, multimodal) scope
+        # it down to ARROW_BATCH_WIDE at call time — see
+        # set_arrow_batch (r4 ADVICE). Env-overridable for A/B runs.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "262144"),
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", str(ARROW_BATCH_NARROW)),
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
         # int64 micros, NOT the legacy INT96 default: INT96 columns get

@@ -459,6 +459,45 @@ def _checkpoint_stream_id(checkpoint: str) -> str:
     return _checkpoint_identity(checkpoint)[0]
 
 
+def _seed_replay_mark(
+    store, table: str, stream_id: str, checkpoint: str, legacy: bool
+) -> int:
+    """Initial replay high-water mark for a (re)starting stream.
+
+    Normally the mark scoped to this checkpoint's identity. For a
+    LEGACY checkpoint (pre-scoping: its earlier commits carry no
+    stream_id, so the scoped mark is -1 even though batches were
+    committed) the unscoped table mark keeps exactly-once across the
+    upgrade — but that mark spans EVERY stream that ever wrote the
+    table, so it is capped at this checkpoint's own authority: its
+    commits/ high-water mark + 1 (at most ONE batch — the in-flight
+    one a crash replays — can have reached the sink ahead of its
+    checkpoint commit). Without the cap, a foreign stream's higher
+    mark silently drops this stream's next micro-batches as "replays"
+    (r4 ADVICE). Residual legacy ambiguity: if the foreign stream also
+    has unscoped commits, only the single in-flight batch can still be
+    misattributed — not the stream's whole future."""
+    seed = latest_stream_batch(store, table, stream_id)
+    if legacy:
+        own_cap = _checkpoint_max_committed(checkpoint) + 1
+        seed = max(seed, min(latest_stream_batch(store, table, None), own_cap))
+    return seed
+
+
+def _checkpoint_max_committed(checkpoint: str) -> int:
+    """Highest batch id in the checkpoint's own commits/ directory
+    (-1 if none) — the checkpoint's authoritative record of what IT
+    has completed, independent of what other streams wrote to the
+    same table."""
+    d = os.path.join(checkpoint, "commits")
+    mx = -1
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.isdigit():
+                mx = max(mx, int(name))
+    return mx
+
+
 def stream_rollup_to_store(
     stream_rollup: DataFrame,
     store,
@@ -493,13 +532,7 @@ def stream_rollup_to_store(
     # at 0, and comparing those against an older generation's mark
     # would silently drop every new batch as a "replay".
     stream_id, legacy = _checkpoint_identity(checkpoint)
-    seed = latest_stream_batch(store, table, stream_id)
-    if legacy:
-        # pre-scoping checkpoint: its earlier commits carry no
-        # stream_id, so the scoped mark is -1 even though batches were
-        # committed — seed from the unscoped mark to keep exactly-once
-        # across the upgrade (batch ids continue, they don't reset).
-        seed = max(seed, latest_stream_batch(store, table, None))
+    seed = _seed_replay_mark(store, table, stream_id, checkpoint, legacy)
     state = {"max": seed}
 
     def write_batch(df: DataFrame, batch_id: int) -> None:

@@ -254,3 +254,42 @@ def test_asof_join_golden(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_asof_join_null_dim_payload_applies(spark):
+    """A dim row with an explicitly-NULL payload APPLIES from its
+    timestamp (struct-wrap semantics, r4 ADVICE): facts after it see
+    NULL, not the previous dim's value carried forward."""
+    from opentsdb_rollup_rust_spark.operators.asof import asof_join
+
+    facts = spark.createDataFrame(
+        [("a", 5, 1), ("a", 15, 1), ("a", 25, 1)],
+        "series_id string, ts_e long, value long",
+    )
+    dims = spark.createDataFrame(
+        [("a", 4, 7), ("a", 10, None), ("a", 20, 9)],
+        "series_id string, eff_ts long, cfg long",
+    )
+    got = {
+        r["ts_e"]: r["cfg"]
+        for r in asof_join(facts, dims, fact_ts="ts_e").collect()
+    }
+    assert got == {5: 7, 15: None, 25: 9}
+
+
+def test_asof_join_rejects_colliding_fact_columns(spark):
+    """facts carrying the payload name or an internal staging name is
+    refused loudly (r4 ADVICE) — never silently overwritten."""
+    import pytest as _pt
+
+    from opentsdb_rollup_rust_spark.operators.asof import asof_join
+
+    dims = spark.createDataFrame(
+        [("a", 1, 1)], "series_id string, eff_ts long, cfg long"
+    )
+    for bad in ("cfg", "_t", "_is_dim", "_payload"):
+        facts = spark.createDataFrame(
+            [("a", 5, 1)], f"series_id string, ts_e long, `{bad}` long"
+        )
+        with _pt.raises(ValueError, match="collide"):
+            asof_join(facts, dims, fact_ts="ts_e")

@@ -62,6 +62,34 @@ def test_minhash_lsh_recall_on_planted(docs):
     assert recall >= 0.9, f"recall={recall}"
 
 
+def test_minhash_hot_bucket_cap_drops_degenerate_cluster(docs, spark):
+    """MINHASH_MAX_BUCKET guard (r4 VERDICT task #2): a planted
+    degenerate cluster — identical texts, so every band bucket holds
+    the whole cluster — is dropped entirely when the cluster exceeds
+    max_bucket, while an ordinary 2-doc duplicate pair elsewhere in
+    the corpus still pairs. Without the cap the same cluster
+    contributes O(B^2) candidate pairs out of the self-join."""
+    from opentsdb_rollup_rust_spark.pipeline.dedup import minhash_lsh_pairs
+
+    two = docs.orderBy("doc_id").limit(2).collect()
+    hot_text, pair_text = two[0]["text"], two[1]["text"]
+    rows = [(20_000_000 + i, hot_text) for i in range(12)]
+    rows += [(30_000_000, pair_text), (30_000_001, pair_text)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(d, max_bucket=8).collect()
+    }
+    assert (30_000_000, 30_000_001) in capped
+    assert all(a >= 30_000_000 for a, _ in capped), capped
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(d).collect()
+    }
+    assert sum(a < 30_000_000 for a, _ in uncapped) == 12 * 11 // 2
+
+
 def test_ngram_jaccard_exact_on_planted(docs):
     from opentsdb_rollup_rust_spark.pipeline.dedup import (
         ngram_jaccard_pairs,

@@ -245,6 +245,48 @@ def test_legacy_checkpoint_detected_for_seed(tmp_path):
     assert sid3 == sid2 and not legacy3
 
 
+def test_legacy_seed_capped_by_own_checkpoint_commits(tmp_path):
+    """r4 ADVICE: the legacy-upgrade seed must not adopt a FOREIGN
+    stream's unscoped high-water mark wholesale — it is capped at the
+    checkpoint's own commits/ mark + 1 (the one possible in-flight
+    batch), so a shared table can't make an upgraded stream skip its
+    own next micro-batches as replays."""
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        _checkpoint_max_committed,
+        _seed_replay_mark,
+    )
+
+    class FakeStore:
+        def __init__(self, summaries):
+            self._s = summaries
+
+        def snapshot_summaries(self, table):
+            return self._s
+
+    ckpt = tmp_path / "ckpt"
+    commits = ckpt / "commits"
+    commits.mkdir(parents=True)
+    for b in (0, 1, 2):
+        (commits / str(b)).write_text("{}")
+    (commits / "3.tmp.99").write_text("")  # in-flight junk: ignored
+    assert _checkpoint_max_committed(str(ckpt)) == 2
+
+    # our 3 legacy commits (no stream_id) + a foreign stream at 7
+    store = FakeStore(
+        [{"stream_batch_id": b} for b in (0, 1, 2)]
+        + [{"stream_batch_id": 7, "stream_id": "other"}]
+    )
+    # scoped mark is -1 (our commits are unscoped); unscoped mark is 7;
+    # cap = own 2 + 1 -> seed 3: batch 3 (the only possible in-flight
+    # replay) is skipped, batch 4+ still commits
+    assert _seed_replay_mark(store, "t", "me", str(ckpt), True) == 3
+    # non-legacy path ignores the cap machinery entirely
+    assert _seed_replay_mark(store, "t", "me", str(ckpt), False) == -1
+    # store truncated below our own mark: unscoped mark wins (no cap up)
+    store2 = FakeStore([{"stream_batch_id": 1}])
+    assert _seed_replay_mark(store2, "t", "me", str(ckpt), True) == 1
+
+
 def test_stateful_forward_fill_tws_parity(spark, tmp_path):
     """ST6 == ST4: the transformWithState (Spark 4 StatefulProcessor +
     RocksDB state store) forward-fill produces the identical output to
