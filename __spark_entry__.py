@@ -1290,6 +1290,85 @@ def _q_route_read_stored(spark, sf_dir):
     )
 
 
+def _api_spec_range(spark, sf_dir):
+    """[start, end) for the api_query demos: the tagged stream's full
+    span (1-row min/max agg probe, the route_read_spliced pattern —
+    scalars, not data). The oracle recomputes the identical range in
+    SQL, so both engines build the same fill spine."""
+    pts = _tagged_points(spark, sf_dir)
+    lo, hi = pts.agg(
+        F.min(F.unix_timestamp("ts")).alias("lo"),
+        F.max(F.unix_timestamp("ts")).alias("hi"),
+    ).first()
+    return pts, int(lo), int(hi) + 1
+
+
+def _q_api_query_ds_rate(spark, sf_dir):
+    """THE composed end-user read (r4 VERDICT task #1): one OpenTSDB
+    /api/query spec through plans/api_query.py — metric + tag filter ->
+    groupBy host -> per-SERIES 1h-sum downsample -> ZERO fill over the
+    aligned query range -> cross-series sum per host -> plain rate,
+    LAST ([OTSDB-API] order of operations). The zero-fill-before-rate
+    order is observable: empty hours pull the aggregate to 0, so the
+    rate shows the genuine negative/positive spikes at gap edges — the
+    exact composition signature a rate-before-fill bug would erase.
+    The oracle recomputes the whole composition direct from raw
+    events, so the hash pins every stage boundary."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        RateOptions,
+        api_query,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("1h", "sum", fill="zero"),
+        rate=RateOptions(),
+    )
+    return api_query(pts, spec)
+
+
+def _q_api_query_group_avg(spark, sf_dir):
+    """Second /api/query composition: explicitTags over the full tag
+    set (host wildcard groupBy, dc literal, rack regexp, env
+    literal_or), per-series calendar-free 1d-avg downsample (ppm
+    quantized), fill=none, MAX across each host's series. Exercises
+    the filter/groupBy/downsample-avg/aggregate boundaries without
+    fill or rate, so the pair of api_query gate rows separates a fill
+    or rate regression from a filter/groupBy one."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="view",
+        start=start,
+        end=end,
+        aggregator="max",
+        filters=(
+            TagFilter("iwildcard", "host", "*", group_by=True),
+            TagFilter("literal_or", "dc", "view"),
+            TagFilter("regexp", "rack", "r[0-2]"),
+            TagFilter("literal_or", "env", "prod|dev"),
+        ),
+        explicit_tags=True,
+        downsample=Downsample("1d", "avg", fill="none"),
+    )
+    return api_query(pts, spec)
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -1847,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_rate": _q_win_rate,
         "win_rate_wrap": _q_win_rate_wrap,
         "win_rate_drop": _q_win_rate_drop,
+        "api_query_ds_rate": _q_api_query_ds_rate,
+        "api_query_group_avg": _q_api_query_group_avg,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -1900,54 +1981,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs.update(PIPELINE_QUERIES)
 
     # The driver gate samples 50 of the registered queries preserving
-    # dict order; round-4 front = the keys that are NEW or CHANGED
-    # this round (must land in CORRECTNESS_r04), then the r3 front.
+    # dict order. Round-5 front, per the r4 VERDICT rotation policy:
+    # first the keys NEW or CHANGED this round (they must land in
+    # CORRECTNESS_r05), then every other key ordered OLDEST driver
+    # evidence first (r1 keys, then r2, then r3 — the r4-green keys
+    # rotate out; all keys are additionally re-verified locally each
+    # round via scripts/check_oracle.py). Six r3-evidence keys don't
+    # fit the 50 slots and are front-of-line for r06: tok_topk,
+    # win_delta, win_moving, win_rank, win_rate, win_topk.
     front = [
-        "query_tag_filters",
-        "suggest_names",
-        "win_rate_drop",
-        "uid_encode",
-        "split_assign",
-        "lookup_series",
-        "annotation_overlay",
-        "shard_order",
-        "rollup_cal_day_tz",
-        "query_last",
-        "tok_pair_topk",
-        "query_explicit_tags",
-        "tag_read_pruned",
-        "route_read_spliced",
-        "text_repetition",
-        "win_rate_wrap",
-        "dedup_seq_exact",
-        "join_asof",
-        "tok_coverage",
-        "sample_mixture",
-        "decontam",
-        "codec_check",
-        "hist_percentile",
-        "agg_distinct_sketch",
-        "route_read_stored",
+        # new this round (the composed /api/query endpoint)
+        "api_query_ds_rate",
+        "api_query_group_avg",
+        # changed this round: minhash hot-bucket cap (engine+oracle,
+        # also shared by the components oracle), ann_recall panel cap
+        # + literal-TRUE floor oracle, asof struct-wrap, decode
+        # batching
+        "dedup_minhash",
         "ann_recall",
-        "ann_topk",
-        "ann_lsh",
-        "ann_ivf",
-        "dedup_embed",
-        "mm_features",
-        "pack_concat",
-        "pack_greedy",
-        "pipeline_clean",
-        "pack_materialize",
-        "hist_rollup",
-        "route_read",
-        "gapfill_interp",
-        "rollup_cal_week",
-        "agg_zimsum",
-        "expr_ratio",
-        "text_scrub",
         "dedup_components",
-        "dedup_components_star",
-        "dedup_components_auto",
+        "join_asof",
+        "codec_roundtrip",
+        # driver evidence from r1
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_simhash",
+        "text_fingerprint",
+        "text_langid",
+        "text_quality",
+        # driver evidence from r2
+        "codec_pruned_read",
+        "codec_stats",
+        "fn_array",
+        "fn_bucket",
+        "fn_hash",
+        "fn_invariant",
+        "fn_json",
+        "fn_map",
+        "fn_math",
+        "fn_string",
+        "scan_project",
+        "set_except",
+        "set_intersect",
+        "set_union",
+        "sort_global",
+        "sort_limit",
+        "text_tokens",
+        "udaf_hist",
+        # driver evidence from r3
+        "agg_dev",
+        "agg_distinct",
+        "agg_first_last",
+        "agg_interp",
+        "agg_percentile",
+        "agg_rollup_sets",
+        "agg_salted",
+        "derive_points",
+        "filter_range",
+        "filter_retention",
+        "filter_series",
+        "gapfill_ffill",
+        "gapfill_zero",
+        "join_anti",
+        "join_broadcast",
+        "join_equi",
+        "join_range",
+        "join_semi",
+        "rollup_fused",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front
@@ -2432,6 +2532,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(1000000 * (delta::DOUBLE / dt)) AS BIGINT)
                      AS rate_q
             FROM d WHERE delta >= 0""",
+        # api_query composition oracles: the full /api/query pipeline
+        # (filter -> groupBy -> per-series downsample -> fill ->
+        # cross-series aggregate -> rate LAST) recomputed direct from
+        # raw events. The series identity collapses to (host,rack,env)
+        # because dc == the metric filter and those are the only other
+        # tags in the demo stream.
+        "api_query_ds_rate": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/3600)*3600 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/3600)*3600 AS BIGINT) AS last_b
+                    FROM tp),
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            sd AS (SELECT DISTINCT host, rack, env FROM ds),
+            spine AS (SELECT sd.host, sd.rack, sd.env, gs.w_start
+                      FROM sd CROSS JOIN (
+                        SELECT unnest(generate_series(first_b, last_b, 3600))
+                               AS w_start FROM rng) gs),
+            filled AS (SELECT spine.host, spine.rack, spine.env,
+                              spine.w_start, COALESCE(ds.v, 0)::BIGINT AS v
+                       FROM spine LEFT JOIN ds
+                         USING (host, rack, env, w_start)),
+            g AS (SELECT host, w_start, sum(v)::BIGINT AS value
+                  FROM filled GROUP BY 1, 2),
+            r AS (SELECT host, w_start,
+                         value - lag(value) OVER
+                           (PARTITION BY host ORDER BY w_start) AS delta,
+                         w_start - lag(w_start) OVER
+                           (PARTITION BY host ORDER BY w_start) AS dt
+                  FROM g)
+            SELECT host, w_start,
+                   CAST(FLOOR(delta::DOUBLE / dt::DOUBLE * 1000000) AS BIGINT)
+                     AS value
+            FROM r WHERE delta IS NOT NULL""",
+        "api_query_group_avg": f"""{_TAGGED_CTE},
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'view'
+                    AND lower(host) LIKE '%' AND dc IN ('view')
+                    AND regexp_matches(rack, '^(?:r[0-2])$')
+                    AND env IN ('prod', 'dev')),
+            ds AS (SELECT host, rack, env, w_start,
+                          ((sum(value) * 1000000) // count(value))::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4)
+            SELECT host, w_start, max(v)::BIGINT AS value
+            FROM ds GROUP BY 1, 2""",
         "query_tag_filters": f"""{_TAGGED_CTE}
             SELECT host,
                    CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,

@@ -1,0 +1,322 @@
+"""The composed end-user read endpoint: an OpenTSDB-shaped
+``/api/query`` executed as ONE declarative Spark plan.
+
+Every piece exists (and is gate-verified) as a standalone operator —
+tag filters (operators/tagquery.py), tumbling downsample
+(operators/rollup.py), fill (operators/gapfill.py), counter-rate
+rules (__spark_entry__ win_rate family) — but a real user ports
+QUERIES, not operators, and composition bugs (fill-before-rate vs
+rate-before-fill, groupBy tags extracted after the aggregation, rate
+applied per raw series instead of per aggregated group) are exactly
+what unit-green operators miss (r4 VERDICT task #1). This module is
+the single composition point, following the PUBLIC OpenTSDB order of
+operations ([OTSDB-API] User Guide -> Querying, "Order of
+Operations"):
+
+    1. filtering        (metric + time range + tag filters)
+    2. grouping         (groupBy tag keys -> output dimensions)
+    3. downsampling     (per SERIES, interval + aggregator)
+    4. interpolation    (here: the downsample FILL policy over the
+                         aligned query-range spine — OpenTSDB skips
+                         classic interpolation when a downsample fill
+                         is specified)
+    5. aggregation      (across the series of each group, per bucket)
+    6. rate conversion  (per aggregated GROUP series, LAST — the
+                         documented, famously surprising placement)
+
+Scale shape: the raw point stream is touched exactly once, by a
+filter + narrow projection (groupBy tag values extracted from the
+map BEFORE any shuffle, the tag map itself never leaves the scan
+stage). Shuffle #1 is the per-series downsample — keyed by (series
+identity, bucket), i.e. the already-aggregated cardinality. Every
+later step (fill spine join, cross-series aggregation, the rate
+window) runs on downsampled rows: |series x buckets|, independent of
+raw point count. Fill's spine is generated from the group's own
+distinct-series set (an aggregate of shuffle #1's output), so no
+driver collect and no magic dimension table.
+
+Cross-engine exactness (the repo-wide oracle discipline): values stay
+int64 end to end; `avg` (downsample or aggregator) and `rate` are
+quantized to parts-per-million with FLOOR before returning, so the
+DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import resolve_interval_seconds
+from ..operators.tagquery import (
+    TagFilter,
+    compile_tag_filter,
+    explicit_tags_predicate,
+)
+
+#: ppm quantization scale for avg / rate outputs (see module doc).
+Q_SCALE = 1_000_000
+
+_DS_AGGS = ("sum", "count", "min", "max", "avg")
+_GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum")
+_FILLS = ("none", "zero", "null", "ffill")
+
+
+@dataclass(frozen=True)
+class Downsample:
+    """``<interval>-<aggregator>-<fill>`` of an OpenTSDB downsample
+    spec. ``fill`` extends the OpenTSDB policy set (none/zero/null)
+    with ffill (this engine's gap-fill forward-fill)."""
+
+    interval: str
+    aggregator: str = "avg"
+    fill: str = "none"
+
+
+@dataclass(frozen=True)
+class RateOptions:
+    """OpenTSDB rate options. ``counter`` enables wrap correction via
+    ``counter_max`` (negative delta -> delta + counter_max) and the
+    ``reset_value`` guard (corrected delta above it -> rate 0);
+    ``drop_resets`` instead EMITS NOTHING for negative-delta samples.
+    Semantics identical to the gate-verified win_rate family."""
+
+    counter: bool = False
+    counter_max: int | None = None
+    reset_value: int | None = None
+    drop_resets: bool = False
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One /api/query sub-query: metric, [start, end) epoch seconds,
+    tag filters (groupBy flags select output dimensions), explicit
+    tag-set matching, mandatory downsample, cross-series aggregator,
+    optional rate."""
+
+    metric: str
+    start: int
+    end: int
+    aggregator: str = "sum"
+    filters: tuple[TagFilter, ...] = ()
+    explicit_tags: bool = False
+    downsample: Downsample | None = None
+    rate: RateOptions | None = None
+
+
+def _validate(spec: QuerySpec) -> None:
+    if spec.downsample is None:
+        raise ValueError(
+            "api_query requires a downsample spec: this is a windowed "
+            "rollup engine — raw-timestamp alignment across series "
+            "(OpenTSDB's interpolation path) is not supported"
+        )
+    if spec.downsample.aggregator not in _DS_AGGS:
+        raise ValueError(
+            f"unknown downsample aggregator {spec.downsample.aggregator!r}"
+        )
+    if spec.downsample.fill not in _FILLS:
+        raise ValueError(f"unknown fill policy {spec.downsample.fill!r}")
+    if spec.aggregator not in _GROUP_AGGS:
+        raise ValueError(f"unknown aggregator {spec.aggregator!r}")
+    resolve_interval_seconds(spec.downsample.interval)  # raises KeyError
+    if not (spec.end > spec.start):
+        raise ValueError("end must be > start")
+    r = spec.rate
+    if r is not None:
+        if r.counter and r.drop_resets:
+            raise ValueError("counter wrap and drop_resets are exclusive")
+        if (r.counter_max is not None or r.reset_value is not None) and not r.counter:
+            raise ValueError("counter_max/reset_value require counter=True")
+        if r.counter and r.counter_max is None:
+            raise ValueError("counter=True requires counter_max")
+
+
+def _series_key(tags: Column) -> Column:
+    """Deterministic full-tag-set series identity: sorted k=v joins.
+    The downsample must key on the COMPLETE series (metric + every
+    tag), not just the groupBy tags — two series that agree on the
+    groupBy tags are still downsampled separately, then aggregated."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(tags)),
+            lambda e: F.concat_ws("=", e["key"], e["value"]),
+        ),
+        ",",
+    )
+
+
+def _ds_agg_expr(agg: str) -> Column:
+    if agg == "sum":
+        return F.sum("value")
+    if agg == "count":
+        return F.count("value")
+    if agg == "min":
+        return F.min("value")
+    if agg == "max":
+        return F.max("value")
+    # avg, ppm-quantized in pure int64 (sum*1e6 then integer floor-div)
+    return F.expr(f"(sum(value) * {Q_SCALE}) DIV count(value)")
+
+
+def _group_agg_expr(agg: str) -> Column:
+    if agg in ("sum", "zimsum"):
+        # zimsum: sum treating missing series as absent, not
+        # interpolated — with Spark's null-skipping SUM over the fill
+        # output, exactly SUM
+        return F.sum("v")
+    if agg == "count":
+        return F.count("v")
+    if agg == "min":
+        return F.min("v")
+    if agg == "max":
+        return F.max("v")
+    return F.expr(f"(sum(v) * {Q_SCALE}) DIV count(v)")
+
+
+def api_query(
+    points: DataFrame,
+    spec: QuerySpec,
+    metric_col: str = "series_id",
+    tags_col: str = "tags",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Execute ``spec`` over a tagged point stream.
+
+    ``points``: (metric_col string, ts_col timestamp, value_col long,
+    tags_col map<string,string>).
+
+    Returns one row per (groupBy tag values..., w_start) with a single
+    int64 ``value``: the downsampled/aggregated value, or — when
+    ``spec.rate`` is set — the ppm-quantized rate. With rate, the
+    first bucket of each group is dropped (no previous sample to
+    difference, as in OpenTSDB), and under ``drop_resets`` so is any
+    negative-delta sample.
+    """
+    _validate(spec)
+    ds = spec.downsample
+    sec = resolve_interval_seconds(ds.interval)
+    tags = F.col(tags_col)
+    ts_sec = F.unix_timestamp(F.col(ts_col))
+
+    # --- 1. filtering: metric + range are plain column predicates
+    # (pushdown-eligible); tag filters compile to one codegen'd map
+    # expression (operators/tagquery.py)
+    pred = (
+        (F.col(metric_col) == F.lit(spec.metric))
+        & (ts_sec >= F.lit(spec.start))
+        & (ts_sec < F.lit(spec.end))
+    )
+    for f in spec.filters:
+        pred = pred & compile_tag_filter(tags, f)
+    if spec.explicit_tags and spec.filters:
+        pred = pred & explicit_tags_predicate(tags, list(spec.filters))
+
+    # --- 2. grouping: extract groupBy tag values BEFORE any shuffle;
+    # the map column dies at the scan
+    group_tags = [f.tagk for f in spec.filters if f.group_by]
+    narrow = points.where(pred).select(
+        *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+        _series_key(tags).alias("_series"),
+        (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
+            "w_start"
+        ),
+        F.col(value_col).alias("value"),
+    )
+
+    # --- 3. downsampling: per full series identity (shuffle #1 — the
+    # only shuffle that sees per-point rows, and partial aggregation
+    # collapses them map-side first)
+    per_series = narrow.groupBy(*group_tags, "_series", "w_start").agg(
+        _ds_agg_expr(ds.aggregator).cast("long").alias("v")
+    )
+
+    # --- 4. fill: dense bucket spine over the ALIGNED QUERY RANGE per
+    # observed series (not per-series observed min/max — every series
+    # of a group must share buckets or the cross-series aggregate
+    # silently skews). Spine cardinality = |series| x |buckets|.
+    if ds.fill != "none":
+        # the fill consumes per_series TWICE (spine's distinct-series
+        # set + the join probe). Catalyst cannot reuse the exchange
+        # across the two branches — column pruning gives the spine
+        # branch a narrower aggregate, so without this persist the RAW
+        # SCAN runs twice (verified on the executed plan). Persisting
+        # the downsampled intermediate (|series x buckets| rows — the
+        # query's own output cardinality, orders of magnitude below
+        # the raw stream) caps the plan at one raw scan; lazy, spills
+        # to disk, evictable.
+        per_series = per_series.persist()
+        first_b = spec.start // sec * sec
+        last_b = (spec.end - 1) // sec * sec
+        series_dim = per_series.select(*group_tags, "_series").distinct()
+        spine = series_dim.select(
+            *group_tags,
+            "_series",
+            F.explode(
+                F.sequence(
+                    F.lit(first_b).cast("long"),
+                    F.lit(last_b).cast("long"),
+                    F.lit(sec).cast("long"),
+                )
+            ).alias("w_start"),
+        )
+        filled = spine.join(
+            per_series, [*group_tags, "_series", "w_start"], "left"
+        )
+        if ds.fill == "zero":
+            filled = filled.withColumn(
+                "v", F.coalesce("v", F.lit(0).cast("long"))
+            )
+        elif ds.fill == "ffill":
+            wf = (
+                Window.partitionBy(*group_tags, "_series")
+                .orderBy("w_start")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            filled = filled.withColumn("v", F.last("v", ignorenulls=True).over(wf))
+        # "null": keep nulls; they fall out of the null-skipping
+        # aggregates below (OpenTSDB's null render policy)
+        per_series = filled
+
+    # --- 5. aggregation across the series of each group, per bucket
+    grouped = per_series.groupBy(*group_tags, "w_start").agg(
+        _group_agg_expr(spec.aggregator).cast("long").alias("value")
+    )
+    if spec.rate is None:
+        return grouped
+
+    # --- 6. rate conversion, LAST, per aggregated group series
+    r = spec.rate
+    wr = Window.partitionBy(*group_tags).orderBy("w_start")
+    delta = F.col("value") - F.lag("value").over(wr)
+    dt = (F.col("w_start") - F.lag("w_start").over(wr)).cast("double")
+    staged = grouped.select(
+        *group_tags, "w_start", delta.alias("_delta"), dt.alias("_dt")
+    )
+    if r.drop_resets:
+        # emits nothing for the first sample (NULL delta) or a reset
+        rate = F.col("_delta").cast("double") / F.col("_dt")
+        out = staged.where(F.col("_delta") >= 0)
+    elif r.counter:
+        corrected = F.when(
+            F.col("_delta") < 0, F.col("_delta") + F.lit(r.counter_max)
+        ).otherwise(F.col("_delta"))
+        rate = corrected.cast("double") / F.col("_dt")
+        if r.reset_value is not None:
+            rate = F.when(corrected > F.lit(r.reset_value), F.lit(0.0)).otherwise(
+                rate
+            )
+        out = staged.where(F.col("_delta").isNotNull())
+    else:
+        # plain rate: delta/dt, negatives included ([OTSDB-AGG] rate
+        # without counter) — zero-fill upstream makes gap edges show
+        # as genuine negative spikes, the documented composition
+        rate = F.col("_delta").cast("double") / F.col("_dt")
+        out = staged.where(F.col("_delta").isNotNull())
+    return out.select(
+        *group_tags,
+        "w_start",
+        F.floor(rate * F.lit(Q_SCALE)).cast("long").alias("value"),
+    )

@@ -1,0 +1,209 @@
+"""Composition tests for plans/api_query.py — the corners unit-green
+operators can't see: fill/rate stage ORDER, explicitTags interaction
+with groupBy, counter rate options through the composed path, and
+spec validation. Semantics authority: the public OpenTSDB HTTP API
+docs' order of operations (filter -> group -> downsample -> fill ->
+aggregate -> rate LAST)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentsdb_rollup_rust_spark.operators.tagquery import TagFilter
+from opentsdb_rollup_rust_spark.plans.api_query import (
+    Downsample,
+    QuerySpec,
+    RateOptions,
+    api_query,
+)
+
+
+def _pts(spark, rows):
+    """rows: (metric, epoch_sec, value, tags-dict)."""
+    return spark.createDataFrame(
+        [(m, t, v, tags) for m, t, v, tags in rows],
+        "series_id string, ts_sec long, value long, tags map<string,string>",
+    ).select(
+        "series_id",
+        F.timestamp_seconds("ts_sec").alias("ts"),
+        "value",
+        "tags",
+    )
+
+
+HOST_A = {"host": "a", "env": "prod"}
+HOST_B = {"host": "b", "env": "prod"}
+
+
+def test_zero_fill_happens_before_rate(spark):
+    """THE composition corner (r4 VERDICT): with downsample fill=zero
+    and a plain rate, an empty bucket becomes an explicit 0 and the
+    rate shows a negative spike INTO the gap and a positive spike out
+    of it. A rate-before-fill bug would instead difference across the
+    gap (one small delta over 2*dt — and no rows at the gap bucket)."""
+    rows = [
+        ("m", 0, 10, HOST_A),
+        ("m", 60, 16, HOST_A),
+        # bucket 120 empty
+        ("m", 180, 4, HOST_A),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=240,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+        downsample=Downsample("1m", "sum", fill="zero"),
+        rate=RateOptions(),
+    )
+    got = {
+        (r["host"], r["w_start"]): r["value"]
+        for r in api_query(_pts(spark, rows), spec).collect()
+    }
+    # value stream after fill: 10, 16, 0, 4 -> rates (ppm/sec over 60s)
+    assert got == {
+        ("a", 60): (16 - 10) * 1_000_000 // 60,
+        ("a", 120): -16 * 1_000_000 // 60,  # floor(-266666.66) = -266667
+        ("a", 180): 4 * 1_000_000 // 60,
+    }
+    # sanity on the floor: negative rate floors AWAY from zero, the
+    # same convention as the win_rate gate family
+    assert got[("a", 120)] == -266_667
+
+
+def test_fill_none_vs_zero_changes_group_aggregate(spark):
+    """With two series in one group and one missing a bucket,
+    fill=zero contributes an explicit 0 to the group MIN while
+    fill=none lets the present series' value through — the
+    cross-series aggregation boundary is where the fill choice becomes
+    observable."""
+    rows = [
+        ("m", 0, 5, HOST_A),
+        ("m", 0, 7, HOST_B),
+        ("m", 60, 9, HOST_B),  # host a missing at 60
+    ]
+    base = dict(
+        metric="m",
+        start=0,
+        end=120,
+        aggregator="min",
+        filters=(TagFilter("literal_or", "env", "prod"),),
+    )
+    none_spec = QuerySpec(**base, downsample=Downsample("1m", "sum", "none"))
+    zero_spec = QuerySpec(**base, downsample=Downsample("1m", "sum", "zero"))
+    got_none = {
+        r["w_start"]: r["value"]
+        for r in api_query(_pts(spark, rows), none_spec).collect()
+    }
+    got_zero = {
+        r["w_start"]: r["value"]
+        for r in api_query(_pts(spark, rows), zero_spec).collect()
+    }
+    assert got_none == {0: 5, 60: 9}
+    assert got_zero == {0: 5, 60: 0}
+
+
+def test_explicit_tags_excludes_extra_tagged_series(spark):
+    """OpenTSDB 2.3 explicitTags through the composed path: a series
+    matching every filter but carrying an EXTRA tag is excluded; the
+    groupBy dimension columns still come out of the surviving set."""
+    extra = {"host": "a", "env": "prod", "rack": "r9"}
+    rows = [
+        ("m", 0, 5, HOST_A),
+        ("m", 0, 100, extra),  # would dominate the sum if included
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=60,
+        aggregator="sum",
+        filters=(
+            TagFilter("literal_or", "host", "a", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        explicit_tags=True,
+        downsample=Downsample("1m", "sum", "none"),
+    )
+    out = api_query(_pts(spark, rows), spec).collect()
+    assert [(r["host"], r["w_start"], r["value"]) for r in out] == [
+        ("a", 0, 5)
+    ]
+    # without explicitTags both series fold into the host-a group
+    loose = QuerySpec(
+        **{**spec.__dict__, "explicit_tags": False}
+    )
+    assert api_query(_pts(spark, rows), loose).collect()[0]["value"] == 105
+
+
+def test_counter_rate_options_through_composition(spark):
+    """counterMax wrap + resetValue guard and dropResets, applied to
+    the AGGREGATED group series (stage 6), matching the gate-verified
+    win_rate_wrap / win_rate_drop rules."""
+    # one series, counter stored mod 100: 90 -> 10 (wrap: true delta
+    # 20) -> 95 (delta 85 > reset_value 50 -> rate 0)
+    rows = [
+        ("m", 0, 90, HOST_A),
+        ("m", 60, 10, HOST_A),
+        ("m", 120, 95, HOST_A),
+    ]
+    base = dict(
+        metric="m",
+        start=0,
+        end=180,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+        downsample=Downsample("1m", "max", "none"),
+    )
+    wrap = QuerySpec(
+        **base, rate=RateOptions(counter=True, counter_max=100, reset_value=50)
+    )
+    got = {
+        r["w_start"]: r["value"]
+        for r in api_query(_pts(spark, rows), wrap).collect()
+    }
+    assert got == {
+        60: (10 - 90 + 100) * 1_000_000 // 60,  # wrap-corrected 20/60s
+        120: 0,  # corrected delta 85 > reset_value -> rate 0
+    }
+    drop = QuerySpec(**base, rate=RateOptions(drop_resets=True))
+    got_d = {
+        r["w_start"]: r["value"]
+        for r in api_query(_pts(spark, rows), drop).collect()
+    }
+    # negative-delta sample at 60 emits NOTHING; 120 differences 10->95
+    assert got_d == {120: 85 * 1_000_000 // 60}
+
+
+def test_spec_validation_refuses_bad_specs(spark):
+    pts = _pts(spark, [("m", 0, 1, HOST_A)])
+    ok = dict(metric="m", start=0, end=60)
+    with pytest.raises(ValueError, match="downsample"):
+        api_query(pts, QuerySpec(**ok))
+    with pytest.raises(ValueError, match="aggregator"):
+        api_query(
+            pts,
+            QuerySpec(**ok, aggregator="p99", downsample=Downsample("1m")),
+        )
+    with pytest.raises(ValueError, match="fill"):
+        api_query(pts, QuerySpec(**ok, downsample=Downsample("1m", "sum", "lerp")))
+    with pytest.raises(ValueError, match="counter"):
+        api_query(
+            pts,
+            QuerySpec(
+                **ok,
+                downsample=Downsample("1m"),
+                rate=RateOptions(counter=True),  # no counter_max
+            ),
+        )
+    with pytest.raises(ValueError, match="exclusive"):
+        api_query(
+            pts,
+            QuerySpec(
+                **ok,
+                downsample=Downsample("1m"),
+                rate=RateOptions(
+                    counter=True, counter_max=10, drop_resets=True
+                ),
+            ),
+        )
