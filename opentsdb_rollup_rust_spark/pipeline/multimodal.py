@@ -64,6 +64,34 @@ def decode_payload(payload: bytes, modality: str):
     )
 
 
+def pil_image_decoder(payload: bytes, modality: str) -> dict:
+    """REAL image decode for deployments that ship PIL (this sandbox
+    does not — the gated test skips here and runs wherever media libs
+    exist, the Iceberg/TWS env-gating pattern). Drop-in for
+    ``extract_features(decoder=pil_image_decoder)``: emits the same
+    FEATURE_SCHEMA fields as _fake_decoder, with checksum = sum of the
+    decoded GRAYSCALE PIXELS — a real pixel-level feature, so the test
+    validates actual decoding, not just byte plumbing. Fails loudly
+    (ImportError / NotImplementedError) instead of silently falling
+    back."""
+    from io import BytesIO
+
+    from PIL import Image  # deploy-time dependency; absent -> loud
+
+    if modality != "image":
+        raise NotImplementedError(
+            f"pil_image_decoder handles modality='image', got {modality!r}"
+        )
+    with Image.open(BytesIO(payload)) as im:
+        px = list(im.convert("L").getdata())
+        n_frames = getattr(im, "n_frames", 1)
+    return {
+        "n_bytes": len(payload),
+        "checksum": sum(px) % 2_147_483_647,
+        "n_frames": n_frames,
+    }
+
+
 def _fake_decoder(payload: bytes, modality: str) -> dict:
     """Deterministic stand-in for decode: byte stats + frame-sampling
     arithmetic. Used by tests and the demo query. The checksum sums

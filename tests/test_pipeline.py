@@ -457,6 +457,53 @@ def test_mm_decode_stub_raises(docs):
         decode_payload(b"\x89PNG", "image")
 
 
+def test_mm_real_pil_decoder_gated(spark):
+    """r4 VERDICT task #6: env-gated REAL-decoder validation of the
+    pluggable decode path (the Iceberg/TWS pattern, asserted both
+    ways). Without PIL (this sandbox) the plug point must fail LOUDLY;
+    with PIL (any deployment carrying media libs) a generated 2x1 PNG
+    round-trips through extract_features(decoder=pil_image_decoder)
+    and the checksum equals the known pixel sum — real decoding, not
+    byte plumbing."""
+    from opentsdb_rollup_rust_spark.pipeline.multimodal import (
+        extract_features,
+        pil_image_decoder,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        with pytest.raises(ImportError):
+            pil_image_decoder(b"\x89PNG", "image")
+        pytest.skip("PIL absent: pluggable decoder asserted to fail loudly")
+
+    import io
+
+    from PIL import Image
+
+    im = Image.new("L", (2, 1))
+    im.putdata([7, 9])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png))],
+        "doc_id long, modality string, payload binary",
+    )
+    row = extract_features(media, decoder=pil_image_decoder).collect()[0]
+    assert row["n_bytes"] == len(png)
+    assert row["checksum"] == 7 + 9
+    assert row["n_frames"] == 1
+    # non-image modalities refuse rather than guessing a codec
+    with pytest.raises(NotImplementedError):
+        pil_image_decoder(png, "audio")
+
+
 def test_mm_frame_sample_plan(docs):
     from opentsdb_rollup_rust_spark.pipeline.multimodal import (
         attach_media_payload,
