@@ -1369,6 +1369,43 @@ def _q_api_query_group_avg(spark, sf_dir):
     return api_query(pts, spec)
 
 
+def _q_api_query_tier(spark, sf_dir):
+    """Third /api/query composition — the TIER-ROUTED read, the other
+    half of r4 VERDICT task #1's P5 leg: a materialized 1h tagged tier
+    (build_tagged_tier: per full-series sum/count/min/max, tags
+    preserved) answers a 2h query by factor-window re-aggregation —
+    2 tier rows per bucket, the raw stream never read — then the same
+    zero-fill -> cross-series sum -> rate pipeline as api_query_ds_rate.
+    The oracle computes direct from RAW events at 2h, so the hash match
+    proves the tier route is exact end-to-end (decomposable
+    sum/count/min/max recombination, bucket-aligned range)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        RateOptions,
+        api_query,
+        build_tagged_tier,
+    )
+
+    pts, lo, end_raw = _api_spec_range(spark, sf_dir)
+    start = lo // 7200 * 7200
+    end = ((end_raw - 1) // 7200 + 1) * 7200
+    tier = build_tagged_tier(pts, "1h")
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("7200s", "sum", fill="zero"),
+        rate=RateOptions(),
+    )
+    return api_query(pts, spec, tier=tier, tier_interval="1h")
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -1928,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_rate_drop": _q_win_rate_drop,
         "api_query_ds_rate": _q_api_query_ds_rate,
         "api_query_group_avg": _q_api_query_group_avg,
+        "api_query_tier": _q_api_query_tier,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -1986,13 +2024,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05), then every other key ordered OLDEST driver
     # evidence first (r1 keys, then r2, then r3 — the r4-green keys
     # rotate out; all keys are additionally re-verified locally each
-    # round via scripts/check_oracle.py). Six r3-evidence keys don't
-    # fit the 50 slots and are front-of-line for r06: tok_topk,
-    # win_delta, win_moving, win_rank, win_rate, win_topk.
+    # round via scripts/check_oracle.py). Seven r3-evidence keys don't
+    # fit the 50 slots and are front-of-line for r06: rollup_fused,
+    # tok_topk, win_delta, win_moving, win_rank, win_rate, win_topk.
     front = [
         # new this round (the composed /api/query endpoint)
         "api_query_ds_rate",
         "api_query_group_avg",
+        "api_query_tier",
         # changed this round: minhash hot-bucket cap (engine+oracle,
         # also shared by the components oracle), ann_recall panel cap
         # + literal-TRUE floor oracle, asof struct-wrap, decode
@@ -2047,7 +2086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_equi",
         "join_range",
         "join_semi",
-        "rollup_fused",
     ]
     qs = {k: qs[k] for k in front} | {
         k: v for k, v in qs.items() if k not in front
@@ -2554,6 +2592,44 @@ def oracle_sql() -> dict[str, str]:
             spine AS (SELECT sd.host, sd.rack, sd.env, gs.w_start
                       FROM sd CROSS JOIN (
                         SELECT unnest(generate_series(first_b, last_b, 3600))
+                               AS w_start FROM rng) gs),
+            filled AS (SELECT spine.host, spine.rack, spine.env,
+                              spine.w_start, COALESCE(ds.v, 0)::BIGINT AS v
+                       FROM spine LEFT JOIN ds
+                         USING (host, rack, env, w_start)),
+            g AS (SELECT host, w_start, sum(v)::BIGINT AS value
+                  FROM filled GROUP BY 1, 2),
+            r AS (SELECT host, w_start,
+                         value - lag(value) OVER
+                           (PARTITION BY host ORDER BY w_start) AS delta,
+                         w_start - lag(w_start) OVER
+                           (PARTITION BY host ORDER BY w_start) AS dt
+                  FROM g)
+            SELECT host, w_start,
+                   CAST(FLOOR(delta::DOUBLE / dt::DOUBLE * 1000000) AS BIGINT)
+                     AS value
+            FROM r WHERE delta IS NOT NULL""",
+        # tier-routed twin: the oracle is DIRECT FROM RAW at 2h, so a
+        # hash match proves the 1h-tier factor-window route loses
+        # nothing (range is 2h-aligned by construction: floor(min) /
+        # ceil(max+1), mirrored here as floor(min)/floor(max) bucket
+        # bounds)
+        "api_query_tier": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/7200)*7200 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/7200)*7200 AS BIGINT) AS last_b
+                    FROM tp),
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            sd AS (SELECT DISTINCT host, rack, env FROM ds),
+            spine AS (SELECT sd.host, sd.rack, sd.env, gs.w_start
+                      FROM sd CROSS JOIN (
+                        SELECT unnest(generate_series(first_b, last_b, 7200))
                                AS w_start FROM rng) gs),
             filled AS (SELECT spine.host, spine.rack, spine.env,
                               spine.w_start, COALESCE(ds.v, 0)::BIGINT AS v

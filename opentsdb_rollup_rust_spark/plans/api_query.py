@@ -175,6 +175,71 @@ def _group_agg_expr(agg: str) -> Column:
     return F.expr(f"(sum(v) * {Q_SCALE}) DIV count(v)")
 
 
+def build_tagged_tier(
+    points: DataFrame,
+    interval: str,
+    metric_col: str = "series_id",
+    tags_col: str = "tags",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Materialize the TAGGED rollup tier api_query routes to: per
+    (metric, full tag set) tumbling sum/count/min/max at ``interval``,
+    the tags map preserved so the stored tier is queryable by the same
+    compiled tag filters as raw points — the columnar analogue of
+    OpenTSDB's per-interval rollup tables, which store the full series
+    identity ([OTSDB-ROLLUP]). Spark cannot group by a map column, so
+    the grouping key is the SORTED entry array (deterministic,
+    groupable) and the map is rebuilt on the way out. In production
+    this output persists through the snapshot store (sources/store),
+    partitioned by a hot tagk exactly like tag_read_pruned."""
+    sec = resolve_interval_seconds(interval)
+    ts_sec = F.unix_timestamp(F.col(ts_col))
+    g = points.select(
+        F.col(metric_col),
+        F.array_sort(F.map_entries(F.col(tags_col))).alias("_ent"),
+        (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
+            "w_start"
+        ),
+        F.col(value_col).alias("value"),
+    ).groupBy(metric_col, "_ent", "w_start").agg(
+        F.sum("value").alias("sum"),
+        F.count("value").alias("count"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    )
+    return g.select(
+        metric_col,
+        F.map_from_entries("_ent").alias(tags_col),
+        "w_start",
+        "sum",
+        "count",
+        "min",
+        "max",
+    )
+
+
+#: downsample aggregators answerable from a sum/count/min/max tier
+#: (decomposable family — [OTSDB-ROLLUP]: avg is never stored, it
+#: re-derives from sum+count)
+_TIER_ROUTABLE = ("sum", "count", "min", "max", "avg")
+
+
+def _tier_ds_agg_expr(agg: str) -> Column:
+    """Stage-3 re-aggregation FROM TIER ROWS (each carrying the
+    stored sum/count/min/max of one fine window): the factor-window
+    rewrite every rollup read in this engine uses (plans/tier_router)."""
+    if agg == "sum":
+        return F.sum("sum")
+    if agg == "count":
+        return F.sum("count")
+    if agg == "min":
+        return F.min("min")
+    if agg == "max":
+        return F.max("max")
+    return F.expr(f"(sum(sum) * {Q_SCALE}) DIV sum(count)")
+
+
 def api_query(
     points: DataFrame,
     spec: QuerySpec,
@@ -182,11 +247,25 @@ def api_query(
     tags_col: str = "tags",
     ts_col: str = "ts",
     value_col: str = "value",
+    tier: DataFrame | None = None,
+    tier_interval: str | None = None,
 ) -> DataFrame:
     """Execute ``spec`` over a tagged point stream.
 
     ``points``: (metric_col string, ts_col timestamp, value_col long,
     tags_col map<string,string>).
+
+    ``tier``/``tier_interval``: optional MATERIALIZED rollup tier —
+    (metric_col, tags_col, w_start epoch long, sum, count, min, max)
+    at ``tier_interval`` granularity, e.g. the stored output of
+    build_tagged_tier. When the spec's downsample interval is a
+    multiple of the tier's, its aggregator is decomposable, and the
+    query range is bucket-aligned, stage 3 RE-AGGREGATES FROM THE TIER
+    (the P5 factor-window route: a 2h query over a 1h tier touches 2
+    rows per bucket, never 120 raw minutes) and the raw point stream
+    is not read at all. Otherwise the raw path runs — with a loud
+    ValueError if a tier was explicitly supplied but cannot serve the
+    spec, so nobody silently pays a raw scan they meant to avoid.
 
     Returns one row per (groupBy tag values..., w_start) with a single
     int64 ``value``: the downsampled/aggregated value, or — when
@@ -199,39 +278,80 @@ def api_query(
     ds = spec.downsample
     sec = resolve_interval_seconds(ds.interval)
     tags = F.col(tags_col)
-    ts_sec = F.unix_timestamp(F.col(ts_col))
 
-    # --- 1. filtering: metric + range are plain column predicates
-    # (pushdown-eligible); tag filters compile to one codegen'd map
-    # expression (operators/tagquery.py)
-    pred = (
-        (F.col(metric_col) == F.lit(spec.metric))
-        & (ts_sec >= F.lit(spec.start))
-        & (ts_sec < F.lit(spec.end))
-    )
-    for f in spec.filters:
-        pred = pred & compile_tag_filter(tags, f)
-    if spec.explicit_tags and spec.filters:
-        pred = pred & explicit_tags_predicate(tags, list(spec.filters))
-
-    # --- 2. grouping: extract groupBy tag values BEFORE any shuffle;
-    # the map column dies at the scan
     group_tags = [f.tagk for f in spec.filters if f.group_by]
-    narrow = points.where(pred).select(
-        *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
-        _series_key(tags).alias("_series"),
-        (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
-            "w_start"
-        ),
-        F.col(value_col).alias("value"),
-    )
 
-    # --- 3. downsampling: per full series identity (shuffle #1 — the
-    # only shuffle that sees per-point rows, and partial aggregation
-    # collapses them map-side first)
-    per_series = narrow.groupBy(*group_tags, "_series", "w_start").agg(
-        _ds_agg_expr(ds.aggregator).cast("long").alias("v")
-    )
+    def _tag_pred(metric_expr: Column) -> Column:
+        p = metric_expr
+        for f in spec.filters:
+            p = p & compile_tag_filter(tags, f)
+        if spec.explicit_tags and spec.filters:
+            p = p & explicit_tags_predicate(tags, list(spec.filters))
+        return p
+
+    if tier is not None:
+        tsec = resolve_interval_seconds(tier_interval)
+        if sec % tsec != 0:
+            raise ValueError(
+                f"tier {tier_interval!r} cannot serve downsample "
+                f"{ds.interval!r}: interval is not a multiple"
+            )
+        if ds.aggregator not in _TIER_ROUTABLE:
+            raise ValueError(
+                f"downsample aggregator {ds.aggregator!r} is not "
+                "answerable from a sum/count/min/max tier"
+            )
+        if spec.start % sec or spec.end % sec:
+            raise ValueError(
+                "tier-routed queries need a bucket-aligned range: "
+                f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
+            )
+        # --- 1+2 on tier rows: every tier window inside an aligned
+        # range is FULLY inside, so plain w_start bounds are exact
+        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+            (F.col("w_start") >= F.lit(spec.start))
+            & (F.col("w_start") < F.lit(spec.end))
+        )
+        narrow = tier.where(pred).select(
+            *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+            _series_key(tags).alias("_series"),
+            (F.floor(F.col("w_start") / F.lit(sec)).cast("long") * F.lit(sec))
+            .alias("w_start"),
+            "sum",
+            "count",
+            "min",
+            "max",
+        )
+        # --- 3. factor-window re-aggregation (sec/tsec rows per bucket)
+        per_series = narrow.groupBy(*group_tags, "_series", "w_start").agg(
+            _tier_ds_agg_expr(ds.aggregator).cast("long").alias("v")
+        )
+    else:
+        ts_sec = F.unix_timestamp(F.col(ts_col))
+        # --- 1. filtering: metric + range are plain column predicates
+        # (pushdown-eligible); tag filters compile to one codegen'd map
+        # expression (operators/tagquery.py)
+        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+            (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
+        )
+
+        # --- 2. grouping: extract groupBy tag values BEFORE any
+        # shuffle; the map column dies at the scan
+        narrow = points.where(pred).select(
+            *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+            _series_key(tags).alias("_series"),
+            (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
+                "w_start"
+            ),
+            F.col(value_col).alias("value"),
+        )
+
+        # --- 3. downsampling: per full series identity (shuffle #1 —
+        # the only shuffle that sees per-point rows, and partial
+        # aggregation collapses them map-side first)
+        per_series = narrow.groupBy(*group_tags, "_series", "w_start").agg(
+            _ds_agg_expr(ds.aggregator).cast("long").alias("v")
+        )
 
     # --- 4. fill: dense bucket spine over the ALIGNED QUERY RANGE per
     # observed series (not per-series observed min/max — every series

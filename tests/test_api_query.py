@@ -175,6 +175,81 @@ def test_counter_rate_options_through_composition(spark):
     assert got_d == {120: 85 * 1_000_000 // 60}
 
 
+def test_tier_route_equals_raw_direct(spark):
+    """The P5 leg of the composition: a 2h query answered from a 1h
+    tagged tier (build_tagged_tier + factor-window re-agg) must equal
+    the raw-direct path EXACTLY, for every decomposable downsample
+    aggregator, including through fill + cross-series aggregation +
+    rate."""
+    from opentsdb_rollup_rust_spark.plans.api_query import build_tagged_tier
+
+    sf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = sf.select(
+        F.col("event_type").alias("series_id"),
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("h"), F.pmod("user_id", F.lit(4)).cast("string")),
+            F.lit("env"),
+            F.lit("prod"),
+        ).alias("tags"),
+    )
+    lo, hi = pts.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).first()
+    start, end = int(lo) // 7200 * 7200, (int(hi) // 7200 + 1) * 7200
+    tier = build_tagged_tier(pts, "1h")
+    for ds_agg in ("sum", "count", "min", "max", "avg"):
+        spec = QuerySpec(
+            metric="click",
+            start=start,
+            end=end,
+            aggregator="sum",
+            filters=(TagFilter("wildcard", "host", "*", group_by=True),),
+            downsample=Downsample("7200s", ds_agg, fill="zero"),
+            rate=RateOptions() if ds_agg == "sum" else None,
+        )
+        raw = {tuple(r) for r in api_query(pts, spec).collect()}
+        routed = {
+            tuple(r)
+            for r in api_query(
+                pts, spec, tier=tier, tier_interval="1h"
+            ).collect()
+        }
+        assert raw == routed, f"ds_agg={ds_agg}"
+        assert raw, f"ds_agg={ds_agg}: empty result proves nothing"
+
+
+def test_tier_route_refuses_unservable_specs(spark):
+    """A supplied tier that cannot serve the spec fails LOUDLY — a
+    silent raw fallback is how someone pays a 100 TB scan they
+    believed was a 2-rows-per-bucket tier read."""
+    from opentsdb_rollup_rust_spark.plans.api_query import build_tagged_tier
+
+    pts = _pts(spark, [("m", 0, 1, HOST_A)])
+    tier = build_tagged_tier(pts, "1h")
+    base = dict(metric="m", aggregator="sum")
+    # downsample not a multiple of the tier interval
+    with pytest.raises(ValueError, match="multiple"):
+        api_query(
+            pts,
+            QuerySpec(**base, start=0, end=7200, downsample=Downsample("1m")),
+            tier=tier,
+            tier_interval="1h",
+        )
+    # unaligned query range
+    with pytest.raises(ValueError, match="aligned"):
+        api_query(
+            pts,
+            QuerySpec(
+                **base, start=60, end=7260, downsample=Downsample("7200s")
+            ),
+            tier=tier,
+            tier_interval="1h",
+        )
+
+
 def test_spec_validation_refuses_bad_specs(spark):
     pts = _pts(spark, [("m", 0, 1, HOST_A)])
     ok = dict(metric="m", start=0, end=60)
