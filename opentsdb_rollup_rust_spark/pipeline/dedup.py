@@ -178,6 +178,41 @@ def lsh_band_keys(
 MINHASH_MAX_BUCKET = 4096
 
 
+def _bucket_pairs(
+    banded: DataFrame, elem: Column, max_bucket: int
+) -> DataFrame:
+    """(band, key) bucketed rows -> in-bucket candidate pairs
+    (pa struct, pb struct with pa.doc_id < pb.doc_id) via ONE shuffle.
+
+    Groups each (band, key) bucket, DROPS buckets over ``max_bucket``
+    (the hot-bucket guard — one degenerate band key is B^2/2 pairs),
+    sorts the in-bucket members (structs sort by doc_id first — the
+    deterministic pair orientation), and expands i<j pairs in TWO
+    explode stages: first (member, index), then the member's suffix
+    slice — so no intermediate row ever holds more than O(B) elements
+    (a single flatten-of-nested-transforms materializes the whole
+    B^2/2 pair array in ONE row: measured multi-GB task memory on a
+    big bucket). Replaces the classic banded SELF-JOIN: that plan
+    evaluates the expensive banding subtree once per join side PLUS
+    once for the guard, and Catalyst cannot reuse the exchange because
+    column pruning diverges the three branches (it ran the signature
+    pipeline 3x). Per-bucket state is bounded by max_bucket (<=4096
+    members), so collect_list is safe."""
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(elem).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select(F.array_sort("ms").alias("ms"))
+    )
+    lead = buckets.select(
+        "ms", F.posexplode(F.col("ms")).alias("_i", "pa")
+    )
+    return lead.select(
+        "pa",
+        F.explode(F.expr("slice(ms, _i + 2, size(ms))")).alias("pb"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -189,16 +224,11 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidate pairs (doc_a < doc_b), distinct.
 
     Plan shape: project(words) -> project(shingles) -> project(hashes)
-    -> project(sig) -> explode(bands) -> hot-bucket guard ->
-    self-equi-join on (band, key) -> distinct. The join is the only
-    data shuffle; the staged projections keep each intermediate
-    evaluated once per row (see _shingled).
-
-    ``max_bucket`` drops degenerate hot band buckets BEFORE the
-    self-join (mirrored in the DuckDB oracle, exactly as simhash_pairs
-    does): the guard is a count aggregation over the same banded
-    subtree the join probes, so ReuseExchange computes the banding
-    once and the extra cost is one map-side-combined count."""
+    -> project(sig) -> explode(bands) -> ONE (band, key) shuffle ->
+    capped in-bucket pair expansion (_bucket_pairs, which is also the
+    MINHASH_MAX_BUCKET hot-bucket guard, mirrored in the DuckDB
+    oracle) -> distinct. The staged projections keep each intermediate
+    evaluated once per row (see _shingled)."""
     shd = _shingled(docs, text_col)
     hs = shd.select("doc_id", shingle_hashes(F.col("shingles")).alias("hs"))
     sig_df = hs.select("doc_id", minhash_signature(F.col("hs"), k).alias("sig"))
@@ -206,23 +236,10 @@ def minhash_lsh_pairs(
         F.col("doc_id"),
         F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    safe = (
-        banded.groupBy("band", "key")
-        .agg(F.count("*").alias("bsz"))
-        .where(F.col("bsz") <= max_bucket)
-        .select("band", "key")
-    )
-    guarded = banded.join(safe, ["band", "key"])
-    a = guarded.alias("a")
-    b = guarded.alias("b")
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    pairs = _bucket_pairs(banded, F.struct(F.col("doc_id")), max_bucket)
+    return pairs.select(
+        F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+    ).distinct()
 
 
 def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
@@ -288,13 +305,14 @@ def simhash_pairs(
     with hamming in (bands-1, max_hamming] are found best-effort via
     band collisions — the standard SimHash-LSH recall trade.
 
-    ``max_bucket`` drops degenerate hot band buckets BEFORE the
-    self-join (mirrored in the DuckDB oracle, as ann_lsh does) — the
-    guard is a count aggregation over the same banded subtree the join
-    probes, so ReuseExchange computes the banding once. Pair dedup
-    happens on the candidate ids BEFORE the hamming verify (a pair
-    sharing several bands is verified once), replacing round-2's
-    terminal .distinct() that shuffled the full verified pair set."""
+    ``max_bucket`` drops degenerate hot band buckets inside the ONE
+    (band, key) shuffle (_bucket_pairs — mirrored in the DuckDB
+    oracle, as ann_lsh does); r5 replaced the guarded self-equi-join,
+    which evaluated the whole bit-sum subtree once per join side plus
+    once for the guard with no exchange reuse. Pair dedup happens on
+    the candidate ids BEFORE the hamming verify (a pair sharing
+    several bands is verified once), replacing round-2's terminal
+    .distinct() that shuffled the full verified pair set."""
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     # staged: shingles -> hashes -> bit sums (see _shingled for why).
@@ -342,22 +360,15 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    safe = (
-        banded.groupBy("band", "key")
-        .agg(F.count("*").alias("bsz"))
-        .where(F.col("bsz") <= max_bucket)
-        .select("band", "key")
-    )
-    guarded = banded.join(safe, ["band", "key"])
-    a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        _bucket_pairs(
+            banded, F.struct(F.col("doc_id"), F.col("sh")), max_bucket
+        )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pa.sh").alias("sh_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pb.sh").alias("sh_b"),
         )
         # sh_* are functionally dependent on the ids — dedup on ids
         # only, before paying the hamming verify per surviving pair
