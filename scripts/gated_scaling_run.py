@@ -33,10 +33,12 @@ from scaling_run import hw_throughput  # noqa: E402
 
 
 def wait_for_clean_window(
-    clean_mops: float, max_wait_min: float
+    clean_mops: float, max_wait_min: float, need: int = 3
 ) -> tuple[bool, list[float]]:
-    """Two consecutive clean 8-core probes, or timeout. Returns
-    (gated_ok, all probe samples in Mops/s)."""
+    """`need` consecutive clean 8-core probes, or timeout. Returns
+    (gated_ok, all probe samples in Mops/s). Run 21 showed 2
+    consecutive 125-ish probes can still be a false plateau, so the
+    default is now 3 — combined with scaling_run's mid-run abort."""
     samples: list[float] = []
     deadline = time.monotonic() + max_wait_min * 60
     consecutive = 0
@@ -46,11 +48,11 @@ def wait_for_clean_window(
         consecutive = consecutive + 1 if m >= clean_mops else 0
         print(
             f"gate probe: {m:.1f} Mops/s "
-            f"({consecutive}/2 consecutive clean)",
+            f"({consecutive}/{need} consecutive clean)",
             file=sys.stderr,
             flush=True,
         )
-        if consecutive >= 2:
+        if consecutive >= need:
             return True, samples
         time.sleep(20 if m >= clean_mops else 60)
     return False, samples
@@ -61,25 +63,55 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--clean-mops", type=float, default=120.0)
     ap.add_argument("--max-wait", type=float, default=30.0)
+    # abort threshold is deliberately LOOSER than the launch gate:
+    # normal in-run jitter dips the probe ~10-15% below the idle
+    # plateau even in clean windows, so gate at clean_mops but only
+    # abort when the box has clearly fallen back to burst territory.
+    ap.add_argument("--abort-below-mops", type=float, default=110.0)
+    # a mid-run abort should not consume the run budget: retry the
+    # whole gate+run cycle up to this many times per requested run.
+    ap.add_argument("--max-aborts", type=int, default=5)
     ap.add_argument("rest", nargs=argparse.REMAINDER)
     args = ap.parse_args()
 
     for i in range(args.runs):
-        ok, samples = wait_for_clean_window(args.clean_mops, args.max_wait)
-        print(
-            json.dumps(
-                {"gate": "clean" if ok else "timeout", "probes": samples}
-            ),
-            flush=True,
-        )
-        cmd = [
-            sys.executable,
-            os.path.join(REPO, "scripts", "scaling_run.py"),
-            "--out",
-            os.path.join(REPO, "BENCH", f"gated_run_{int(time.time())}.md"),
-        ] + [a for a in args.rest if a != "--"]
-        print(f"launching protocol run {i + 1}/{args.runs}", file=sys.stderr)
-        subprocess.run(cmd, check=True)
+        aborts = 0
+        while True:
+            ok, samples = wait_for_clean_window(
+                args.clean_mops, args.max_wait
+            )
+            print(
+                json.dumps(
+                    {"gate": "clean" if ok else "timeout", "probes": samples}
+                ),
+                flush=True,
+            )
+            cmd = [
+                sys.executable,
+                os.path.join(REPO, "scripts", "scaling_run.py"),
+                "--out",
+                os.path.join(
+                    REPO, "BENCH", f"gated_run_{int(time.time())}.md"
+                ),
+                "--abort-below-mops",
+                str(args.abort_below_mops),
+            ] + [a for a in args.rest if a != "--"]
+            print(
+                f"launching protocol run {i + 1}/{args.runs}",
+                file=sys.stderr,
+            )
+            rc = subprocess.run(cmd).returncode
+            if rc == 75 and aborts < args.max_aborts:  # EX_TEMPFAIL
+                aborts += 1
+                print(
+                    f"mid-run abort {aborts}/{args.max_aborts}; "
+                    "re-arming gate",
+                    file=sys.stderr,
+                )
+                continue
+            if rc != 0:
+                sys.exit(rc)
+            break
 
 
 if __name__ == "__main__":

@@ -145,6 +145,14 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join(REPO, "BENCH", "last_run.md")
     )
+    # Mid-run abort (run-21 lesson): the launch gate can pass on a
+    # false plateau and the host can collapse DURING the run — run 21
+    # completed 20+ min into a burst and produced an unusable 0.230.
+    # With this set, re-probe the 8-core compute ceiling right after
+    # the local[lo] leg and ABORT (disclosed JSON, no report file)
+    # if the box has fallen back below the threshold, so the watcher
+    # can re-arm instead of burning the local[hi] leg.
+    ap.add_argument("--abort-below-mops", type=float, default=None)
     args = ap.parse_args()
     lo, hi = args.levels
     factor = hi / lo
@@ -177,6 +185,33 @@ def main() -> None:
     for cpus in (lo, hi):
         res[cpus] = run_bench(cpus, args.seqs, args.warmup, args.reps)
         if cpus == lo:
+            if args.abort_below_mops is not None:
+                m = hw_throughput(lo) / 1e6
+                if m < args.abort_below_mops:
+                    print(
+                        json.dumps(
+                            {
+                                "metric": "scaling_efficiency",
+                                "aborted": "host fell back mid-run",
+                                "midrun_probe_mops": round(m, 1),
+                                "abort_below_mops": args.abort_below_mops,
+                                "lo_level": res[lo],
+                            }
+                        ),
+                        flush=True,
+                    )
+                    print(
+                        f"ABORT: mid-run 8-core probe {m:.1f} Mops/s < "
+                        f"{args.abort_below_mops} — host burst, "
+                        "skipping local[hi] leg",
+                        file=sys.stderr,
+                    )
+                    sys.exit(75)  # EX_TEMPFAIL: watcher may retry
+                print(
+                    f"mid-run probe {m:.1f} Mops/s >= "
+                    f"{args.abort_below_mops}: continuing",
+                    file=sys.stderr,
+                )
             sample_ceilings("mid")
         print(
             f"local[{cpus}]: {res[cpus]['points_per_sec']:.0f} pts/s "
