@@ -1406,6 +1406,119 @@ def _q_api_query_tier(spark, sf_dir):
     return api_query(pts, spec, tier=tier, tier_interval="1h")
 
 
+def _q_api_query_exp(spark, sf_dir):
+    """/api/query/exp composition ([OTSDB-EXP]): two sub-query
+    variables — a = click-sum per host per hour, b = view-sum per host
+    per hour, both zero-filled over the same aligned range so the
+    intersection join is dense — combined as the ppm ratio
+    (a * 1e6) DIV (b + 1), all int64 (the +1 keeps the zero-filled
+    denominator defined without leaving integer arithmetic). The
+    oracle recomputes both sub-pipelines AND the join direct from raw
+    events, so the hash pins sub-query alignment + join policy +
+    expression evaluation, not just each variable."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        ExprSpec,
+        QuerySpec,
+        api_query_exp,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+
+    def sub(metric):
+        return QuerySpec(
+            metric=metric,
+            start=start,
+            end=end,
+            aggregator="sum",
+            filters=(
+                TagFilter("iwildcard", "host", "WEB*", group_by=True),
+                TagFilter("literal_or", "env", "prod"),
+            ),
+            downsample=Downsample("1h", "sum", fill="zero"),
+        )
+
+    spec = ExprSpec(
+        expr="(a * 1000000) DIV (b + 1)",
+        variables=(("a", sub("click")), ("b", sub("view"))),
+        join="intersection",
+    )
+    return api_query_exp(pts, spec)
+
+
+def _q_api_query_multi(spark, sf_dir):
+    """A full /api/query REQUEST: OpenTSDB takes a LIST of sub-queries
+    per call; this runs two heterogeneous ones — q0: click hourly
+    sum grouped by host (zero-filled), q1: view daily max grouped by
+    rack+env (no fill) — and unions them under the canonical
+    (query, group_tags) envelope. The sub-queries differ in metric,
+    groupBy keys, interval, aggregator AND fill, so a hash match pins
+    the envelope canonicalization (sorted k=v group_tags string) plus
+    both compositions at once."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_multi,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    specs = {
+        "q0": QuerySpec(
+            metric="click",
+            start=start,
+            end=end,
+            aggregator="sum",
+            filters=(
+                TagFilter("iwildcard", "host", "WEB*", group_by=True),
+                TagFilter("literal_or", "env", "prod"),
+            ),
+            downsample=Downsample("1h", "sum", fill="zero"),
+        ),
+        "q1": QuerySpec(
+            metric="view",
+            start=start,
+            end=end,
+            aggregator="max",
+            filters=(
+                TagFilter("regexp", "rack", "r[0-2]", group_by=True),
+                TagFilter("literal_or", "env", "prod|dev", group_by=True),
+            ),
+            downsample=Downsample("1d", "max", fill="none"),
+        ),
+    }
+    return api_query_multi(pts, specs)
+
+
+def _q_api_query_p95(spark, sf_dir):
+    """Percentile downsampler through the composed endpoint (OpenTSDB
+    2.4 p-downsamplers): per-SERIES daily p950 — exact discrete
+    selection, value at integer rank (n*950 + 999) DIV 1000 of the
+    sorted window — then MAX across each host's series. NOT
+    decomposable, so api_query refuses to tier-route it (pytest pins
+    the refusal); the scale answer for stored percentiles remains the
+    histogram tier (A14/A15). Oracle recomputes the rank selection
+    with the identical integer-ceil rule."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        aggregator="max",
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod|dev"),
+        ),
+        downsample=Downsample("1d", "p950", fill="none"),
+    )
+    return api_query(pts, spec)
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -1966,6 +2079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_ds_rate": _q_api_query_ds_rate,
         "api_query_group_avg": _q_api_query_group_avg,
         "api_query_tier": _q_api_query_tier,
+        "api_query_exp": _q_api_query_exp,
+        "api_query_multi": _q_api_query_multi,
+        "api_query_p95": _q_api_query_p95,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2024,14 +2140,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05), then every other key ordered OLDEST driver
     # evidence first (r1 keys, then r2, then r3 — the r4-green keys
     # rotate out; all keys are additionally re-verified locally each
-    # round via scripts/check_oracle.py). Seven r3-evidence keys don't
+    # round via scripts/check_oracle.py). Ten r3-evidence keys don't
     # fit the 50 slots and are front-of-line for r06: rollup_fused,
-    # tok_topk, win_delta, win_moving, win_rank, win_rate, win_topk.
+    # tok_topk, win_delta, win_moving, win_rank, win_rate, win_topk,
+    # and (displaced by this session's three new api_query keys)
+    # join_equi, join_range, join_semi.
     front = [
-        # new this round (the composed /api/query endpoint)
+        # new this round (the composed /api/query endpoint + the
+        # session-2 additions: expression endpoint, multi-sub-query
+        # request envelope, percentile downsampler)
         "api_query_ds_rate",
         "api_query_group_avg",
         "api_query_tier",
+        "api_query_exp",
+        "api_query_multi",
+        "api_query_p95",
         # changed this round: minhash hot-bucket cap (engine+oracle,
         # also shared by the components oracle), ann_recall panel cap
         # + literal-TRUE floor oracle, asof struct-wrap, decode
@@ -2659,6 +2782,122 @@ def oracle_sql() -> dict[str, str]:
             ds AS (SELECT host, rack, env, w_start,
                           ((sum(value) * 1000000) // count(value))::BIGINT AS v
                    FROM f GROUP BY 1, 2, 3, 4)
+            SELECT host, w_start, max(v)::BIGINT AS value
+            FROM ds GROUP BY 1, 2""",
+        # /api/query/exp: both variable sub-pipelines (filter ->
+        # per-series hourly sum -> zero-fill spine -> per-host sum)
+        # recomputed direct from raw, joined on (host, bucket), ppm
+        # ratio in pure integer arithmetic — a hash match pins
+        # sub-query alignment + intersection join + expression eval
+        "api_query_exp": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/3600)*3600 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/3600)*3600 AS BIGINT) AS last_b
+                    FROM tp),
+            fa AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'click'
+                     AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            dsa AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM fa GROUP BY 1, 2, 3, 4),
+            sda AS (SELECT DISTINCT host, rack, env FROM dsa),
+            spa AS (SELECT sda.host, sda.rack, sda.env, gs.w_start
+                    FROM sda CROSS JOIN (
+                      SELECT unnest(generate_series(first_b, last_b, 3600))
+                             AS w_start FROM rng) gs),
+            fla AS (SELECT spa.host, spa.w_start,
+                           COALESCE(dsa.v, 0)::BIGINT AS v
+                    FROM spa LEFT JOIN dsa
+                      USING (host, rack, env, w_start)),
+            ga AS (SELECT host, w_start, sum(v)::BIGINT AS a
+                   FROM fla GROUP BY 1, 2),
+            fb AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'view'
+                     AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            dsb AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM fb GROUP BY 1, 2, 3, 4),
+            sdb AS (SELECT DISTINCT host, rack, env FROM dsb),
+            spb AS (SELECT sdb.host, sdb.rack, sdb.env, gs.w_start
+                    FROM sdb CROSS JOIN (
+                      SELECT unnest(generate_series(first_b, last_b, 3600))
+                             AS w_start FROM rng) gs),
+            flb AS (SELECT spb.host, spb.w_start,
+                           COALESCE(dsb.v, 0)::BIGINT AS v
+                    FROM spb LEFT JOIN dsb
+                      USING (host, rack, env, w_start)),
+            gb AS (SELECT host, w_start, sum(v)::BIGINT AS b
+                   FROM flb GROUP BY 1, 2)
+            SELECT ga.host, ga.w_start,
+                   ((ga.a * 1000000) // (gb.b + 1))::BIGINT AS value
+            FROM ga JOIN gb
+              ON ga.host = gb.host AND ga.w_start = gb.w_start""",
+        # multi-sub-query request envelope: both heterogeneous
+        # sub-pipelines direct from raw, unioned under the canonical
+        # sorted-k=v group_tags string
+        "api_query_multi": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/3600)*3600 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/3600)*3600 AS BIGINT) AS last_b
+                    FROM tp),
+            f0 AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'click'
+                     AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            ds0 AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM f0 GROUP BY 1, 2, 3, 4),
+            sd0 AS (SELECT DISTINCT host, rack, env FROM ds0),
+            sp0 AS (SELECT sd0.host, sd0.rack, sd0.env, gs.w_start
+                    FROM sd0 CROSS JOIN (
+                      SELECT unnest(generate_series(first_b, last_b, 3600))
+                             AS w_start FROM rng) gs),
+            fl0 AS (SELECT sp0.host, sp0.w_start,
+                           COALESCE(ds0.v, 0)::BIGINT AS v
+                    FROM sp0 LEFT JOIN ds0
+                      USING (host, rack, env, w_start)),
+            g0 AS (SELECT host, w_start, sum(v)::BIGINT AS value
+                   FROM fl0 GROUP BY 1, 2),
+            f1 AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'view'
+                     AND regexp_matches(rack, '^(?:r[0-2])$')
+                     AND env IN ('prod', 'dev')),
+            ds1 AS (SELECT host, rack, env, w_start, max(value)::BIGINT AS v
+                    FROM f1 GROUP BY 1, 2, 3, 4),
+            g1 AS (SELECT rack, env, w_start, max(v)::BIGINT AS value
+                   FROM ds1 GROUP BY 1, 2, 3)
+            SELECT 'q0' AS query, 'host=' || host AS group_tags,
+                   w_start, value
+            FROM g0
+            UNION ALL
+            SELECT 'q1' AS query,
+                   'env=' || env || ',rack=' || rack AS group_tags,
+                   w_start, value
+            FROM g1""",
+        # percentile downsampler: the identical integer-ceil rank
+        # selection ((n*950 + 999) // 1000 over the sorted window),
+        # then cross-series max per host
+        "api_query_p95": f"""{_TAGGED_CTE},
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod', 'dev')),
+            r AS (SELECT host, rack, env, w_start, value,
+                         row_number() OVER (PARTITION BY host, rack, env, w_start
+                                            ORDER BY value) AS rn,
+                         count(*) OVER (PARTITION BY host, rack, env, w_start)
+                           AS n
+                  FROM f),
+            ds AS (SELECT host, rack, env, w_start, value::BIGINT AS v
+                   FROM r WHERE rn = (n * 950 + 999) // 1000)
             SELECT host, w_start, max(v)::BIGINT AS value
             FROM ds GROUP BY 1, 2""",
         "query_tag_filters": f"""{_TAGGED_CTE}

@@ -43,7 +43,9 @@ DuckDB oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -61,6 +63,22 @@ Q_SCALE = 1_000_000
 _DS_AGGS = ("sum", "count", "min", "max", "avg")
 _GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum")
 _FILLS = ("none", "zero", "null", "ffill")
+
+#: OpenTSDB 2.4 percentile downsamplers — ``p<permille>`` (p500 =
+#: median, p950, p999). Exact discrete selection here (value at rank
+#: ceil(n * permille / 1000) of the sorted window), the A9 rule — all
+#: integer arithmetic, so every engine agrees bit-for-bit.
+_P_RE = re.compile(r"^p(\d{3})$")
+
+
+def _percentile_permille(agg: str) -> int | None:
+    m = _P_RE.match(agg)
+    if m is None:
+        return None
+    pm = int(m.group(1))
+    if not 1 <= pm <= 999:
+        raise ValueError(f"percentile downsampler {agg!r} out of (0, 1000)")
+    return pm
 
 
 @dataclass(frozen=True)
@@ -112,7 +130,10 @@ def _validate(spec: QuerySpec) -> None:
             "rollup engine — raw-timestamp alignment across series "
             "(OpenTSDB's interpolation path) is not supported"
         )
-    if spec.downsample.aggregator not in _DS_AGGS:
+    if (
+        spec.downsample.aggregator not in _DS_AGGS
+        and _percentile_permille(spec.downsample.aggregator) is None
+    ):
         raise ValueError(
             f"unknown downsample aggregator {spec.downsample.aggregator!r}"
         )
@@ -349,9 +370,39 @@ def api_query(
         # --- 3. downsampling: per full series identity (shuffle #1 —
         # the only shuffle that sees per-point rows, and partial
         # aggregation collapses them map-side first)
-        per_series = narrow.groupBy(*group_tags, "_series", "w_start").agg(
-            _ds_agg_expr(ds.aggregator).cast("long").alias("v")
-        )
+        pm = _percentile_permille(ds.aggregator)
+        if pm is not None:
+            # percentile downsampler: exact discrete selection — the
+            # value at rank ceil(n*pm/1000) of the window's sorted
+            # values (integer ceil: (n*pm + 999) DIV 1000). One
+            # spillable WindowExec sort per (series, bucket); ranks
+            # are unique so exactly one row survives the filter, no
+            # re-aggregation needed. The value at a fixed rank is
+            # well-defined under ties, so tie order can't change the
+            # result. NOT decomposable — a tier cannot serve it; the
+            # scale path for percentile reads is the histogram tier
+            # (operators/rollup.histogram_rollup + A15), which trades
+            # one-power-of-two error for decomposability.
+            wp = Window.partitionBy(*group_tags, "_series", "w_start")
+            ranked = narrow.select(
+                *group_tags,
+                "_series",
+                "w_start",
+                "value",
+                F.row_number().over(wp.orderBy("value")).alias("_rn"),
+                F.count("*").over(wp).alias("_n"),
+            )
+            at = F.expr(f"(_n * {pm} + 999) DIV 1000")
+            per_series = ranked.where(F.col("_rn") == at).select(
+                *group_tags,
+                "_series",
+                "w_start",
+                F.col("value").cast("long").alias("v"),
+            )
+        else:
+            per_series = narrow.groupBy(*group_tags, "_series", "w_start").agg(
+                _ds_agg_expr(ds.aggregator).cast("long").alias("v")
+            )
 
     # --- 4. fill: dense bucket spine over the ALIGNED QUERY RANGE per
     # observed series (not per-series observed min/max — every series
@@ -439,4 +490,157 @@ def api_query(
         *group_tags,
         "w_start",
         F.floor(rate * F.lit(Q_SCALE)).cast("long").alias("value"),
+    )
+
+
+def _group_tag_keys(spec: QuerySpec) -> list[str]:
+    return [f.tagk for f in spec.filters if f.group_by]
+
+
+def api_query_multi(
+    points: DataFrame,
+    specs: dict[str, QuerySpec],
+    metric_col: str = "series_id",
+    tags_col: str = "tags",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """A full /api/query REQUEST: OpenTSDB accepts a LIST of
+    sub-queries per call and returns every result set in one response
+    ([OTSDB-API] /api/query `queries[]`). Sub-queries may group by
+    different tag keys, so the union schema canonicalizes each row's
+    group dimensions into one ``group_tags`` string (sorted k=v
+    joins — the same canonical form as ``_series_key``), keyed by the
+    caller's sub-query name.
+
+    Output: (query string, group_tags string, w_start long, value
+    long). Scale shape: each sub-query is its own independent
+    api_query plan (they share nothing but the scan); the union is
+    plan-level only — no shuffle is added on top of the sub-queries'
+    own.
+    """
+    if not specs:
+        raise ValueError("api_query_multi needs at least one sub-query")
+    parts = []
+    for name, spec in specs.items():
+        out = api_query(
+            points,
+            spec,
+            metric_col=metric_col,
+            tags_col=tags_col,
+            ts_col=ts_col,
+            value_col=value_col,
+        )
+        gts = sorted(_group_tag_keys(spec))
+        group_str = (
+            F.concat_ws(
+                ",", *[F.concat_ws("=", F.lit(k), F.col(k)) for k in gts]
+            )
+            if gts
+            else F.lit("")
+        )
+        parts.append(
+            out.select(
+                F.lit(name).alias("query"),
+                group_str.alias("group_tags"),
+                "w_start",
+                F.col("value"),
+            )
+        )
+    return reduce(DataFrame.unionAll, parts)
+
+
+@dataclass(frozen=True)
+class ExprSpec:
+    """One /api/query/exp request ([OTSDB-EXP], OpenTSDB 2.3): named
+    sub-query variables plus an arithmetic expression over them,
+    evaluated per (group-tag values, bucket).
+
+    ``variables``: (name, QuerySpec) pairs; names must be plain
+    identifiers and become join-aligned columns. Every sub-query must
+    share the same groupBy tag keys, time range, and downsample
+    interval — the alignment OpenTSDB gets from the request's single
+    downsampler; anything else would silently join misaligned buckets.
+
+    ``expr``: a SQL expression over the variable names producing the
+    int64 output (keep the repo's exactness discipline: integer
+    arithmetic, ``DIV`` + ppm scaling for ratios).
+
+    ``join``: "intersection" (inner — only buckets every variable
+    emitted) or "union" (full outer, each missing variable coalesced
+    to ``fill_value``) — OpenTSDB's expression-join policies.
+    """
+
+    expr: str
+    variables: tuple[tuple[str, QuerySpec], ...]
+    join: str = "intersection"
+    fill_value: int = 0
+
+
+def api_query_exp(
+    points: DataFrame,
+    spec: ExprSpec,
+    metric_col: str = "series_id",
+    tags_col: str = "tags",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Execute an expression query: run each variable's sub-query
+    (each a full api_query composition — filter/group/downsample/fill/
+    aggregate/rate), equi-join the variable streams on (group tags,
+    w_start), and evaluate ``spec.expr``.
+
+    Scale shape: the join keys are the OUTPUT dimensions (|group
+    values x buckets| rows per side — tier-sized, never point-sized),
+    so the exp join costs one shuffle of already-aggregated data per
+    variable. Returns (group tags..., w_start, value int64).
+    """
+    if len(spec.variables) < 2:
+        raise ValueError("api_query_exp needs >= 2 variables")
+    if spec.join not in ("intersection", "union"):
+        raise ValueError(f"unknown join policy {spec.join!r}")
+    names = [n for n, _ in spec.variables]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate variable names in {names}")
+    first = spec.variables[0][1]
+    group_tags = _group_tag_keys(first)
+    reserved = {"w_start", "value", *group_tags}
+    for n, q in spec.variables:
+        if not n.isidentifier():
+            raise ValueError(f"variable name {n!r} is not an identifier")
+        if n in reserved:
+            raise ValueError(f"variable name {n!r} collides with an output column")
+        if _group_tag_keys(q) != group_tags:
+            raise ValueError(
+                "every exp sub-query must group by the same tag keys: "
+                f"{n!r} groups by {_group_tag_keys(q)}, expected {group_tags}"
+            )
+        if (q.start, q.end) != (first.start, first.end):
+            raise ValueError(f"sub-query {n!r} has a different time range")
+        if q.downsample.interval != first.downsample.interval:
+            raise ValueError(f"sub-query {n!r} has a different downsample interval")
+
+    streams = [
+        api_query(
+            points,
+            q,
+            metric_col=metric_col,
+            tags_col=tags_col,
+            ts_col=ts_col,
+            value_col=value_col,
+        ).withColumnRenamed("value", n)
+        for n, q in spec.variables
+    ]
+    how = "inner" if spec.join == "intersection" else "full"
+    keys = [*group_tags, "w_start"]
+    # list-of-names join: Spark emits ONE copy of each key column,
+    # coalesced across sides under "full" — exactly the union policy
+    joined = reduce(lambda a, b: a.join(b, keys, how), streams)
+    if spec.join == "union":
+        fill = F.lit(spec.fill_value).cast("long")
+        joined = joined.select(
+            *keys, *[F.coalesce(F.col(n), fill).alias(n) for n in names]
+        )
+    return joined.select(
+        *group_tags, "w_start", F.expr(spec.expr).cast("long").alias("value")
     )

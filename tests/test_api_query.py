@@ -282,3 +282,210 @@ def test_spec_validation_refuses_bad_specs(spark):
                 ),
             ),
         )
+
+
+def test_percentile_downsampler_exact_rank(spark):
+    """p-downsamplers (OpenTSDB 2.4) select the value at integer rank
+    ceil(n*permille/1000) of the sorted window — exact, tie-safe, no
+    float interpolation. n=4 values [1,3,3,10]: p500 -> rank 2 = 3,
+    p950 -> rank 4 = 10, p001 -> rank 1 = 1."""
+    rows = [
+        ("m", 0, 10, HOST_A),
+        ("m", 10, 3, HOST_A),
+        ("m", 20, 1, HOST_A),
+        ("m", 30, 3, HOST_A),
+    ]
+    base = dict(
+        metric="m",
+        start=0,
+        end=60,
+        aggregator="max",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+    )
+    for agg, want in (("p500", 3), ("p950", 10), ("p001", 1)):
+        spec = QuerySpec(**base, downsample=Downsample("1m", agg))
+        [(host, w, v)] = api_query(_pts(spark, rows), spec).collect()
+        assert (host, w, v) == ("a", 0, want), agg
+
+
+def test_percentile_refuses_tier_route(spark):
+    """Percentiles are NOT decomposable — a sum/count/min/max tier
+    cannot serve them, and api_query must refuse loudly rather than
+    silently mis-aggregate (the histogram tier A14/A15 is the stored
+    percentile path)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import build_tagged_tier
+
+    pts = _pts(spark, [("m", 0, 1, HOST_A)])
+    tier = build_tagged_tier(pts, "1h")
+    with pytest.raises(ValueError, match="not.*answerable|tier"):
+        api_query(
+            pts,
+            QuerySpec(
+                metric="m",
+                start=0,
+                end=7200,
+                downsample=Downsample("7200s", "p950"),
+            ),
+            tier=tier,
+            tier_interval="1h",
+        )
+
+
+def _exp_rows():
+    # metric "a": buckets 0 and 60; metric "b": bucket 0 only —
+    # bucket 60 exists for a but not b, separating the join policies
+    return [
+        ("ma", 0, 10, HOST_A),
+        ("ma", 60, 30, HOST_A),
+        ("mb", 0, 5, HOST_A),
+    ]
+
+
+def _exp_sub(metric):
+    return QuerySpec(
+        metric=metric,
+        start=0,
+        end=120,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+        downsample=Downsample("1m", "sum", fill="none"),
+    )
+
+
+def test_exp_intersection_vs_union(spark):
+    """/api/query/exp join policies: intersection emits only buckets
+    every variable produced; union keeps all buckets and coalesces the
+    missing variable to fill_value."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        ExprSpec,
+        api_query_exp,
+    )
+
+    pts = _pts(spark, _exp_rows())
+    variables = (("a", _exp_sub("ma")), ("b", _exp_sub("mb")))
+    inter = api_query_exp(
+        pts, ExprSpec(expr="a + b", variables=variables)
+    ).collect()
+    assert {(r["host"], r["w_start"], r["value"]) for r in inter} == {
+        ("a", 0, 15)
+    }
+    uni = api_query_exp(
+        pts,
+        ExprSpec(expr="a + b", variables=variables, join="union", fill_value=1),
+    ).collect()
+    assert {(r["host"], r["w_start"], r["value"]) for r in uni} == {
+        ("a", 0, 15),
+        ("a", 60, 31),  # b missing -> fill_value 1
+    }
+
+
+def test_exp_validation_refuses_misaligned_subqueries(spark):
+    """Misaligned variables would silently join wrong buckets — every
+    mismatch must raise instead."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        ExprSpec,
+        api_query_exp,
+    )
+
+    pts = _pts(spark, _exp_rows())
+    a = _exp_sub("ma")
+    with pytest.raises(ValueError, match=">= 2"):
+        api_query_exp(pts, ExprSpec(expr="a", variables=(("a", a),)))
+    with pytest.raises(ValueError, match="duplicate"):
+        api_query_exp(pts, ExprSpec(expr="a", variables=(("a", a), ("a", a))))
+    with pytest.raises(ValueError, match="identifier"):
+        api_query_exp(
+            pts, ExprSpec(expr="1", variables=(("a", a), ("b-2", a)))
+        )
+    with pytest.raises(ValueError, match="collides"):
+        api_query_exp(
+            pts, ExprSpec(expr="1", variables=(("a", a), ("w_start", a)))
+        )
+    ungrouped = QuerySpec(
+        metric="mb",
+        start=0,
+        end=120,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a"),),
+        downsample=Downsample("1m", "sum"),
+    )
+    with pytest.raises(ValueError, match="same tag keys"):
+        api_query_exp(
+            pts, ExprSpec(expr="a + b", variables=(("a", a), ("b", ungrouped)))
+        )
+    shifted = QuerySpec(
+        metric="mb",
+        start=60,
+        end=120,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+        downsample=Downsample("1m", "sum"),
+    )
+    with pytest.raises(ValueError, match="time range"):
+        api_query_exp(
+            pts, ExprSpec(expr="a + b", variables=(("a", a), ("b", shifted)))
+        )
+    coarser = QuerySpec(
+        metric="mb",
+        start=0,
+        end=120,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+        downsample=Downsample("2m", "sum"),
+    )
+    with pytest.raises(ValueError, match="interval"):
+        api_query_exp(
+            pts, ExprSpec(expr="a + b", variables=(("a", a), ("b", coarser)))
+        )
+    with pytest.raises(ValueError, match="join policy"):
+        api_query_exp(
+            pts,
+            ExprSpec(
+                expr="a + b",
+                variables=(("a", a), ("b", _exp_sub("mb"))),
+                join="outer",
+            ),
+        )
+
+
+def test_multi_envelope_canonicalizes_group_tags(spark):
+    """api_query_multi unions heterogeneous sub-queries under one
+    schema: group dimensions collapse to the sorted k=v string, and a
+    groupBy-less sub-query gets the empty string."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_multi
+
+    rows = [
+        ("m", 0, 10, {"host": "a", "env": "prod"}),
+        ("m", 0, 20, {"host": "b", "env": "dev"}),
+    ]
+    specs = {
+        "by_both": QuerySpec(
+            metric="m",
+            start=0,
+            end=60,
+            aggregator="sum",
+            filters=(
+                # declared host-then-env; the envelope must still sort
+                # keys canonically (env before host)
+                TagFilter("iwildcard", "host", "*", group_by=True),
+                TagFilter("literal_or", "env", "prod|dev", group_by=True),
+            ),
+            downsample=Downsample("1m", "sum"),
+        ),
+        "global": QuerySpec(
+            metric="m",
+            start=0,
+            end=60,
+            aggregator="sum",
+            downsample=Downsample("1m", "sum"),
+        ),
+    }
+    got = {
+        (r["query"], r["group_tags"], r["w_start"], r["value"])
+        for r in api_query_multi(_pts(spark, rows), specs).collect()
+    }
+    assert got == {
+        ("by_both", "env=prod,host=a", 0, 10),
+        ("by_both", "env=dev,host=b", 0, 20),
+        ("global", "", 0, 30),
+    }
