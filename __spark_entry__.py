@@ -1519,6 +1519,112 @@ def _q_api_query_p95(spark, sf_dir):
     return api_query(pts, spec)
 
 
+def _q_api_query_shift(spark, sf_dir):
+    """OpenTSDB 2.3 timeShift through the expression endpoint: the
+    DAY-OVER-DAY DELTA — cur = click hourly sum per host (prod,
+    zero-filled), prev = the IDENTICAL spec with time_shift=1d, i.e.
+    evaluated over [start-1d, end-1d) and re-aligned onto the request
+    timeline, joined bucket-for-bucket as (cur - prev). Pins the two
+    halves of the shift contract at once: the shifted variable's
+    filter/spine/fill all run on the SHIFTED range (the oracle
+    recomputes prev direct from raw with explicit shifted epoch
+    bounds — first time the api oracles exercise a range that
+    actually excludes data), and the +shift re-alignment lands
+    exactly on cur's bucket grid (intersection join non-empty)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        ExprSpec,
+        QuerySpec,
+        api_query_exp,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+
+    def sub(shift):
+        return QuerySpec(
+            metric="click",
+            start=start,
+            end=end,
+            aggregator="sum",
+            filters=(
+                TagFilter("iwildcard", "host", "WEB*", group_by=True),
+                TagFilter("literal_or", "env", "prod"),
+            ),
+            downsample=Downsample("1h", "sum", fill="zero"),
+            time_shift=shift,
+        )
+
+    spec = ExprSpec(
+        expr="cur - prev",
+        variables=(("cur", sub(0)), ("prev", sub(86400))),
+        join="intersection",
+    )
+    return api_query_exp(pts, spec)
+
+
+def _q_api_query_gexp(spark, sf_dir):
+    """/api/query/gexp (OpenTSDB 2.3 Graphite-style functions):
+    highestMax(scale(sum:view{host=*,env=prod}, 2), 3) — the hourly
+    per-host sums doubled, then only the 3 hosts whose (scaled) series
+    reach the highest peak survive, every bucket of the winners kept.
+    Selector ranking is the per-group aggregate of the query's own
+    output (|hosts| rows) with the deterministic (max DESC, host ASC)
+    tie-break, and the winners rejoin as a broadcast semi-join — the
+    TakeOrdered pattern, no shuffle of the output stream. Oracle
+    mirrors rank + tie-break literally."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_gexp,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="view",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("1h", "sum", fill="none"),
+    )
+    return api_query_gexp(pts, spec, (("scale", 2), ("highestMax", 3)))
+
+
+def _q_api_query_fallback(spark, sf_dir):
+    """rollupUsage=ROLLUP_FALLBACK_RAW (OpenTSDB 2.4): the supplied 1h
+    tier CANNOT serve a 90-minute downsample (5400 % 3600 != 0) —
+    under the default nofallback policy this exact call raises (pytest
+    pins it); under fallback_raw it runs the raw path and must produce
+    the raw answer. The oracle computes direct from raw at 5400s, so
+    the hash pins that the fallback neither half-uses the tier nor
+    perturbs the composition."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+        build_tagged_tier,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    tier = build_tagged_tier(pts, "1h")
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("5400s", "sum", fill="none"),
+        rollup_usage="fallback_raw",
+    )
+    return api_query(pts, spec, tier=tier, tier_interval="1h")
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2082,6 +2188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_exp": _q_api_query_exp,
         "api_query_multi": _q_api_query_multi,
         "api_query_p95": _q_api_query_p95,
+        "api_query_shift": _q_api_query_shift,
+        "api_query_gexp": _q_api_query_gexp,
+        "api_query_fallback": _q_api_query_fallback,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2140,15 +2249,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05), then every other key ordered OLDEST driver
     # evidence first (r1 keys, then r2, then r3 — the r4-green keys
     # rotate out; all keys are additionally re-verified locally each
-    # round via scripts/check_oracle.py). Ten r3-evidence keys don't
-    # fit the 50 slots and are front-of-line for r06: rollup_fused,
+    # round via scripts/check_oracle.py). Thirteen r3-evidence keys
+    # don't fit the 50 slots and are front-of-line for r06: rollup_fused,
     # tok_topk, win_delta, win_moving, win_rank, win_rate, win_topk,
-    # and (displaced by this session's three new api_query keys)
-    # join_equi, join_range, join_semi.
+    # and (displaced by this round's nine new api_query keys)
+    # join_equi, join_range, join_semi, join_anti, join_broadcast,
+    # gapfill_zero.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
-        # request envelope, percentile downsampler)
+        # request envelope, percentile downsampler; session-3:
+        # timeShift, gexp selectors, rollupUsage fallback)
+        "api_query_shift",
+        "api_query_gexp",
+        "api_query_fallback",
         "api_query_ds_rate",
         "api_query_group_avg",
         "api_query_tier",
@@ -2900,6 +3014,90 @@ def oracle_sql() -> dict[str, str]:
                    FROM r WHERE rn = (n * 950 + 999) // 1000)
             SELECT host, w_start, max(v)::BIGINT AS value
             FROM ds GROUP BY 1, 2""",
+        # timeShift: cur is the full-span hourly pipeline; prev is the
+        # SAME pipeline with explicit shifted epoch bounds (the upper
+        # bound excludes the last day of raw data — the lower bound
+        # min-86400 excludes nothing and is omitted) and its buckets
+        # re-aligned +86400 onto the request timeline, where they land
+        # exactly on cur's spine (86400 is a multiple of 3600, so
+        # floor((t-1d)/1h)*1h + 1d = floor(t/1h)*1h). Day-over-day
+        # delta on the intersection join.
+        "api_query_shift": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/3600)*3600 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/3600)*3600 AS BIGINT) AS last_b,
+                           CAST(max(epoch(ts)) + 1 - 86400 AS BIGINT) AS hi_p
+                    FROM tp),
+            fc AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'click'
+                     AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            dsc AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM fc GROUP BY 1, 2, 3, 4),
+            sdc AS (SELECT DISTINCT host, rack, env FROM dsc),
+            spc AS (SELECT sdc.host, sdc.rack, sdc.env, gs.w_start
+                    FROM sdc CROSS JOIN (
+                      SELECT unnest(generate_series(first_b, last_b, 3600))
+                             AS w_start FROM rng) gs),
+            flc AS (SELECT spc.host, spc.w_start,
+                           COALESCE(dsc.v, 0)::BIGINT AS v
+                    FROM spc LEFT JOIN dsc
+                      USING (host, rack, env, w_start)),
+            gc AS (SELECT host, w_start, sum(v)::BIGINT AS cur
+                   FROM flc GROUP BY 1, 2),
+            fp AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 + 86400 AS BIGINT)
+                            AS w_start,
+                          value
+                   FROM tp, rng
+                   WHERE series_id = 'click'
+                     AND lower(host) LIKE 'web%' AND env IN ('prod')
+                     AND epoch(ts) < rng.hi_p),
+            dsp AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM fp GROUP BY 1, 2, 3, 4),
+            sdp AS (SELECT DISTINCT host, rack, env FROM dsp),
+            spp AS (SELECT sdp.host, sdp.rack, sdp.env, gs.w_start
+                    FROM sdp CROSS JOIN (
+                      SELECT unnest(generate_series(first_b, last_b, 3600))
+                             AS w_start FROM rng) gs),
+            flp AS (SELECT spp.host, spp.w_start,
+                           COALESCE(dsp.v, 0)::BIGINT AS v
+                    FROM spp LEFT JOIN dsp
+                      USING (host, rack, env, w_start)),
+            gp AS (SELECT host, w_start, sum(v)::BIGINT AS prev
+                   FROM flp GROUP BY 1, 2)
+            SELECT gc.host, gc.w_start, (gc.cur - gp.prev)::BIGINT AS value
+            FROM gc JOIN gp
+              ON gc.host = gp.host AND gc.w_start = gp.w_start""",
+        # gexp highestMax(scale(q, 2), 3): sum-downsample composed
+        # with sum-aggregate collapses to one direct GROUP BY; scale
+        # applies AFTER aggregation (Spark applies it to the api_query
+        # output), ranking is (scaled max DESC, host ASC) — the
+        # deterministic tie-break both engines share
+        "api_query_gexp": f"""{_TAGGED_CTE},
+            g AS (SELECT host,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         (sum(value) * 2)::BIGINT AS value
+                  FROM tp
+                  WHERE series_id = 'view'
+                    AND lower(host) LIKE '%' AND env IN ('prod')
+                  GROUP BY 1, 2),
+            rk AS (SELECT host, max(value) AS m FROM g GROUP BY 1),
+            win AS (SELECT host FROM rk ORDER BY m DESC, host ASC LIMIT 3)
+            SELECT g.host, g.w_start, g.value
+            FROM g JOIN win USING (host)""",
+        # rollupUsage fallback: the answer must be the RAW 90-minute
+        # composition (sum-of-sums collapses to one GROUP BY) — a
+        # half-used 1h tier could not produce these buckets at all
+        "api_query_fallback": f"""{_TAGGED_CTE}
+            SELECT host,
+                   CAST(FLOOR(epoch(ts)/5400)*5400 AS BIGINT) AS w_start,
+                   sum(value)::BIGINT AS value
+            FROM tp
+            WHERE series_id = 'click'
+              AND lower(host) LIKE 'web%' AND env IN ('prod')
+            GROUP BY 1, 2""",
         "query_tag_filters": f"""{_TAGGED_CTE}
             SELECT host,
                    CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,

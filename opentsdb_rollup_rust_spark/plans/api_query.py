@@ -44,7 +44,7 @@ DuckDB oracle reproduces them bit-for-bit.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
@@ -106,12 +106,36 @@ class RateOptions:
     drop_resets: bool = False
 
 
+#: OpenTSDB 2.4 ``rollupUsage`` policies as they apply here.
+#: "nofallback": a supplied tier that cannot serve the spec is a loud
+#: ValueError (nobody silently pays a raw scan they meant to avoid —
+#: ROLLUP_NOFALLBACK). "fallback_raw": an unservable tier route falls
+#: back to the raw point scan (ROLLUP_FALLBACK_RAW). OpenTSDB's
+#: ROLLUP_FALLBACK (try coarser tiers first) collapses onto these:
+#: this API takes ONE tier per call, so there is no "next" tier to
+#: try before raw.
+_ROLLUP_USAGE = ("nofallback", "fallback_raw")
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     """One /api/query sub-query: metric, [start, end) epoch seconds,
     tag filters (groupBy flags select output dimensions), explicit
     tag-set matching, mandatory downsample, cross-series aggregator,
-    optional rate."""
+    optional rate.
+
+    ``time_shift``: OpenTSDB 2.3 ``timeShift`` — evaluate this
+    sub-query over ``[start - time_shift, end - time_shift)`` and
+    re-align the output buckets to the REQUEST timeline (w_start +
+    time_shift), so a shifted variable joins bucket-for-bucket
+    against an unshifted one (day-over-day / week-over-week
+    comparisons through api_query_exp). Must be a non-negative
+    multiple of the downsample interval or the shifted buckets would
+    not land on the request's bucket grid.
+
+    ``rollup_usage``: what to do when a supplied tier cannot serve
+    the downsample (see _ROLLUP_USAGE).
+    """
 
     metric: str
     start: int
@@ -121,6 +145,8 @@ class QuerySpec:
     explicit_tags: bool = False
     downsample: Downsample | None = None
     rate: RateOptions | None = None
+    time_shift: int = 0
+    rollup_usage: str = "nofallback"
 
 
 def _validate(spec: QuerySpec) -> None:
@@ -141,9 +167,19 @@ def _validate(spec: QuerySpec) -> None:
         raise ValueError(f"unknown fill policy {spec.downsample.fill!r}")
     if spec.aggregator not in _GROUP_AGGS:
         raise ValueError(f"unknown aggregator {spec.aggregator!r}")
-    resolve_interval_seconds(spec.downsample.interval)  # raises KeyError
+    sec = resolve_interval_seconds(spec.downsample.interval)  # raises KeyError
     if not (spec.end > spec.start):
         raise ValueError("end must be > start")
+    if spec.time_shift < 0:
+        raise ValueError("time_shift must be >= 0 (shift back in time)")
+    if spec.time_shift % sec:
+        raise ValueError(
+            f"time_shift {spec.time_shift}s must be a multiple of the "
+            f"downsample interval {sec}s: shifted buckets must land on "
+            "the request's bucket grid"
+        )
+    if spec.rollup_usage not in _ROLLUP_USAGE:
+        raise ValueError(f"unknown rollup_usage {spec.rollup_usage!r}")
     r = spec.rate
     if r is not None:
         if r.counter and r.drop_resets:
@@ -298,6 +334,36 @@ def api_query(
     _validate(spec)
     ds = spec.downsample
     sec = resolve_interval_seconds(ds.interval)
+
+    if spec.time_shift:
+        # timeShift ([OTSDB-API] 2.3): the WHOLE composition —
+        # filter, spine, rate — runs on the shifted range, then the
+        # output re-aligns to the request timeline. A constant added
+        # after the final projection cannot perturb any stage, and
+        # the shifted spec keeps every alignment property (the shift
+        # is a validated multiple of the interval, so tier bucket
+        # alignment and the fill spine translate exactly).
+        shifted = replace(
+            spec,
+            start=spec.start - spec.time_shift,
+            end=spec.end - spec.time_shift,
+            time_shift=0,
+        )
+        out = api_query(
+            points,
+            shifted,
+            metric_col=metric_col,
+            tags_col=tags_col,
+            ts_col=ts_col,
+            value_col=value_col,
+            tier=tier,
+            tier_interval=tier_interval,
+        )
+        return out.withColumn(
+            "w_start",
+            (F.col("w_start") + F.lit(spec.time_shift)).cast("long"),
+        )
+
     tags = F.col(tags_col)
 
     group_tags = [f.tagk for f in spec.filters if f.group_by]
@@ -312,21 +378,32 @@ def api_query(
 
     if tier is not None:
         tsec = resolve_interval_seconds(tier_interval)
+        unservable = None
         if sec % tsec != 0:
-            raise ValueError(
+            unservable = (
                 f"tier {tier_interval!r} cannot serve downsample "
                 f"{ds.interval!r}: interval is not a multiple"
             )
-        if ds.aggregator not in _TIER_ROUTABLE:
-            raise ValueError(
+        elif ds.aggregator not in _TIER_ROUTABLE:
+            unservable = (
                 f"downsample aggregator {ds.aggregator!r} is not "
                 "answerable from a sum/count/min/max tier"
             )
-        if spec.start % sec or spec.end % sec:
-            raise ValueError(
+        elif spec.start % sec or spec.end % sec:
+            unservable = (
                 "tier-routed queries need a bucket-aligned range: "
                 f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
             )
+        if unservable is not None:
+            # rollupUsage ([OTSDB-ROLLUP] 2.4): under the default
+            # nofallback a silently-paid raw scan is exactly the
+            # 100 TB surprise this refusal exists to prevent;
+            # fallback_raw makes the raw path an EXPLICIT opt-in.
+            if spec.rollup_usage != "fallback_raw":
+                raise ValueError(f"{unservable} (rollup_usage=nofallback)")
+            tier = None
+
+    if tier is not None:
         # --- 1+2 on tier rows: every tier window inside an aligned
         # range is FULLY inside, so plain w_start bounds are exact
         pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
@@ -644,3 +721,97 @@ def api_query_exp(
     return joined.select(
         *group_tags, "w_start", F.expr(spec.expr).cast("long").alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# /api/query/gexp — Graphite-style series functions (OpenTSDB 2.3)
+# ---------------------------------------------------------------------------
+
+#: gexp functions implemented, in the two families the endpoint has:
+#: per-point transforms (scale, absolute) and series selectors
+#: (highestMax, highestCurrent) that keep the k "loudest" GROUP
+#: series and drop the rest ([OTSDB-API] /api/query/gexp).
+_GEXP_FUNCS = ("scale", "absolute", "highestMax", "highestCurrent")
+
+
+def gexp_apply(
+    out: DataFrame,
+    group_tags: list[str],
+    funcs: tuple[tuple[str, int | None], ...],
+) -> DataFrame:
+    """Apply a nested gexp function chain to an api_query output
+    (group tags..., w_start, value) — innermost first, mirroring how
+    ``highestMax(scale(sum:metric{...}, 2), 3)`` nests.
+
+    ``funcs``: (name, arg) pairs; arg is the scale factor or the
+    selector's k, None for absolute.
+
+    Scale shape of the selectors: the ranking input is the per-group
+    aggregate of the query's OWN output (|groups| rows — the output
+    dimension, never point-sized); winners come from a deterministic
+    sort-limit (the TakeOrdered plan, ties broken by the group-tag
+    string ascending so two engines agree) and rejoin as a BROADCAST
+    semi-join — k rows against the output stream, no shuffle of the
+    stream itself.
+    """
+    gcols = [F.col(k) for k in group_tags]
+    gstr = F.concat_ws(",", *gcols) if group_tags else F.lit("")
+    for name, arg in funcs:
+        if name == "scale":
+            out = out.withColumn(
+                "value", (F.col("value") * F.lit(int(arg))).cast("long")
+            )
+        elif name == "absolute":
+            out = out.withColumn("value", F.abs("value").cast("long"))
+        elif name in ("highestMax", "highestCurrent"):
+            k = int(arg)
+            if k < 1:
+                raise ValueError(f"{name} needs k >= 1")
+            if not group_tags:
+                continue  # a single ungrouped series is trivially the top-1
+            per_group = out.groupBy(*group_tags)
+            if name == "highestMax":
+                ranked = per_group.agg(F.max("value").alias("_m"))
+            else:
+                # highestCurrent: the value at each group's LAST
+                # bucket — max_by is a single-pass agg, no window
+                ranked = per_group.agg(
+                    F.expr("max_by(value, w_start)").alias("_m")
+                )
+            winners = (
+                ranked.orderBy(F.desc("_m"), gstr.asc())
+                .limit(k)
+                .select(*group_tags)
+            )
+            out = out.join(F.broadcast(winners), group_tags, "left_semi")
+        else:
+            raise ValueError(
+                f"unknown gexp function {name!r}; implemented: {_GEXP_FUNCS}"
+            )
+    return out
+
+
+def api_query_gexp(
+    points: DataFrame,
+    spec: QuerySpec,
+    funcs: tuple[tuple[str, int | None], ...],
+    metric_col: str = "series_id",
+    tags_col: str = "tags",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """/api/query/gexp: one sub-query through the full api_query
+    composition, then a gexp function chain over its output series
+    (see gexp_apply). Kept int64 end to end — scale is integer
+    multiplication, the selectors only ever DROP rows."""
+    if not funcs:
+        raise ValueError("api_query_gexp needs at least one function")
+    out = api_query(
+        points,
+        spec,
+        metric_col=metric_col,
+        tags_col=tags_col,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+    return gexp_apply(out, _group_tag_keys(spec), funcs)

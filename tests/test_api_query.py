@@ -489,3 +489,139 @@ def test_multi_envelope_canonicalizes_group_tags(spark):
         ("by_both", "env=dev,host=b", 0, 20),
         ("global", "", 0, 30),
     }
+
+
+def test_time_shift_realigns_to_request_timeline(spark):
+    """timeShift evaluates over [start-shift, end-shift) and re-aligns
+    +shift: a query over [60, 120) with shift=60 must return the
+    [0, 60) data stamped at w_start=60 — and data actually inside the
+    request range must NOT appear (the shift moves the window, it
+    does not widen it)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query
+
+    pts = _pts(
+        spark,
+        [("m", 10, 7, HOST_A), ("m", 20, 4, HOST_A), ("m", 70, 100, HOST_A)],
+    )
+    spec = QuerySpec(
+        metric="m",
+        start=60,
+        end=120,
+        aggregator="sum",
+        downsample=Downsample("1m", "sum"),
+        time_shift=60,
+    )
+    rows = api_query(pts, spec).collect()
+    assert [(r.w_start, r.value) for r in rows] == [(60, 11)]
+
+
+def test_time_shift_validation(spark):
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query
+
+    pts = _pts(spark, [("m", 0, 1, HOST_A)])
+    base = dict(metric="m", start=60, end=120, downsample=Downsample("1m"))
+    with pytest.raises(ValueError, match="multiple"):
+        api_query(pts, QuerySpec(**base, time_shift=90))
+    with pytest.raises(ValueError, match=">= 0"):
+        api_query(pts, QuerySpec(**base, time_shift=-60))
+    with pytest.raises(ValueError, match="rollup_usage"):
+        api_query(pts, QuerySpec(**base, rollup_usage="fallback"))
+
+
+def test_rollup_usage_fallback_runs_raw(spark):
+    """rollupUsage=fallback_raw: an unservable tier (90 s downsample
+    over a 1h tier) silently — but by explicit opt-in — takes the raw
+    path and must equal the same spec with no tier at all; the default
+    nofallback policy refuses the identical call."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        api_query,
+        build_tagged_tier,
+    )
+
+    pts = _pts(
+        spark,
+        [("m", 0, 3, HOST_A), ("m", 95, 5, HOST_A), ("m", 100, 2, HOST_B)],
+    )
+    tier = build_tagged_tier(pts, "1h")
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=180,
+        aggregator="sum",
+        downsample=Downsample("90s", "sum"),
+    )
+    with pytest.raises(ValueError, match="rollup_usage=nofallback"):
+        api_query(pts, spec, tier=tier, tier_interval="1h")
+    from dataclasses import replace
+
+    fb = replace(spec, rollup_usage="fallback_raw")
+    got = api_query(pts, fb, tier=tier, tier_interval="1h").collect()
+    want = api_query(pts, fb).collect()
+    assert sorted((r.w_start, r.value) for r in got) == sorted(
+        (r.w_start, r.value) for r in want
+    ) == [(0, 3), (90, 7)]
+
+
+def _gexp_rows():
+    # three hosts: a peaks at 90 but ends at 1; b flat 50; c ends
+    # highest (60) with peak 60 — highestMax and highestCurrent pick
+    # DIFFERENT winners, pinning which statistic each selector ranks
+    return [
+        ("m", 0, 90, {"host": "a"}),
+        ("m", 60, 1, {"host": "a"}),
+        ("m", 0, 50, {"host": "b"}),
+        ("m", 60, 50, {"host": "b"}),
+        ("m", 0, 10, {"host": "c"}),
+        ("m", 60, 60, {"host": "c"}),
+    ]
+
+
+def _gexp_spec():
+    return QuerySpec(
+        metric="m",
+        start=0,
+        end=120,
+        aggregator="sum",
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("1m", "sum"),
+    )
+
+
+def test_gexp_selectors_rank_different_statistics(spark):
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    pts = _pts(spark, _gexp_rows())
+    top_max = api_query_gexp(pts, _gexp_spec(), (("highestMax", 2),))
+    assert sorted({r.host for r in top_max.collect()}) == ["a", "c"]
+    top_cur = api_query_gexp(pts, _gexp_spec(), (("highestCurrent", 2),))
+    assert sorted({r.host for r in top_cur.collect()}) == ["b", "c"]
+
+
+def test_gexp_transform_chain_applies_innermost_first(spark):
+    """highestMax(absolute(scale(q, -1)), 1): scale by -1 flips the
+    series, absolute flips them back — so the selector must still pick
+    host a (peak 90), proving the chain applies in order on the
+    already-aggregated output."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    pts = _pts(spark, _gexp_rows())
+    out = api_query_gexp(
+        pts,
+        _gexp_spec(),
+        (("scale", -1), ("absolute", None), ("highestMax", 1)),
+    )
+    rows = out.collect()
+    assert {r.host for r in rows} == {"a"}
+    assert sorted((r.w_start, r.value) for r in rows) == [(0, 90), (60, 1)]
+
+
+def test_gexp_validation(spark):
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    pts = _pts(spark, _gexp_rows())
+    with pytest.raises(ValueError, match="at least one"):
+        api_query_gexp(pts, _gexp_spec(), ())
+    with pytest.raises(ValueError, match="unknown gexp"):
+        api_query_gexp(pts, _gexp_spec(), (("movingAverage", 3),))
+    with pytest.raises(ValueError, match="k >= 1"):
+        api_query_gexp(pts, _gexp_spec(), (("highestMax", 0),))
