@@ -481,6 +481,29 @@ def api_query(
                 _ds_agg_expr(ds.aggregator).cast("long").alias("v")
             )
 
+    return api_query_finish(per_series, spec)
+
+
+def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
+    """Stages 4-6 of the composition — fill, cross-series aggregate,
+    rate — over an ALREADY-DOWNSAMPLED per-series frame
+    (*group tags, _series, w_start, v). Public because this is the
+    read-side half of the streaming split: a Structured Streaming
+    ingestion (streaming/rollup_stream.streaming_api_query_downsample)
+    materializes exactly this frame continuously, and reads finish it
+    here — same code path as the batch endpoint, so stream-fed and
+    batch answers cannot drift (parity pinned in
+    tests/test_streaming.py)."""
+    _validate(spec)
+    if spec.time_shift:
+        raise ValueError(
+            "api_query_finish takes an unshifted spec: time_shift is "
+            "resolved by api_query before the downsampled frame exists"
+        )
+    ds = spec.downsample
+    sec = resolve_interval_seconds(ds.interval)
+    group_tags = _group_tag_keys(spec)
+
     # --- 4. fill: dense bucket spine over the ALIGNED QUERY RANGE per
     # observed series (not per-series observed min/max — every series
     # of a group must share buckets or the cross-series aggregate

@@ -145,6 +145,96 @@ def streaming_tag_filter_rollup(
     )
 
 
+def streaming_api_query_downsample(
+    points: DataFrame,
+    spec,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST10 (r5): the INGESTION half of a continuously-served
+    /api/query — stages 1-3 of the composed endpoint
+    (plans/api_query: filter -> groupBy-tag extraction -> per-SERIES
+    downsample) as one watermarked streaming aggregation, emitting
+    exactly the per-series frame (*group tags, _series, w_start, v)
+    that plans.api_query.api_query_finish consumes. The read-side
+    stages (fill spine, cross-series aggregate, rate) are NOT
+    streamable as a second aggregation in the same query (Spark
+    forbids chained streaming aggs, and the fill spine needs the
+    completed bucket set anyway), and they don't need to be: reads
+    finish the materialized frame through the SAME api_query_finish
+    code path as the batch endpoint, so the split point is the one
+    Spark's execution model dictates AND stream-fed answers cannot
+    drift from batch ones (parity test in tests/test_streaming.py).
+
+    Streaming state: one (sum,count)/(min)/(max) per (series, window)
+    — the downsampled cardinality, dropped at the watermark. The
+    percentile downsamplers keep raw values per window and are
+    refused (their streaming answer is the histogram tier, ST7);
+    time_shift is a read-side transform and is refused likewise."""
+    from ..plans.api_query import (
+        Q_SCALE,
+        _percentile_permille,
+        _series_key,
+        _validate,
+    )
+    from ..config import resolve_interval_seconds
+    from ..operators.tagquery import compile_tag_filter
+
+    _validate(spec)
+    ds = spec.downsample
+    if _percentile_permille(ds.aggregator) is not None:
+        raise ValueError(
+            "percentile downsamplers are not streamable (unbounded "
+            "per-window state); stream the histogram tier instead"
+        )
+    if spec.time_shift:
+        raise ValueError(
+            "time_shift is a read-side transform: shift the finishing "
+            "query, not the ingestion"
+        )
+    sec = resolve_interval_seconds(ds.interval)
+    tags = F.col("tags")
+    ts_sec = F.unix_timestamp(F.col("ts"))
+    pred = F.col("series_id") == F.lit(spec.metric)
+    for f in spec.filters:
+        pred = pred & compile_tag_filter(tags, f)
+    if spec.explicit_tags and spec.filters:
+        from ..operators.tagquery import explicit_tags_predicate
+
+        pred = pred & explicit_tags_predicate(tags, list(spec.filters))
+    pred = pred & (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
+    group_tags = [f.tagk for f in spec.filters if f.group_by]
+    narrow = points.where(pred).select(
+        *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+        _series_key(tags).alias("_series"),
+        "ts",
+        "value",
+    )
+    agged = (
+        narrow.withWatermark("ts", watermark)
+        .groupBy(*group_tags, "_series", F.window("ts", f"{sec} seconds"))
+        .agg(
+            F.sum("value").alias("_sum"),
+            F.count("value").alias("_count"),
+            F.min("value").alias("_min"),
+            F.max("value").alias("_max"),
+        )
+    )
+    v = {
+        "sum": F.col("_sum"),
+        "count": F.col("_count"),
+        "min": F.col("_min"),
+        "max": F.col("_max"),
+        # ppm-quantized int64 avg — the batch _ds_agg_expr rule
+        "avg": F.expr(f"(_sum * {Q_SCALE}) DIV _count"),
+    }[ds.aggregator]
+    return agged.select(
+        *group_tags,
+        "_series",
+        F.unix_timestamp(F.col("window.start")).cast("long").alias("w_start"),
+        v.cast("long").alias("v"),
+    )
+
+
 def streaming_histogram_rollup(
     points: DataFrame, interval: str, watermark: str = "10 minutes"
 ) -> DataFrame:

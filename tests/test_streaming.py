@@ -408,3 +408,101 @@ def test_streaming_tag_filter_equals_batch(spark, tmp_path_factory):
     got = spark.table(name)
     want = tag_filter_rollup(spark.read.parquet(d), filters, 3600)
     assert_df_equal(got, want.select(*got.columns))
+
+
+def test_streaming_api_query_downsample_finishes_to_batch_answer(
+    spark, tmp_path_factory
+):
+    """ST10 == P12: the streaming ingestion half of the composed
+    /api/query (filter -> groupBy split -> per-SERIES downsample as
+    one watermarked agg) materializes the per-series frame; finishing
+    it through the SAME api_query_finish the batch endpoint uses
+    (zero fill -> cross-series sum -> plain rate) must equal the
+    whole batch api_query on the same input — the stream/batch split
+    point leaks nothing."""
+    from opentsdb_rollup_rust_spark.operators.tagquery import TagFilter
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        RateOptions,
+        api_query,
+        api_query_finish,
+    )
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        streaming_api_query_downsample,
+    )
+
+    tagged = spark.range(0, 5_000, 1, 4).select(
+        F.when(F.col("id") % 3 == 0, F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("series_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 11).alias("ts"),
+        (F.col("id") % 101).cast("long").alias("value"),
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("id") % 5).cast("string")),
+            F.lit("dc"),
+            F.when(F.col("id") % 2 == 0, F.lit("east")).otherwise(
+                F.lit("west")
+            ),
+            # varies WITHIN (host, dc): several full-series per group,
+            # so the per-SERIES downsample is observably finer than
+            # the per-group one
+            F.lit("rack"),
+            F.when(F.col("id") % 7 < 3, F.lit("r0")).otherwise(F.lit("r1")),
+        ).alias("tags"),
+    )
+    d = str(tmp_path_factory.mktemp("apipts")) + "/tagged.parquet"
+    tagged.write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    spec = QuerySpec(
+        metric="click",
+        start=1704067200,
+        end=1704067200 + 5_000 * 11,
+        aggregator="sum",
+        filters=(
+            TagFilter("wildcard", "host", "h*", group_by=True),
+            TagFilter("literal_or", "dc", "east"),
+        ),
+        downsample=Downsample("1h", "avg", fill="zero"),
+        rate=RateOptions(),
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    name = _memname()
+    run_to_memory_table(streaming_api_query_downsample(stream, spec), name)
+    # localCheckpoint stands in for the store read a deployment does
+    # (the fill spine self-joins the frame; Spark 4 cannot dedup the
+    # memory-sink View's attributes, a store/parquet scan is fine)
+    frame = spark.table(name).localCheckpoint()
+    got = api_query_finish(frame, spec)
+    want = api_query(batch, spec)
+    assert_df_equal(got, want.select(*got.columns))
+    # the streamed frame really is per-SERIES: more series than groups
+    assert (
+        spark.table(name).select("_series").distinct().count()
+        > spark.table(name).select("host").distinct().count()
+    )
+
+
+def test_streaming_api_query_downsample_refuses_read_side_specs(spark):
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+    )
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        streaming_api_query_downsample,
+    )
+
+    pts = spark.createDataFrame(
+        [], "series_id string, ts timestamp, value long, tags map<string,string>"
+    )
+    base = dict(metric="m", start=0, end=7200)
+    with pytest.raises(ValueError, match="not streamable"):
+        streaming_api_query_downsample(
+            pts, QuerySpec(**base, downsample=Downsample("1h", "p950"))
+        )
+    with pytest.raises(ValueError, match="read-side"):
+        streaming_api_query_downsample(
+            pts,
+            QuerySpec(**base, downsample=Downsample("1h"), time_shift=3600),
+        )
