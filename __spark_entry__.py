@@ -1625,6 +1625,35 @@ def _q_api_query_fallback(spark, sf_dir):
     return api_query(pts, spec, tier=tier, tier_interval="1h")
 
 
+def _q_api_query_linear(spark, sf_dir):
+    """OpenTSDB's LINEAR downsample fill policy through the composed
+    endpoint: 2h per-series sums, gaps lerped between the bracketing
+    observed buckets of the SAME series (pure-int64 floor lerp — the
+    J2b gapfill exactness rule, prev + (next-prev)*dt with pmod-floor
+    division), spine buckets off a series' observed edges stay null
+    and fall out of the cross-series sum. The oracle reproduces the
+    lerp bit-for-bit with the identical pmod arithmetic."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+
+    pts, lo, end_raw = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="click",
+        start=lo,
+        end=end_raw,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("7200s", "sum", fill="linear"),
+    )
+    return api_query(pts, spec)
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2191,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_shift": _q_api_query_shift,
         "api_query_gexp": _q_api_query_gexp,
         "api_query_fallback": _q_api_query_fallback,
+        "api_query_linear": _q_api_query_linear,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2263,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_shift",
         "api_query_gexp",
         "api_query_fallback",
+        "api_query_linear",
         "api_query_ds_rate",
         "api_query_group_avg",
         "api_query_tier",
@@ -3087,6 +3118,55 @@ def oracle_sql() -> dict[str, str]:
             win AS (SELECT host FROM rk ORDER BY m DESC, host ASC LIMIT 3)
             SELECT g.host, g.w_start, g.value
             FROM g JOIN win USING (host)""",
+        # linear fill: identical pure-int64 floor lerp as the engine
+        # (pmod-floor: (a - ((a % d + d) % d)) // d), spine buckets
+        # outside a series' observed bracket stay NULL and vanish in
+        # the null-skipping cross-series sum
+        "api_query_linear": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/7200)*7200 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/7200)*7200 AS BIGINT) AS last_b
+                    FROM tp),
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            sd AS (SELECT DISTINCT host, rack, env FROM ds),
+            spine AS (SELECT sd.host, sd.rack, sd.env, gs.w_start
+                      FROM sd CROSS JOIN (
+                        SELECT unnest(generate_series(first_b, last_b, 7200))
+                               AS w_start FROM rng) gs),
+            j AS (SELECT spine.host, spine.rack, spine.env, spine.w_start,
+                         ds.v
+                  FROM spine LEFT JOIN ds
+                    USING (host, rack, env, w_start)),
+            k AS (SELECT host, rack, env, w_start, v,
+                         last_value(CASE WHEN v IS NOT NULL THEN w_start END
+                                    IGNORE NULLS) OVER wp AS pt,
+                         first_value(CASE WHEN v IS NOT NULL THEN w_start END
+                                     IGNORE NULLS) OVER wn AS nt,
+                         last_value(v IGNORE NULLS) OVER wp AS pv,
+                         first_value(v IGNORE NULLS) OVER wn AS nv
+                  FROM j
+                  WINDOW wp AS (PARTITION BY host, rack, env ORDER BY w_start
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         wn AS (PARTITION BY host, rack, env ORDER BY w_start
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+            fl AS (SELECT host, w_start,
+                          CASE WHEN v IS NOT NULL THEN v
+                               WHEN pt IS NOT NULL AND nt IS NOT NULL
+                                    AND nt > pt THEN
+                                 pv + ((((nv-pv)*(w_start-pt))
+                                   - (((((nv-pv)*(w_start-pt)) % (nt-pt))
+                                       + (nt-pt)) % (nt-pt)))
+                                  // (nt-pt))
+                               ELSE NULL END AS v
+                   FROM k)
+            SELECT host, w_start, sum(v)::BIGINT AS value
+            FROM fl GROUP BY 1, 2""",
         # rollupUsage fallback: the answer must be the RAW 90-minute
         # composition (sum-of-sums collapses to one GROUP BY) — a
         # half-used 1h tier could not produce these buckets at all

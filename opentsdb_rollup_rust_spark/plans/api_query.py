@@ -62,7 +62,7 @@ Q_SCALE = 1_000_000
 
 _DS_AGGS = ("sum", "count", "min", "max", "avg")
 _GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum")
-_FILLS = ("none", "zero", "null", "ffill")
+_FILLS = ("none", "zero", "null", "ffill", "linear")
 
 #: OpenTSDB 2.4 percentile downsamplers — ``p<permille>`` (p500 =
 #: median, p950, p999). Exact discrete selection here (value at rank
@@ -229,7 +229,13 @@ def _group_agg_expr(agg: str) -> Column:
         return F.min("v")
     if agg == "max":
         return F.max("v")
-    return F.expr(f"(sum(v) * {Q_SCALE}) DIV count(v)")
+    # a spine bucket where NO series of the group observed anything
+    # (possible under the null/linear fill policies) has count 0 —
+    # ANSI DIV would throw, OpenTSDB renders nothing: emit NULL
+    return F.expr(
+        f"CASE WHEN count(v) = 0 THEN NULL "
+        f"ELSE (sum(v) * {Q_SCALE}) DIV count(v) END"
+    )
 
 
 def build_tagged_tier(
@@ -547,6 +553,52 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
             filled = filled.withColumn("v", F.last("v", ignorenulls=True).over(wf))
+        elif ds.fill == "linear":
+            # OpenTSDB's linear fill policy: lerp between the
+            # bracketing observed buckets of the SAME series; spine
+            # buckets before a series' first / after its last
+            # observation stay null (they fall out of the null-
+            # skipping aggregates — OpenTSDB emits nothing there
+            # either). Exactness discipline (the J2b gapfill rule):
+            # pure-int64 floor lerp — prev + (next-prev)*dt // den
+            # with // as floor via pmod, so DuckDB reproduces it
+            # bit-for-bit. An observed bucket degenerates to its own
+            # value (dt = 0), so no observed/synthetic branch needed.
+            wp = (
+                Window.partitionBy(*group_tags, "_series")
+                .orderBy("w_start")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            wn = (
+                Window.partitionBy(*group_tags, "_series")
+                .orderBy("w_start")
+                .rowsBetween(0, Window.unboundedFollowing)
+            )
+            obs_w = F.when(F.col("v").isNotNull(), F.col("w_start"))
+            filled = (
+                filled.withColumn("_pt", F.last(obs_w, ignorenulls=True).over(wp))
+                .withColumn("_nt", F.first(obs_w, ignorenulls=True).over(wn))
+                .withColumn("_pv", F.last("v", ignorenulls=True).over(wp))
+                .withColumn("_nv", F.first("v", ignorenulls=True).over(wn))
+            )
+            num = (F.col("_nv") - F.col("_pv")) * (
+                F.col("w_start") - F.col("_pt")
+            )
+            den = F.col("_nt") - F.col("_pt")
+            lerp = F.col("_pv") + F.expr(
+                "(_lnum - pmod(_lnum, _lden)) div _lden"
+            )
+            filled = (
+                filled.withColumn("_lnum", num)
+                .withColumn("_lden", den)
+                .withColumn(
+                    "v",
+                    F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                        F.when(den > 0, lerp)  # null off both edges
+                    ),
+                )
+                .drop("_pt", "_nt", "_pv", "_nv", "_lnum", "_lden")
+            )
         # "null": keep nulls; they fall out of the null-skipping
         # aggregates below (OpenTSDB's null render policy)
         per_series = filled

@@ -625,3 +625,33 @@ def test_gexp_validation(spark):
         api_query_gexp(pts, _gexp_spec(), (("movingAverage", 3),))
     with pytest.raises(ValueError, match="k >= 1"):
         api_query_gexp(pts, _gexp_spec(), (("highestMax", 0),))
+
+
+def test_linear_fill_lerps_only_between_observations(spark):
+    """fill=linear: a gap bucket lerps between its bracketing observed
+    buckets of the SAME series (integer floor lerp); spine buckets
+    before a series' first observation stay empty — they must not
+    show up as zeros in the cross-series sum."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query
+
+    # series a: observed at buckets 0 (v=10) and 180 (v=40) -> lerp
+    # fills 60 with 20, 120 with 30; series b first appears at 120,
+    # so b contributes nothing to buckets 0-60 (NOT zero).
+    pts = _pts(
+        spark,
+        [
+            ("m", 0, 10, HOST_A),
+            ("m", 185, 40, HOST_A),
+            ("m", 125, 7, HOST_B),
+            ("m", 190, 9, HOST_B),
+        ],
+    )
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=240,
+        aggregator="sum",
+        downsample=Downsample("1m", "sum", fill="linear"),
+    )
+    rows = {r.w_start: r.value for r in api_query(pts, spec).collect()}
+    assert rows == {0: 10, 60: 20, 120: 30 + 7, 180: 40 + 9}
