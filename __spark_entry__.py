@@ -1654,6 +1654,69 @@ def _q_api_query_linear(spark, sf_dir):
     return api_query(pts, spec)
 
 
+def _q_api_query_hist(spark, sf_dir):
+    """/api/query percentiles[] on a histogram metric (OpenTSDB 2.4):
+    per (host, 1d bucket), p500/p950/p990 estimated from the GROUP-
+    MERGED msb histogram — the point of histogram metrics: exact
+    per-series percentiles don't aggregate across series, bucket
+    counts do, so the cross-series aggregate IS the histogram merge
+    and ONE shuffle goes straight from filtered points to |groups x
+    buckets x <=64| rows (no per-series stage at all). A15's
+    integer-ceil rank rule per requested permille; est_max = the
+    one-power-of-two bound. Oracle recomputes the merge + rank
+    selection with identical integer arithmetic."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_hist,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("1d", "sum", fill="none"),
+    )
+    return api_query_hist(pts, spec, (500, 950, 990))
+
+
+def _q_api_query_hist_tier(spark, sf_dir):
+    """The tier-routed histogram percentile read: a materialized 1h
+    TAGGED histogram tier (build_tagged_hist_tier) answers a 2h
+    percentile query by factor-window COUNT re-aggregation — and
+    unlike every other percentile shortcut, the answer is IDENTICAL
+    to direct-from-raw (counts are exact; the estimate happens once,
+    after the merge). Oracle computes direct from raw at 2h, so the
+    hash proves tier == raw end-to-end."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_hist,
+        build_tagged_hist_tier,
+    )
+
+    pts, lo, end_raw = _api_spec_range(spark, sf_dir)
+    start = lo // 7200 * 7200
+    end = ((end_raw - 1) // 7200 + 1) * 7200
+    tier = build_tagged_hist_tier(pts, "1h")
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("7200s", "sum", fill="none"),
+    )
+    return api_query_hist(pts, spec, (950,), tier=tier, tier_interval="1h")
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2221,6 +2284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_gexp": _q_api_query_gexp,
         "api_query_fallback": _q_api_query_fallback,
         "api_query_linear": _q_api_query_linear,
+        "api_query_hist": _q_api_query_hist,
+        "api_query_hist_tier": _q_api_query_hist_tier,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2294,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_gexp",
         "api_query_fallback",
         "api_query_linear",
+        "api_query_hist",
+        "api_query_hist_tier",
         "api_query_ds_rate",
         "api_query_group_avg",
         "api_query_tier",
@@ -3118,6 +3185,71 @@ def oracle_sql() -> dict[str, str]:
             win AS (SELECT host FROM rk ORDER BY m DESC, host ASC LIMIT 3)
             SELECT g.host, g.w_start, g.value
             FROM g JOIN win USING (host)""",
+        # histogram percentiles: group-merged msb histogram, A15's
+        # integer-ceil rank per requested permille (UNNEST mirrors the
+        # engine's explode), est_max in pure int64 shifts
+        "api_query_hist": f"""{_TAGGED_CTE},
+            h AS (SELECT host,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                         (CASE WHEN value = 0 THEN 0
+                               WHEN value > 0 THEN length(bin(value))
+                               ELSE -1 END)::BIGINT AS bucket,
+                         count(*)::BIGINT AS n
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod')
+                  GROUP BY 1, 2, 3),
+            c AS (SELECT host, w_start, bucket, n,
+                         sum(n) OVER (PARTITION BY host, w_start
+                                      ORDER BY bucket
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+                         sum(n) OVER (PARTITION BY host, w_start) AS total
+                  FROM h),
+            x AS (SELECT c.*, pq.permille
+                  FROM c CROSS JOIN
+                    (SELECT unnest([500, 950, 990]) AS permille) pq)
+            SELECT host, w_start, permille, min(bucket) AS bucket,
+                   (CASE WHEN min(bucket) < 0 THEN -1
+                         WHEN min(bucket) = 0 THEN 0
+                         ELSE ((1::BIGINT << (min(bucket) - 1)) - 1)
+                              + (1::BIGINT << (min(bucket) - 1))
+                    END)::BIGINT AS est_max,
+                   min(total)::BIGINT AS total
+            FROM x WHERE cum >= (total * permille + 999) // 1000
+            GROUP BY 1, 2, 3""",
+        # tier-routed twin, direct from raw at 2h: hash match proves
+        # the 1h hist tier's count re-aggregation loses nothing
+        "api_query_hist_tier": f"""{_TAGGED_CTE},
+            h AS (SELECT host,
+                         CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w_start,
+                         (CASE WHEN value = 0 THEN 0
+                               WHEN value > 0 THEN length(bin(value))
+                               ELSE -1 END)::BIGINT AS bucket,
+                         count(*)::BIGINT AS n
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod')
+                  GROUP BY 1, 2, 3),
+            c AS (SELECT host, w_start, bucket, n,
+                         sum(n) OVER (PARTITION BY host, w_start
+                                      ORDER BY bucket
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum,
+                         sum(n) OVER (PARTITION BY host, w_start) AS total
+                  FROM h),
+            x AS (SELECT c.*, pq.permille
+                  FROM c CROSS JOIN
+                    (SELECT unnest([950]) AS permille) pq)
+            SELECT host, w_start, permille, min(bucket) AS bucket,
+                   (CASE WHEN min(bucket) < 0 THEN -1
+                         WHEN min(bucket) = 0 THEN 0
+                         ELSE ((1::BIGINT << (min(bucket) - 1)) - 1)
+                              + (1::BIGINT << (min(bucket) - 1))
+                    END)::BIGINT AS est_max,
+                   min(total)::BIGINT AS total
+            FROM x WHERE cum >= (total * permille + 999) // 1000
+            GROUP BY 1, 2, 3""",
         # linear fill: identical pure-int64 floor lerp as the engine
         # (pmod-floor: (a - ((a % d + d) % d)) // d), spine buckets
         # outside a series' observed bracket stay NULL and vanish in

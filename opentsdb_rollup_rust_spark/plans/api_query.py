@@ -890,3 +890,221 @@ def api_query_gexp(
         value_col=value_col,
     )
     return gexp_apply(out, _group_tag_keys(spec), funcs)
+
+
+# ---------------------------------------------------------------------------
+# /api/query percentiles[] — histogram metrics (OpenTSDB 2.4)
+# ---------------------------------------------------------------------------
+
+
+def build_tagged_hist_tier(
+    points: DataFrame,
+    interval: str,
+    metric_col: str = "series_id",
+    tags_col: str = "tags",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Materialize the TAGGED histogram tier api_query_hist routes
+    to: per (metric, full tag set, window, msb value bucket) point
+    counts, tags preserved for tag-filter reads — build_tagged_tier's
+    twin over the A14 value-distribution shape. Bucket counts are
+    plain sums, so this tier cascades and factor-window re-aggregates
+    exactly (the property exact per-window percentiles lack)."""
+    from ..operators.rollup import value_bucket
+
+    sec = resolve_interval_seconds(interval)
+    ts_sec = F.unix_timestamp(F.col(ts_col))
+    g = points.select(
+        F.col(metric_col),
+        F.array_sort(F.map_entries(F.col(tags_col))).alias("_ent"),
+        (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
+            "w_start"
+        ),
+        value_bucket(F.col(value_col)).alias("bucket"),
+    ).groupBy(metric_col, "_ent", "w_start", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    return g.select(
+        metric_col,
+        F.map_from_entries("_ent").alias(tags_col),
+        "w_start",
+        "bucket",
+        "n",
+    )
+
+
+def api_query_hist(
+    points: DataFrame,
+    spec: QuerySpec,
+    percentiles: tuple[int, ...],
+    metric_col: str = "series_id",
+    tags_col: str = "tags",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: DataFrame | None = None,
+    tier_interval: str | None = None,
+) -> DataFrame:
+    """/api/query with ``percentiles`` on a histogram metric
+    ([OTSDB-API] 2.4): per (groupBy tag values, downsample bucket),
+    estimate each requested permille from the GROUP-MERGED histogram.
+
+    This is the whole point of histogram metrics: exact per-series
+    percentiles cannot be aggregated across series (p95 of p95s is
+    not p95), but bucket counts sum — so the cross-series "aggregate"
+    IS the histogram merge, and the quantile estimate happens after,
+    per group. Consequently there is no per-series stage at all: ONE
+    shuffle goes straight from filtered points to the group histogram
+    (|groups x buckets x <=64| rows), and the percentile windows run
+    over <=64-row partitions of tier-sized data. ``spec.aggregator``,
+    ``downsample.aggregator`` and ``fill`` are ignored (the histogram
+    IS the aggregation; OpenTSDB renders no fill for histogram
+    queries); ``rate`` is refused.
+
+    ``tier``/``tier_interval``: optional build_tagged_hist_tier
+    output — factor-window count re-aggregation under the same
+    servability rules and rollup_usage policy as api_query's tier
+    route (percentile estimates from a re-aggregated histogram are
+    IDENTICAL, not approximated twice: counts are exact).
+
+    Output: (group tags..., w_start, permille int, bucket, est_max,
+    total) — est_max = 2^bucket - 1, the one-power-of-two bound."""
+    _validate(spec)
+    if spec.rate is not None:
+        raise ValueError("rate is not defined for histogram percentile queries")
+    if not percentiles:
+        raise ValueError("api_query_hist needs at least one permille")
+    for q in percentiles:
+        if not 1 <= int(q) <= 999:
+            raise ValueError(f"permille {q!r} out of (0, 1000)")
+    if spec.time_shift:
+        shifted = replace(
+            spec,
+            start=spec.start - spec.time_shift,
+            end=spec.end - spec.time_shift,
+            time_shift=0,
+        )
+        out = api_query_hist(
+            points,
+            shifted,
+            percentiles,
+            metric_col=metric_col,
+            tags_col=tags_col,
+            ts_col=ts_col,
+            value_col=value_col,
+            tier=tier,
+            tier_interval=tier_interval,
+        )
+        return out.withColumn(
+            "w_start",
+            (F.col("w_start") + F.lit(spec.time_shift)).cast("long"),
+        )
+
+    from ..operators.rollup import value_bucket
+
+    ds = spec.downsample
+    sec = resolve_interval_seconds(ds.interval)
+    tags = F.col(tags_col)
+    group_tags = _group_tag_keys(spec)
+
+    def _tag_pred(metric_expr: Column) -> Column:
+        p = metric_expr
+        for f in spec.filters:
+            p = p & compile_tag_filter(tags, f)
+        if spec.explicit_tags and spec.filters:
+            p = p & explicit_tags_predicate(tags, list(spec.filters))
+        return p
+
+    if tier is not None:
+        tsec = resolve_interval_seconds(tier_interval)
+        unservable = None
+        if sec % tsec != 0:
+            unservable = (
+                f"hist tier {tier_interval!r} cannot serve downsample "
+                f"{ds.interval!r}: interval is not a multiple"
+            )
+        elif spec.start % sec or spec.end % sec:
+            unservable = (
+                "tier-routed queries need a bucket-aligned range: "
+                f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
+            )
+        if unservable is not None:
+            if spec.rollup_usage != "fallback_raw":
+                raise ValueError(f"{unservable} (rollup_usage=nofallback)")
+            tier = None
+
+    if tier is not None:
+        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+            (F.col("w_start") >= F.lit(spec.start))
+            & (F.col("w_start") < F.lit(spec.end))
+        )
+        hist = (
+            tier.where(pred)
+            .select(
+                *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+                (
+                    F.floor(F.col("w_start") / F.lit(sec)).cast("long")
+                    * F.lit(sec)
+                ).alias("w_start"),
+                "bucket",
+                "n",
+            )
+            .groupBy(*group_tags, "w_start", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        ts_sec = F.unix_timestamp(F.col(ts_col))
+        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+            (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
+        )
+        hist = (
+            points.where(pred)
+            .select(
+                *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+                (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
+                    "w_start"
+                ),
+                value_bucket(F.col(value_col)).alias("bucket"),
+            )
+            .groupBy(*group_tags, "w_start", "bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    w_cum = (
+        Window.partitionBy(*group_tags, "w_start")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_tags, "w_start")
+    c = hist.select(
+        *group_tags,
+        "w_start",
+        "bucket",
+        F.sum("n").over(w_cum).alias("_cum"),
+        F.sum("n").over(w_all).alias("_total"),
+    ).withColumn(
+        "permille",
+        F.explode(F.array(*[F.lit(int(q)).cast("int") for q in percentiles])),
+    )
+    # smallest bucket whose cumulative count reaches the integer-ceil
+    # rank — the A15 rule, permille-parameterized
+    thr = F.expr("(_total * permille + 999) DIV 1000")
+    sel = (
+        c.where(F.col("_cum") >= thr)
+        .groupBy(*group_tags, "w_start", "permille")
+        .agg(F.min("bucket").alias("bucket"), F.min("_total").alias("total"))
+    )
+    half = F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)")
+    est_max = (
+        F.when(F.col("bucket") < 0, F.lit(-1).cast("long"))
+        .when(F.col("bucket") == 0, F.lit(0).cast("long"))
+        .otherwise(half - F.lit(1) + half)
+    )
+    return sel.select(
+        *group_tags,
+        "w_start",
+        "permille",
+        "bucket",
+        est_max.alias("est_max"),
+        "total",
+    )

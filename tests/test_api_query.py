@@ -655,3 +655,99 @@ def test_linear_fill_lerps_only_between_observations(spark):
     )
     rows = {r.w_start: r.value for r in api_query(pts, spec).collect()}
     assert rows == {0: 10, 60: 20, 120: 30 + 7, 180: 40 + 9}
+
+
+def test_hist_percentiles_group_merge(spark):
+    """Histogram percentile queries merge bucket counts ACROSS series
+    before estimating: host a has two series (rack r0/r1) whose
+    per-series p950 buckets differ from the merged one — the output
+    must reflect the merge. Hand-computed: values 1,1,1,1 (bucket 1)
+    and 8 (bucket 4) in one 1m window -> total 5, p950 rank
+    ceil(5*950/1000)=5 -> bucket 4, est_max 15; p500 rank 3 ->
+    bucket 1, est_max 1."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_hist
+
+    a0 = {"host": "a", "rack": "r0"}
+    a1 = {"host": "a", "rack": "r1"}
+    pts = _pts(
+        spark,
+        [
+            ("m", 1, 1, a0),
+            ("m", 2, 1, a0),
+            ("m", 3, 1, a1),
+            ("m", 4, 1, a1),
+            ("m", 5, 8, a1),
+        ],
+    )
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=60,
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("1m", "sum"),
+    )
+    out = api_query_hist(pts, spec, (500, 950))
+    rows = {r.permille: (r.bucket, r.est_max, r.total) for r in out.collect()}
+    assert rows == {500: (1, 1, 5), 950: (4, 15, 5)}
+
+
+def test_hist_tier_route_equals_raw(spark):
+    """A 30m histogram tier serving a 1h percentile query is EXACT —
+    counts re-aggregate losslessly, the estimate happens once after
+    the merge — so tier-routed output == raw output, row for row."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        api_query_hist,
+        build_tagged_hist_tier,
+    )
+
+    rows = [
+        ("m", t * 97 % 7200, (t * 13) % 300, HOST_A if t % 3 else HOST_B)
+        for t in range(200)
+    ]
+    pts = _pts(spark, rows)
+    tier = build_tagged_hist_tier(pts, "1800s")
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=7200,
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("1h", "sum"),
+    )
+    raw = api_query_hist(pts, spec, (500, 990)).collect()
+    routed = api_query_hist(
+        pts, spec, (500, 990), tier=tier, tier_interval="1800s"
+    ).collect()
+    key = lambda r: (r.host, r.w_start, r.permille)
+    assert sorted(map(tuple, routed), key=str) == sorted(
+        map(tuple, raw), key=str
+    )
+    # unservable (45m not a multiple of 30m... it is; use 50m) ->
+    # nofallback refuses, fallback_raw matches raw
+    from dataclasses import replace
+
+    bad = replace(spec, downsample=Downsample("3000s", "sum"))
+    with pytest.raises(ValueError, match="multiple"):
+        api_query_hist(pts, bad, (500,), tier=tier, tier_interval="1800s")
+    fb = replace(bad, rollup_usage="fallback_raw")
+    got = api_query_hist(
+        pts, fb, (500,), tier=tier, tier_interval="1800s"
+    ).collect()
+    want = api_query_hist(pts, fb, (500,)).collect()
+    assert sorted(map(tuple, got), key=str) == sorted(map(tuple, want), key=str)
+
+
+def test_hist_validation(spark):
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_hist
+
+    pts = _pts(spark, [("m", 0, 1, HOST_A)])
+    spec = QuerySpec(
+        metric="m", start=0, end=60, downsample=Downsample("1m", "sum")
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        api_query_hist(pts, spec, ())
+    with pytest.raises(ValueError, match="out of"):
+        api_query_hist(pts, spec, (1000,))
+    from dataclasses import replace
+
+    with pytest.raises(ValueError, match="rate"):
+        api_query_hist(pts, replace(spec, rate=RateOptions()), (500,))
