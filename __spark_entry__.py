@@ -1626,8 +1626,9 @@ def _q_api_query_fallback(spark, sf_dir):
 
 
 def _q_api_query_linear(spark, sf_dir):
-    """OpenTSDB's LINEAR downsample fill policy through the composed
-    endpoint: 2h per-series sums, gaps lerped between the bracketing
+    """Linear fill through the composed endpoint — the bucket-level
+    analogue of OpenTSDB's aggregation-time lerp interpolation,
+    exposed as a downsample fill policy: 2h per-series sums, gaps lerped between the bracketing
     observed buckets of the SAME series (pure-int64 floor lerp — the
     J2b gapfill exactness rule, prev + (next-prev)*dt with pmod-floor
     division), spine buckets off a series' observed edges stay null
@@ -1715,6 +1716,60 @@ def _q_api_query_hist_tier(spark, sf_dir):
         downsample=Downsample("7200s", "sum", fill="none"),
     )
     return api_query_hist(pts, spec, (950,), tier=tier, tier_interval="1h")
+
+
+def _q_api_query_json(spark, sf_dir):
+    """The /api/query POST body itself ([OTSDB-API]): a literal JSON
+    request — nested rateOptions (counter + counterMax), a timeShift
+    duration string, filter objects, a '2h-sum-zero' downsample
+    string — parsed by parse_query_json and executed. Pins the
+    parser's field mapping under the driver hash: the oracle computes
+    the day-shifted, zero-filled, counter-wrapped composition direct
+    from raw, so a mis-parsed field (shift dropped, counterMax
+    ignored, fill mis-read) cannot hash-match."""
+    import json
+
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        api_query,
+        parse_query_json,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    body = json.dumps(
+        {
+            "start": start,
+            "end": end,
+            "queries": [
+                {
+                    "metric": "view",
+                    "aggregator": "sum",
+                    "downsample": "2h-sum-zero",
+                    "rate": True,
+                    "rateOptions": {
+                        "counter": True,
+                        "counterMax": 1099511627776,
+                    },
+                    "timeShift": "1d",
+                    "filters": [
+                        {
+                            "type": "iwildcard",
+                            "tagk": "host",
+                            "filter": "WEB*",
+                            "groupBy": True,
+                        },
+                        {
+                            "type": "literal_or",
+                            "tagk": "env",
+                            "filter": "prod",
+                        },
+                    ],
+                }
+            ],
+        }
+    )
+    ((spec, permilles),) = parse_query_json(body)
+    assert permilles == ()
+    return api_query(pts, spec)
 
 
 def _parquet_data_sig(src: str) -> str:
@@ -2286,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_linear": _q_api_query_linear,
         "api_query_hist": _q_api_query_hist,
         "api_query_hist_tier": _q_api_query_hist_tier,
+        "api_query_json": _q_api_query_json,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2361,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_linear",
         "api_query_hist",
         "api_query_hist_tier",
+        "api_query_json",
         "api_query_ds_rate",
         "api_query_group_avg",
         "api_query_tier",
@@ -3185,6 +3242,47 @@ def oracle_sql() -> dict[str, str]:
             win AS (SELECT host FROM rk ORDER BY m DESC, host ASC LIMIT 3)
             SELECT g.host, g.w_start, g.value
             FROM g JOIN win USING (host)""",
+        # the JSON body key: day-shifted (+1d realign), zero-filled 2h
+        # sums per host, counter rate with 2^40 wrap — every parsed
+        # field is load-bearing in this arithmetic
+        "api_query_json": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/7200)*7200 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/7200)*7200 AS BIGINT) AS last_b,
+                           CAST(max(epoch(ts)) + 1 - 86400 AS BIGINT) AS hi_p
+                    FROM tp),
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/7200)*7200 + 86400 AS BIGINT)
+                           AS w_start,
+                         value
+                  FROM tp, rng
+                  WHERE series_id = 'view'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod')
+                    AND epoch(ts) < rng.hi_p),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            sd AS (SELECT DISTINCT host, rack, env FROM ds),
+            spine AS (SELECT sd.host, sd.rack, sd.env, gs.w_start
+                      FROM sd CROSS JOIN (
+                        SELECT unnest(generate_series(first_b, last_b, 7200))
+                               AS w_start FROM rng) gs),
+            filled AS (SELECT spine.host, spine.w_start,
+                              COALESCE(ds.v, 0)::BIGINT AS v
+                       FROM spine LEFT JOIN ds
+                         USING (host, rack, env, w_start)),
+            g AS (SELECT host, w_start, sum(v)::BIGINT AS value
+                  FROM filled GROUP BY 1, 2),
+            r AS (SELECT host, w_start,
+                         value - lag(value) OVER
+                           (PARTITION BY host ORDER BY w_start) AS delta,
+                         w_start - lag(w_start) OVER
+                           (PARTITION BY host ORDER BY w_start) AS dt
+                  FROM g)
+            SELECT host, w_start,
+                   CAST(FLOOR((CASE WHEN delta < 0
+                                    THEN delta + 1099511627776
+                                    ELSE delta END)::DOUBLE
+                              / dt::DOUBLE * 1000000) AS BIGINT) AS value
+            FROM r WHERE delta IS NOT NULL""",
         # histogram percentiles: group-merged msb histogram, A15's
         # integer-ceil rank per requested permille (UNNEST mirrors the
         # engine's explode), est_max in pure int64 shifts

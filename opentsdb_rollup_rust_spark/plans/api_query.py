@@ -84,8 +84,11 @@ def _percentile_permille(agg: str) -> int | None:
 @dataclass(frozen=True)
 class Downsample:
     """``<interval>-<aggregator>-<fill>`` of an OpenTSDB downsample
-    spec. ``fill`` extends the OpenTSDB policy set (none/zero/null)
-    with ffill (this engine's gap-fill forward-fill)."""
+    spec. ``fill`` extends the OpenTSDB FillPolicy set (none/nan/
+    null/zero — nan maps onto null here, NaN falls out of aggregation
+    the way null does) with ffill (this engine's gap-fill forward-
+    fill) and linear (the bucket-level analogue of OpenTSDB's
+    aggregation-time lerp interpolation, expressed as a fill)."""
 
     interval: str
     aggregator: str = "avg"
@@ -1108,3 +1111,147 @@ def api_query_hist(
         est_max.alias("est_max"),
         "total",
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON request parsing — the /api/query POST body ([OTSDB-API])
+# ---------------------------------------------------------------------------
+
+_DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|n|y)$")
+_DUR_SECONDS = {
+    "s": 1,
+    "m": 60,
+    "h": 3600,
+    "d": 86400,
+    "w": 7 * 86400,
+    # OpenTSDB's calendar-ish n (30d month) and y (365d) duration
+    # units are fixed-length in relative timestamps
+    "n": 30 * 86400,
+    "y": 365 * 86400,
+}
+
+
+def parse_duration_seconds(s: str) -> int:
+    """OpenTSDB duration literal -> whole seconds ('1h', '90m',
+    '2d'; 'ms' refused — this is a seconds-resolution engine)."""
+    m = _DUR_RE.match(s.strip())
+    if m is None:
+        raise ValueError(f"bad duration {s!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    if unit == "ms":
+        raise ValueError(f"millisecond duration {s!r}: sub-second "
+                         "downsampling is not supported")
+    return n * _DUR_SECONDS[unit]
+
+
+def _parse_downsample(s: str) -> Downsample:
+    """``<interval>-<aggregator>[-<fill>]`` downsample string. The
+    interval is normalized to the engine's canonical '<N>s' form so
+    any OpenTSDB duration literal works, not just table-named tiers.
+    Fill 'nan' maps to 'null' (NaN falls out of the null-skipping
+    aggregates exactly the way null does)."""
+    parts = s.strip().split("-")
+    if len(parts) not in (2, 3):
+        raise ValueError(f"bad downsample {s!r} (want interval-agg[-fill])")
+    sec = parse_duration_seconds(parts[0])
+    fill = parts[2] if len(parts) == 3 else "none"
+    if fill == "nan":
+        fill = "null"
+    return Downsample(f"{sec}s", parts[1], fill)
+
+
+def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
+    """Parse an /api/query POST body ([OTSDB-API] — the JSON a real
+    OpenTSDB client sends) into engine specs: one (QuerySpec,
+    percentile-permilles) pair per sub-query. Field mapping:
+
+    - top-level ``start``/``end``: epoch seconds (ints). Relative
+      OpenTSDB times ('1h-ago') are client sugar and refused here —
+      resolving 'now' inside the engine would make plans
+      irreproducible.
+    - per sub-query: ``metric``, ``aggregator``, ``filters`` (type/
+      tagk/filter/groupBy — the same four families the engine
+      compiles), ``explicitTags``, ``downsample`` string,
+      ``rate`` + ``rateOptions`` {counter, counterMax, resetValue,
+      dropResets}, ``timeShift`` duration string (accepted as
+      ``timeshift`` too), ``rollupUsage`` (ROLLUP_NOFALLBACK /
+      ROLLUP_FALLBACK_RAW or the engine's short names), and 2.4
+      ``percentiles`` — PERCENT floats (95.0) converted to the
+      engine's integer permilles (950); fractional permilles refused
+      rather than silently rounded.
+
+    Returns specs only — executing (api_query / api_query_hist /
+    api_query_multi) stays the caller's choice."""
+    import json as _json
+
+    if isinstance(doc, (str, bytes)):
+        doc = _json.loads(doc)
+    if not isinstance(doc, dict) or "queries" not in doc:
+        raise ValueError("request body needs top-level 'queries'")
+    for k in ("start", "end"):
+        if not isinstance(doc.get(k), int):
+            raise ValueError(
+                f"{k!r} must be epoch seconds (relative '-ago' times are "
+                "client-side sugar; resolve them before submitting)"
+            )
+    out = []
+    for i, q in enumerate(doc["queries"]):
+        if "metric" not in q:
+            raise ValueError(f"queries[{i}] has no metric")
+        if "downsample" not in q:
+            raise ValueError(
+                f"queries[{i}] has no downsample: this is a windowed "
+                "rollup engine (see QuerySpec)"
+            )
+        filters = tuple(
+            TagFilter(
+                f["type"],
+                f["tagk"],
+                f["filter"],
+                group_by=bool(f.get("groupBy", False)),
+            )
+            for f in q.get("filters", ())
+        )
+        rate = None
+        if q.get("rate", False) or "rateOptions" in q:
+            ro = q.get("rateOptions", {}) or {}
+            rate = RateOptions(
+                counter=bool(ro.get("counter", False)),
+                counter_max=ro.get("counterMax"),
+                reset_value=ro.get("resetValue"),
+                drop_resets=bool(ro.get("dropResets", False)),
+            )
+        shift = q.get("timeShift", q.get("timeshift"))
+        usage = q.get("rollupUsage", "nofallback")
+        usage = {
+            "ROLLUP_NOFALLBACK": "nofallback",
+            "ROLLUP_FALLBACK_RAW": "fallback_raw",
+        }.get(usage, usage)
+        permilles = []
+        for p in q.get("percentiles", ()):
+            pm = float(p) * 10  # percent -> permille
+            if pm != int(pm):
+                raise ValueError(
+                    f"percentile {p!r}: finer than permille resolution"
+                )
+            permilles.append(int(pm))
+        spec = QuerySpec(
+            metric=q["metric"],
+            start=doc["start"],
+            end=doc["end"],
+            aggregator=q.get("aggregator", "sum"),
+            filters=filters,
+            explicit_tags=bool(q.get("explicitTags", False)),
+            downsample=_parse_downsample(q["downsample"]),
+            rate=rate,
+            time_shift=parse_duration_seconds(shift) if shift else 0,
+            rollup_usage=usage,
+        )
+        _validate(spec)
+        if permilles and spec.rate is not None:
+            raise ValueError(
+                f"queries[{i}]: rate is not defined for histogram "
+                "percentile queries"
+            )
+        out.append((spec, tuple(permilles)))
+    return out

@@ -751,3 +751,71 @@ def test_hist_validation(spark):
 
     with pytest.raises(ValueError, match="rate"):
         api_query_hist(pts, replace(spec, rate=RateOptions()), (500,))
+
+
+def test_parse_query_json_field_mapping():
+    from opentsdb_rollup_rust_spark.plans.api_query import parse_query_json
+
+    body = {
+        "start": 0,
+        "end": 7200,
+        "queries": [
+            {
+                "metric": "m",
+                "aggregator": "max",
+                "downsample": "90m-avg-nan",
+                "rate": True,
+                "rateOptions": {"counter": True, "counterMax": 65535,
+                                "resetValue": 100},
+                "timeshift": "3h",
+                "explicitTags": True,
+                "rollupUsage": "ROLLUP_FALLBACK_RAW",
+                "filters": [
+                    {"type": "wildcard", "tagk": "host", "filter": "w*",
+                     "groupBy": True}
+                ],
+            },
+            {"metric": "h", "downsample": "1h-sum",
+             "percentiles": [50.0, 99.9]},
+        ],
+    }
+    (s1, p1), (s2, p2) = parse_query_json(body)
+    assert (s1.aggregator, s1.explicit_tags, s1.rollup_usage) == (
+        "max", True, "fallback_raw")
+    assert s1.downsample.interval == "5400s"
+    assert s1.downsample.aggregator == "avg"
+    assert s1.downsample.fill == "null"  # nan -> null
+    assert s1.time_shift == 10800
+    assert (s1.rate.counter, s1.rate.counter_max, s1.rate.reset_value) == (
+        True, 65535, 100)
+    assert s1.filters[0].group_by and p1 == ()
+    assert p2 == (500, 999) and s2.rate is None
+
+
+def test_parse_query_json_refusals():
+    import pytest as _pytest
+
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        parse_duration_seconds,
+        parse_query_json,
+    )
+
+    with _pytest.raises(ValueError, match="epoch seconds"):
+        parse_query_json({"start": "1h-ago", "end": 0, "queries": []})
+    base = {"start": 0, "end": 60}
+    with _pytest.raises(ValueError, match="no metric"):
+        parse_query_json({**base, "queries": [{"downsample": "1m-sum"}]})
+    with _pytest.raises(ValueError, match="no downsample"):
+        parse_query_json({**base, "queries": [{"metric": "m"}]})
+    with _pytest.raises(ValueError, match="permille"):
+        parse_query_json({**base, "queries": [
+            {"metric": "m", "downsample": "1m-sum", "percentiles": [99.95]}]})
+    with _pytest.raises(ValueError, match="rate is not defined"):
+        parse_query_json({**base, "queries": [
+            {"metric": "m", "downsample": "1m-sum", "rate": True,
+             "percentiles": [95.0]}]})
+    with _pytest.raises(ValueError, match="millisecond"):
+        parse_duration_seconds("500ms")
+    with _pytest.raises(ValueError, match="bad duration"):
+        parse_duration_seconds("1 hour")
+    assert parse_duration_seconds("2w") == 14 * 86400
