@@ -1772,6 +1772,43 @@ def _q_api_query_json(spark, sf_dir):
     return api_query(pts, spec)
 
 
+def _q_api_query_tier_multi(spark, sf_dir):
+    """rollupUsage=ROLLUP_FALLBACK across a tier LIST (the OpenTSDB
+    rollup-table selection rule): 1h and 2h tagged tiers supplied, a
+    3h query's best match (the coarsest, 2h) does not divide 10800 —
+    nofallback would refuse (pytest pins it) — so the FALLBACK policy
+    walks down and serves from the 1h tier, raw never read. Oracle
+    computes direct from raw at 3h: the hash proves the walked-to
+    tier answers exactly."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+        build_tagged_tier,
+    )
+
+    pts, lo, end_raw = _api_spec_range(spark, sf_dir)
+    start = lo // 10800 * 10800
+    end = ((end_raw - 1) // 10800 + 1) * 10800
+    tiers = [
+        (build_tagged_tier(pts, "1h"), "1h"),
+        (build_tagged_tier(pts, "7200s"), "7200s"),
+    ]
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        aggregator="max",
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("10800s", "sum", fill="none"),
+        rollup_usage="fallback",
+    )
+    return api_query(pts, spec, tiers=tiers)
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2342,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_hist": _q_api_query_hist,
         "api_query_hist_tier": _q_api_query_hist_tier,
         "api_query_json": _q_api_query_json,
+        "api_query_tier_multi": _q_api_query_tier_multi,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2418,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_hist",
         "api_query_hist_tier",
         "api_query_json",
+        "api_query_tier_multi",
         "api_query_ds_rate",
         "api_query_group_avg",
         "api_query_tier",
@@ -3242,6 +3281,19 @@ def oracle_sql() -> dict[str, str]:
             win AS (SELECT host FROM rk ORDER BY m DESC, host ASC LIMIT 3)
             SELECT g.host, g.w_start, g.value
             FROM g JOIN win USING (host)""",
+        # ROLLUP_FALLBACK tier walk: direct from raw at 3h — the
+        # fallen-to 1h tier must lose nothing (per-series sums re-add)
+        "api_query_tier_multi": f"""{_TAGGED_CTE},
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/10800)*10800 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4)
+            SELECT host, w_start, max(v)::BIGINT AS value
+            FROM ds GROUP BY 1, 2""",
         # the JSON body key: day-shifted (+1d realign), zero-filled 2h
         # sums per host, counter rate with 2^40 wrap — every parsed
         # field is load-bearing in this arithmetic

@@ -109,15 +109,15 @@ class RateOptions:
     drop_resets: bool = False
 
 
-#: OpenTSDB 2.4 ``rollupUsage`` policies as they apply here.
-#: "nofallback": a supplied tier that cannot serve the spec is a loud
-#: ValueError (nobody silently pays a raw scan they meant to avoid —
-#: ROLLUP_NOFALLBACK). "fallback_raw": an unservable tier route falls
-#: back to the raw point scan (ROLLUP_FALLBACK_RAW). OpenTSDB's
-#: ROLLUP_FALLBACK (try coarser tiers first) collapses onto these:
-#: this API takes ONE tier per call, so there is no "next" tier to
-#: try before raw.
-_ROLLUP_USAGE = ("nofallback", "fallback_raw")
+#: OpenTSDB 2.4 ``rollupUsage`` policies. "nofallback"
+#: (ROLLUP_NOFALLBACK): only the best-match rollup tier (the coarsest
+#: supplied) may serve; if it can't, a loud ValueError — nobody
+#: silently pays a scan they meant to avoid. "fallback"
+#: (ROLLUP_FALLBACK): try the next-best supplied tiers,
+#: coarsest-first; still refuse rather than touch raw. "fallback_raw"
+#: (ROLLUP_FALLBACK_RAW): after the tiers, the raw point scan is an
+#: explicit opt-in.
+_ROLLUP_USAGE = ("nofallback", "fallback", "fallback_raw")
 
 
 @dataclass(frozen=True)
@@ -306,6 +306,46 @@ def _tier_ds_agg_expr(agg: str) -> Column:
     return F.expr(f"(sum(sum) * {Q_SCALE}) DIV sum(count)")
 
 
+def select_rollup_tier(
+    tier_secs: list[int],
+    sec: int,
+    rollup_usage: str,
+    spec_reason: str | None = None,
+) -> int | None:
+    """Pick which supplied rollup tier serves a downsample of ``sec``
+    seconds under a rollupUsage policy — the OpenTSDB rollup-table
+    selection rule, factored out so both endpoints (and tests) share
+    it. ``tier_secs``: interval seconds of each supplied tier (any
+    order). ``spec_reason``: a tier-independent unservability reason
+    (non-decomposable aggregator, unaligned range) — when set, no
+    tier can serve regardless of interval.
+
+    Returns the INDEX of the chosen tier (the coarsest whose interval
+    divides the downsample — fewest rows per bucket wins), or None
+    for the raw path (fallback_raw only). Raises ValueError when the
+    policy forbids what's left: nofallback considers ONLY the
+    best-match (coarsest) tier; fallback tries every supplied tier
+    but never raw."""
+    if rollup_usage not in _ROLLUP_USAGE:
+        raise ValueError(f"unknown rollup_usage {rollup_usage!r}")
+    order = sorted(range(len(tier_secs)), key=lambda i: -tier_secs[i])
+    if spec_reason is None:
+        pool = order[:1] if rollup_usage == "nofallback" else order
+        for i in pool:
+            if tier_secs[i] and sec % tier_secs[i] == 0:
+                return i
+        reason = (
+            f"tier intervals {sorted(tier_secs, reverse=True)}s cannot "
+            f"serve downsample {sec}s: interval is not a multiple"
+            + (" of the best match" if rollup_usage == "nofallback" else "")
+        )
+    else:
+        reason = spec_reason
+    if rollup_usage == "fallback_raw":
+        return None
+    raise ValueError(f"{reason} (rollup_usage={rollup_usage})")
+
+
 def api_query(
     points: DataFrame,
     spec: QuerySpec,
@@ -315,6 +355,7 @@ def api_query(
     value_col: str = "value",
     tier: DataFrame | None = None,
     tier_interval: str | None = None,
+    tiers: list[tuple[DataFrame, str]] | None = None,
 ) -> DataFrame:
     """Execute ``spec`` over a tagged point stream.
 
@@ -367,6 +408,7 @@ def api_query(
             value_col=value_col,
             tier=tier,
             tier_interval=tier_interval,
+            tiers=tiers,
         )
         return out.withColumn(
             "w_start",
@@ -385,32 +427,36 @@ def api_query(
             p = p & explicit_tags_predicate(tags, list(spec.filters))
         return p
 
+    if tier is not None and tiers:
+        raise ValueError("pass either tier/tier_interval or tiers, not both")
     if tier is not None:
-        tsec = resolve_interval_seconds(tier_interval)
-        unservable = None
-        if sec % tsec != 0:
-            unservable = (
-                f"tier {tier_interval!r} cannot serve downsample "
-                f"{ds.interval!r}: interval is not a multiple"
-            )
-        elif ds.aggregator not in _TIER_ROUTABLE:
-            unservable = (
+        tiers = [(tier, tier_interval)]
+    tier = None
+    if tiers:
+        # rollupUsage ([OTSDB-ROLLUP] 2.4): under the default
+        # nofallback a silently-paid raw scan is exactly the 100 TB
+        # surprise the refusal exists to prevent; fallback walks the
+        # supplied tiers coarsest-first; fallback_raw makes the raw
+        # path an EXPLICIT opt-in.
+        spec_reason = None
+        if ds.aggregator not in _TIER_ROUTABLE:
+            spec_reason = (
                 f"downsample aggregator {ds.aggregator!r} is not "
                 "answerable from a sum/count/min/max tier"
             )
         elif spec.start % sec or spec.end % sec:
-            unservable = (
+            spec_reason = (
                 "tier-routed queries need a bucket-aligned range: "
                 f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
             )
-        if unservable is not None:
-            # rollupUsage ([OTSDB-ROLLUP] 2.4): under the default
-            # nofallback a silently-paid raw scan is exactly the
-            # 100 TB surprise this refusal exists to prevent;
-            # fallback_raw makes the raw path an EXPLICIT opt-in.
-            if spec.rollup_usage != "fallback_raw":
-                raise ValueError(f"{unservable} (rollup_usage=nofallback)")
-            tier = None
+        chosen = select_rollup_tier(
+            [resolve_interval_seconds(iv) for _, iv in tiers],
+            sec,
+            spec.rollup_usage,
+            spec_reason,
+        )
+        if chosen is not None:
+            tier = tiers[chosen][0]
 
     if tier is not None:
         # --- 1+2 on tier rows: every tier window inside an aligned
@@ -947,6 +993,7 @@ def api_query_hist(
     value_col: str = "value",
     tier: DataFrame | None = None,
     tier_interval: str | None = None,
+    tiers: list[tuple[DataFrame, str]] | None = None,
 ) -> DataFrame:
     """/api/query with ``percentiles`` on a histogram metric
     ([OTSDB-API] 2.4): per (groupBy tag values, downsample bucket),
@@ -997,6 +1044,7 @@ def api_query_hist(
             value_col=value_col,
             tier=tier,
             tier_interval=tier_interval,
+            tiers=tiers,
         )
         return out.withColumn(
             "w_start",
@@ -1018,23 +1066,26 @@ def api_query_hist(
             p = p & explicit_tags_predicate(tags, list(spec.filters))
         return p
 
+    if tier is not None and tiers:
+        raise ValueError("pass either tier/tier_interval or tiers, not both")
     if tier is not None:
-        tsec = resolve_interval_seconds(tier_interval)
-        unservable = None
-        if sec % tsec != 0:
-            unservable = (
-                f"hist tier {tier_interval!r} cannot serve downsample "
-                f"{ds.interval!r}: interval is not a multiple"
-            )
-        elif spec.start % sec or spec.end % sec:
-            unservable = (
+        tiers = [(tier, tier_interval)]
+    tier = None
+    if tiers:
+        spec_reason = None
+        if spec.start % sec or spec.end % sec:
+            spec_reason = (
                 "tier-routed queries need a bucket-aligned range: "
                 f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
             )
-        if unservable is not None:
-            if spec.rollup_usage != "fallback_raw":
-                raise ValueError(f"{unservable} (rollup_usage=nofallback)")
-            tier = None
+        chosen = select_rollup_tier(
+            [resolve_interval_seconds(iv) for _, iv in tiers],
+            sec,
+            spec.rollup_usage,
+            spec_reason,
+        )
+        if chosen is not None:
+            tier = tiers[chosen][0]
 
     if tier is not None:
         pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
@@ -1225,6 +1276,7 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
         usage = q.get("rollupUsage", "nofallback")
         usage = {
             "ROLLUP_NOFALLBACK": "nofallback",
+            "ROLLUP_FALLBACK": "fallback",
             "ROLLUP_FALLBACK_RAW": "fallback_raw",
         }.get(usage, usage)
         permilles = []

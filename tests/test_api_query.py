@@ -525,7 +525,7 @@ def test_time_shift_validation(spark):
     with pytest.raises(ValueError, match=">= 0"):
         api_query(pts, QuerySpec(**base, time_shift=-60))
     with pytest.raises(ValueError, match="rollup_usage"):
-        api_query(pts, QuerySpec(**base, rollup_usage="fallback"))
+        api_query(pts, QuerySpec(**base, rollup_usage="ROLLUP_RAW"))
 
 
 def test_rollup_usage_fallback_runs_raw(spark):
@@ -819,3 +819,64 @@ def test_parse_query_json_refusals():
     with _pytest.raises(ValueError, match="bad duration"):
         parse_duration_seconds("1 hour")
     assert parse_duration_seconds("2w") == 14 * 86400
+
+
+def test_multi_tier_selection_policies(spark):
+    """OpenTSDB rollup-table selection: with 1h + 2h tiers supplied, a
+    4h query routes to the COARSEST divisor (2h — fewest rows per
+    bucket); a 3h query's best match (2h) doesn't divide, so
+    nofallback refuses, fallback walks down to the 1h tier, and both
+    routes equal the raw answer."""
+    from dataclasses import replace
+
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        api_query,
+        build_tagged_tier,
+        select_rollup_tier,
+    )
+
+    # selection rule unit-pinned (index into the supplied list)
+    assert select_rollup_tier([3600, 7200], 14400, "nofallback") == 1
+    assert select_rollup_tier([3600, 7200], 10800, "fallback") == 0
+    assert select_rollup_tier([3600, 7200], 10800, "fallback_raw") == 0
+    assert select_rollup_tier([7200], 10800, "fallback_raw") is None
+    with pytest.raises(ValueError, match="best match"):
+        select_rollup_tier([3600, 7200], 10800, "nofallback")
+    with pytest.raises(ValueError, match="not a multiple"):
+        select_rollup_tier([7200, 9000], 10800, "fallback")
+
+    rows = [
+        ("m", t * 131 % 14400, (t * 17) % 500, HOST_A if t % 3 else HOST_B)
+        for t in range(300)
+    ]
+    pts = _pts(spark, rows)
+    tiers = [
+        (build_tagged_tier(pts, "1h"), "1h"),
+        (build_tagged_tier(pts, "7200s"), "7200s"),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=14400,
+        aggregator="sum",
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("14400s", "sum"),
+    )
+    want = {tuple(r) for r in api_query(pts, spec).collect()}
+    got = {tuple(r) for r in api_query(pts, spec, tiers=tiers).collect()}
+    assert got == want
+    # 3h: best match 2h can't serve — nofallback refuses, fallback
+    # lands on the 1h tier and still equals raw
+    spec3 = replace(spec, downsample=Downsample("10800s", "sum"), end=21600)
+    with pytest.raises(ValueError, match="best match"):
+        api_query(pts, spec3, tiers=tiers)
+    got3 = {
+        tuple(r)
+        for r in api_query(
+            pts, replace(spec3, rollup_usage="fallback"), tiers=tiers
+        ).collect()
+    }
+    want3 = {tuple(r) for r in api_query(pts, spec3).collect()}
+    assert got3 == want3
+    with pytest.raises(ValueError, match="not both"):
+        api_query(pts, spec, tier=tiers[0][0], tier_interval="1h", tiers=tiers)
