@@ -2438,12 +2438,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05), then every other key ordered OLDEST driver
     # evidence first (r1 keys, then r2, then r3 — the r4-green keys
     # rotate out; all keys are additionally re-verified locally each
-    # round via scripts/check_oracle.py). Thirteen r3-evidence keys
-    # don't fit the 50 slots and are front-of-line for r06: rollup_fused,
-    # tok_topk, win_delta, win_moving, win_rank, win_rate, win_topk,
-    # and (displaced by this round's nine new api_query keys)
-    # join_equi, join_range, join_semi, join_anti, join_broadcast,
-    # gapfill_zero.
+    # round via scripts/check_oracle.py). The r3-evidence keys that
+    # no longer fit the 50 slots are front-of-line for r06:
+    # rollup_fused, tok_topk, win_delta, win_moving, win_rank,
+    # win_rate, win_topk, and (displaced by this round's fourteen new
+    # api_query keys) derive_points, filter_range, filter_retention,
+    # filter_series, gapfill_ffill, gapfill_zero, join_anti,
+    # join_broadcast, join_equi, join_range, join_semi.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
