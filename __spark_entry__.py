@@ -2458,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_hist_tier",
         "api_query_json",
         "api_query_tier_multi",
+        "pipeline_build",
         "api_query_ds_rate",
         "api_query_group_avg",
         "api_query_tier",

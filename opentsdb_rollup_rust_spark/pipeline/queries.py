@@ -448,6 +448,57 @@ def q_text_repetition(spark, sf_dir):
     return repetition_profile(_docs(spark, sf_dir))
 
 
+def q_pipeline_build(spark, sf_dir):
+    """The FULL corpus-build composition — the pipeline-side analogue
+    of the api_query endpoint (unit-green stages miss composition
+    bugs; a corpus build is where they bite):
+
+      exact dedup keep-first  ->  decontaminate vs the held-out eval
+      slice (drop docs sharing >= half their shingles)  ->  quality
+      gate  ->  deterministic split assignment  ->
+      per (split, source, predicted language) doc + token totals.
+
+    Stage order is load-bearing: dedup BEFORE decontamination (or a
+    contaminated text survives through an uncontaminated duplicate
+    id), decontamination BEFORE the quality gate (contamination is
+    not a quality question), split LAST (so leakage cannot re-enter
+    through a split-then-clean ordering bug). The oracle recomputes
+    all five stages from the raw table, so the hash pins each
+    boundary AND the order."""
+    from .dedup import decontaminate
+    from .sampling import split_assign
+    from .text import lang_id, quality_features, token_counts
+
+    d = _docs(spark, sf_dir)
+    panel = F.col("doc_id") % 37 == 0
+    ev, tr = d.where(panel), d.where(~panel)
+    keepers = (
+        tr.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    tr = tr.join(keepers, "doc_id", "left_semi")
+    contaminated = (
+        decontaminate(tr, ev)
+        .where(F.col("share_ppm") >= 500_000)
+        .select("doc_id")
+    )
+    tr = tr.join(contaminated, "doc_id", "left_anti")
+    qf = quality_features(F.col("text"))
+    tc = token_counts(F.col("text"))
+    prof = tr.select(
+        "doc_id",
+        "source",
+        lang_id(F.col("text")).alias("pred_lang"),
+        qf["quality_q"].alias("quality_q"),
+        tc["n_ws_tokens"].alias("n_ws_tokens"),
+    ).where(F.col("quality_q") >= 450_000)
+    return split_assign(prof).groupBy("split", "source", "pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").alias("total_tokens"),
+    )
+
+
 PIPELINE_QUERIES = {
     "text_tokens": q_text_tokens,
     "text_repetition": q_text_repetition,
@@ -470,6 +521,7 @@ PIPELINE_QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_recall": q_ann_recall,
     "pipeline_clean": q_pipeline_clean,
+    "pipeline_build": q_pipeline_build,
     "mm_features": q_mm_features,
     "pack_concat": q_pack_concat,
     "pack_greedy": q_pack_greedy,
@@ -1007,6 +1059,64 @@ def _mixture_oracle_sql() -> str:
                sum(copy_idx)::BIGINT AS copy_idx_sum
         FROM e GROUP BY 1"""
 
+
+PIPELINE_ORACLE_SQL["pipeline_build"] = f"""WITH {_D},
+    ev AS (SELECT text FROM d WHERE doc_id % 37 = 0),
+    tr0 AS (SELECT * FROM d WHERE doc_id % 37 <> 0),
+    keep AS (SELECT min(doc_id) AS doc_id FROM tr0 GROUP BY md5(text)),
+    tr1 AS (SELECT t.* FROM tr0 t JOIN keep USING (doc_id)),
+    ta AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w)-2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END) AS sa
+           FROM (SELECT doc_id, {_WORDS} AS w FROM tr1)),
+    te AS (SELECT doc_id, len(sa)::BIGINT AS ns, unnest(sa) AS shingle
+           FROM ta),
+    es AS (SELECT DISTINCT unnest(list_distinct(
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(generate_series(1, len(w)-2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [array_to_string(w, ' ')] END)) AS shingle
+           FROM (SELECT {_WORDS} AS w FROM ev)),
+    cont AS (SELECT doc_id
+             FROM (SELECT doc_id, min(ns) AS ns, count(*) AS c
+                   FROM te JOIN es USING (shingle) GROUP BY 1)
+             WHERE c * 1000000 // ns >= 500000),
+    tr2 AS (SELECT * FROM tr1 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+    t AS (SELECT doc_id, source, {_WORDS} AS w,
+                 length(text)::BIGINT AS n_chars2,
+                 length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::BIGINT AS n_punct
+          FROM tr2),
+    sc AS (SELECT doc_id, source, w, n_punct, n_chars2,
+                  len(w)::BIGINT AS n_words, len(w)::BIGINT AS n_ws_tokens,
+                  {_lang_hits('en')} AS s_en, {_lang_hits('de')} AS s_de,
+                  {_lang_hits('fr')} AS s_fr, {_lang_hits('es')} AS s_es,
+                  len(list_filter(w, x -> list_contains({_STOPS_EN}, x)))::BIGINT AS hits
+           FROM t),
+    prof AS (SELECT doc_id, source,
+                    CASE WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+                         WHEN s_de >= greatest(s_en, s_fr, s_es, 1) THEN 'de'
+                         WHEN s_fr >= greatest(s_en, s_de, s_es, 1) THEN 'fr'
+                         WHEN s_es >= greatest(s_en, s_de, s_fr, 1) THEN 'es'
+                         ELSE 'und' END AS pred_lang,
+                    CAST(FLOOR((0.4 * (hits::DOUBLE / n_words::DOUBLE)
+                              + 0.3 * least(n_words::DOUBLE / 100.0, 1.0)
+                              + 0.3 * (1.0 - n_punct::DOUBLE / n_chars2::DOUBLE))
+                               * 1000000) AS BIGINT) AS quality_q,
+                    n_ws_tokens
+             FROM sc),
+    sp AS (SELECT source, pred_lang, n_ws_tokens,
+                  ('0x' || substr(md5('split:v1:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                    AS bucket
+           FROM prof WHERE quality_q >= 450000)
+    SELECT CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           source, pred_lang, count(*)::BIGINT AS n_docs,
+           sum(n_ws_tokens)::BIGINT AS total_tokens
+    FROM sp GROUP BY 1, 2, 3"""
 
 PIPELINE_ORACLE_SQL["sample_mixture"] = _mixture_oracle_sql()
 PIPELINE_ORACLE_SQL["dedup_components_star"] = PIPELINE_ORACLE_SQL["dedup_components"]

@@ -713,3 +713,58 @@ def test_shard_order_layout_properties(spark):
         and abs(rows[i][1] - rows[i - 1][1]) == 1
     )
     assert adjacent < 10
+
+
+def test_pipeline_build_stage_order(spark):
+    """The corpus-build composition's stage ORDER is observable:
+    dedup keeps the LOWEST doc_id of an identical-text pair, so when
+    that survivor is contamination-free but the dropped twin's id
+    lands in the eval slice... the sharper corner is a contaminated
+    text present twice in train — dedup first leaves ONE copy for the
+    decontaminator to drop; decontam-then-dedup would also drop both
+    copies here, but a split-then-clean bug is caught by split being
+    a pure projection of the SURVIVING doc_id set. This test builds a
+    tiny corpus with (a) an exact duplicate pair, (b) a doc sharing
+    all its shingles with the eval doc, (c) a clean doc, and pins the
+    surviving id set end to end."""
+    from opentsdb_rollup_rust_spark.pipeline.dedup import decontaminate
+    from opentsdb_rollup_rust_spark.pipeline.sampling import split_assign
+
+    rows = [
+        # eval doc (doc_id % 37 == 0)
+        (0, "alpha beta gamma delta epsilon", "en", "web"),
+        # contaminated: shares every 3-shingle with the eval doc
+        (2, "alpha beta gamma delta epsilon", "en", "web"),
+        # exact duplicate pair: keep-first keeps 3, drops 40
+        (3, "one two three four five six seven", "en", "web"),
+        (40, "one two three four five six seven", "en", "web"),
+        # clean
+        (5, "totally different words entirely here now", "en", "cc"),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    panel = F.col("doc_id") % 37 == 0
+    ev, tr = d.where(panel), d.where(~panel)
+    keepers = (
+        tr.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    tr1 = tr.join(keepers, "doc_id", "left_semi")
+    assert sorted(r.doc_id for r in tr1.select("doc_id").collect()) == [2, 3, 5]
+    contaminated = (
+        decontaminate(tr1, ev)
+        .where(F.col("share_ppm") >= 500_000)
+        .select("doc_id")
+    )
+    assert [r.doc_id for r in contaminated.collect()] == [2]
+    tr2 = tr1.join(contaminated, "doc_id", "left_anti")
+    survivors = sorted(r.doc_id for r in tr2.select("doc_id").collect())
+    assert survivors == [3, 5]
+    # split is a pure projection of the surviving set — no survivor
+    # gains or loses membership, every survivor gets exactly one label
+    sp = split_assign(tr2)
+    got = {(r.doc_id, r.split) for r in sp.select("doc_id", "split").collect()}
+    assert sorted(x[0] for x in got) == survivors
+    assert all(s in ("train", "val", "test") for _, s in got)
