@@ -37,10 +37,14 @@ reuses iff its own lead/trail are >= the carried window of i-1.
 Everything below is numpy array code over whole chunks (<= 4096
 points): no per-row Python in the encode path (BASELINE.json:15). The
 bit-packer builds a bit array with the concat-arange trick and
-np.packbits. Decode (mapInPandas read path + roundtrip tests) is a
+np.packbits. Decode comes in two equivalent readers: a scalar
 per-point loop with O(1) field reads over precomputed 64-bit sliding
-windows, and finishes vectorized as soon as the remaining stream is
-all zero codes (regular timestamps / repeated values).
+windows (decode_chunk_arrays — the reference), and the LANE-PARALLEL
+batch reader used on the Spark read path (decode_chunk_lanes — one
+numpy lane per chunk, every loop iteration advances all active chunks
+by one point; 5-8x the scalar reader at Arrow-batch widths). Both
+finish a chunk vectorized as soon as its remaining stream is all zero
+codes (regular timestamps / repeated values).
 """
 
 from __future__ import annotations
@@ -317,6 +321,339 @@ def decode_chunk_arrays(
     return ts_arr, words
 
 
+# ------------------------------------------------- lane-parallel decode (C2)
+#
+# decode_chunk_arrays above is inherently serial WITHIN a chunk (every
+# field's bit position depends on the decoded content before it), but a
+# pandas batch on the read path carries ~ARROW_BATCH_WIDE chunks — so
+# the batch decodes LANE-parallel instead: one numpy lane per chunk,
+# each loop iteration advancing every still-active lane by one point.
+# Per-iteration cost is a fixed ~40 numpy dispatches on |active|-wide
+# vectors, so wide batches amortize to 5-6x the scalar reader on
+# worst-case (every-point-slow-path) chunks and ~8x on repeated-value
+# chunks (measured: tests/test_gorilla.py::test_lane_throughput_floor).
+# When the active width decays below _MIN_LANES (heterogeneous chunk
+# sizes), the survivors hand off to scalar python-int continuations —
+# numpy dispatch on near-empty vectors loses to python arithmetic.
+
+_BYTE_LAST1 = np.full(256, -1, dtype=np.int64)
+for _v in range(1, 256):
+    _BYTE_LAST1[_v] = 7 - ((_v & -_v).bit_length() - 1)
+
+# ts field class from the top 4 bits of the 36-bit window (= number of
+# leading ones); per-class shift/mask/xor/sub decode the dod in 4 ops
+_T_CLS = np.array(
+    [4 if v == 15 else 3 if v >= 14 else 2 if v >= 12 else 1 if v >= 8
+     else 0 for v in range(16)],
+    dtype=np.int64,
+)
+_T_SH = np.array([35, 27, 24, 20, 0], dtype=np.int64)
+_T_MASK = np.array([0, 0x7F, 0x1FF, 0xFFF, 0xFFFFFFFF], dtype=np.int64)
+_T_XOR = np.array([0, 0, 0, 0, 0x80000000], dtype=np.int64)
+_T_SUB = np.array([0, 63, 255, 2047, 0x80000000], dtype=np.int64)
+_T_LEN = np.array([1, 9, 12, 16, 36], dtype=np.int64)
+
+_MIN_LANES = 12
+_M64 = (1 << 64) - 1
+
+
+def _bitlen_f(x64: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 via frexp on a hi/lo
+    split that keeps every float64 conversion exact (<2^32)."""
+    hi = (x64 >> U64(32)).astype(np.float64)
+    lo = (x64 & U64(0xFFFFFFFF)).astype(np.float64)
+    ehi = np.frexp(hi)[1]
+    elo = np.frexp(lo)[1]
+    return np.where(ehi > 0, ehi + 32, elo).astype(np.int64)
+
+
+def _lane_words(blobs: list) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-lane big-endian aligned 64-bit words (flattened) + per-lane
+    last-set-bit position + words-per-lane stride. The 64-bit window at
+    bit p in lane j is two flat gathers (see _lane_fetch) — the 2D twin
+    of _sliding_windows without per-fetch byte assembly."""
+    L = len(blobs)
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=L)
+    maxlen = int(lens.max()) if L else 0
+    width = ((maxlen + 16) + 7) & ~7  # pad: window overruns stay in-lane
+    B = np.zeros((L, width), dtype=np.uint8)
+    for j, b in enumerate(blobs):
+        if b:
+            B[j, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    W2 = B.view(">u8").astype(U64)  # one byteswap pass, aligned words
+    # last set bit, found on the 8x-smaller word matrix: last nonzero
+    # word, then 63 - ctz within it
+    nzw = W2 != 0
+    any_nz = nzw.any(axis=1)
+    nwords = W2.shape[1]
+    lastw = nwords - 1 - np.argmax(nzw[:, ::-1], axis=1)
+    lw = np.where(any_nz, lastw, 0)
+    wv = W2[np.arange(L), lw]
+    lsb = wv & (~wv + U64(1))
+    last1 = np.where(any_nz, lastw * 64 + 64 - _bitlen_f(lsb), -1)
+    return W2.ravel(), last1, nwords
+
+
+def _lane_fetch(
+    W: np.ndarray, base: np.ndarray, pos: np.ndarray
+) -> np.ndarray:
+    """64-bit MSB-first window at byte offset pos>>3 per lane: combine
+    the two aligned words that straddle it."""
+    a = base + (pos >> 6)
+    k = (((pos >> 3) & 7) << 3).astype(U64)
+    return (W[a] << k) | (W[a + 1] >> U64(1) >> (U64(63) - k))
+
+
+def _win(w: list, pos: int) -> int:
+    """Python-int twin of _lane_fetch for the residual scalar path."""
+    b = pos >> 6
+    k = ((pos >> 3) & 7) << 3
+    hi = (w[b] << k) & _M64
+    return hi | (w[b + 1] >> (64 - k)) if k else w[b]
+
+
+def _ts_resume(w, pos, last1, i, n, prev, delta, out, ob) -> None:
+    """Scalar continuation of one lane's timestamp decode (same field
+    grammar as decode_chunk_arrays, resumable mid-stream)."""
+    while i < n:
+        if pos > last1:
+            out[ob + i : ob + n] = prev + delta * np.arange(
+                1, n - i + 1, dtype=np.int64
+            )
+            return
+        f = (_win(w, pos) >> (28 - (pos & 7))) & 0xFFFFFFFFF
+        if not (f >> 35):
+            dod = 0
+            pos += 1
+        elif not ((f >> 34) & 1):
+            dod = ((f >> 27) & 0x7F) - 63
+            pos += 9
+        elif not ((f >> 33) & 1):
+            dod = ((f >> 24) & 0x1FF) - 255
+            pos += 12
+        elif not ((f >> 32) & 1):
+            dod = ((f >> 20) & 0xFFF) - 2047
+            pos += 16
+        else:
+            raw = f & 0xFFFFFFFF
+            dod = raw - (1 << 32) if raw >= (1 << 31) else raw
+            pos += 36
+        delta += dod
+        prev += delta
+        out[ob + i] = prev
+        i += 1
+
+
+def _val_resume(w, pos, last1, i, n, prev, wlead, wtrail, out, ob) -> None:
+    """Scalar continuation of one lane's value decode."""
+    while i < n:
+        if pos > last1:
+            out[ob + i : ob + n] = prev
+            return
+        hdr = (_win(w, pos) >> (51 - (pos & 7))) & 0x1FFF
+        if not (hdr >> 12):
+            out[ob + i] = prev
+            pos += 1
+            i += 1
+            continue
+        if not ((hdr >> 11) & 1):
+            mlen = 64 - wlead - wtrail
+            trail = wtrail
+            pos += 2
+        else:
+            wlead = (hdr >> 6) & 0x1F
+            mlen = (hdr & 0x3F) + 1
+            trail = 64 - wlead - mlen
+            pos += 13
+        if mlen <= 56:
+            bits = (_win(w, pos) >> (64 - (pos & 7) - mlen)) & (
+                (1 << mlen) - 1
+            )
+        else:
+            hi_n = mlen - 32
+            hi = (_win(w, pos) >> (64 - (pos & 7) - hi_n)) & (
+                (1 << hi_n) - 1
+            )
+            p2 = pos + hi_n
+            bits = (hi << 32) | (
+                (_win(w, p2) >> (32 - (p2 & 7))) & 0xFFFFFFFF
+            )
+        pos += mlen
+        xor = bits << trail
+        prev ^= xor
+        out[ob + i] = prev
+        wlead = min(64 - xor.bit_length(), 31)
+        wtrail = (xor & -xor).bit_length() - 1
+        i += 1
+
+
+def decode_chunk_lanes(
+    ts_blobs: list, val_blobs: list, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY chunks at once, one numpy lane per chunk.
+
+    Returns (ts_units int64, words uint64) as FLAT arrays, row-major in
+    input order (chunk 0's ns[0] points, then chunk 1's, ...). Exactly
+    equivalent to decode_chunk_arrays per chunk (differential-tested,
+    tests/test_gorilla.py::test_lane_matches_scalar_property).
+    """
+    L = len(ns)
+    ns = np.asarray(ns, dtype=np.int64)
+    if L == 0:
+        return np.empty(0, np.int64), np.empty(0, U64)
+    max_n = int(ns.max())
+    obase_all = np.concatenate([[0], np.cumsum(ns)[:-1]])
+
+    # ---------------- timestamps
+    W, last1_all, stride = _lane_words(ts_blobs)
+    out_ts = np.zeros(int(ns.sum()), dtype=np.int64)
+    w0 = _lane_fetch(W, np.arange(L) * stride, np.zeros(L, dtype=np.int64))
+    delta0 = ((w0 >> U64(50)) & U64(0x3FFF)).astype(np.int64)
+    out_ts[obase_all] = delta0
+
+    live = ns > 1
+    delta = delta0[live]
+    prev = delta.copy()
+    base = np.flatnonzero(live) * stride
+    obase = obase_all[live]
+    n_a = ns[live]
+    last1 = last1_all[live]
+    pos = np.full(len(delta), 14, dtype=np.int64)
+    i = 1
+    while len(pos):
+        tail = pos > last1
+        if tail.any():
+            # remaining codes in these lanes are all 1-bit dod==0 —
+            # finish each with one vectorized arithmetic fill
+            for t in np.flatnonzero(tail):
+                nj = int(n_a[t])
+                out_ts[obase[t] + i : obase[t] + nj] = prev[t] + delta[
+                    t
+                ] * np.arange(1, nj - i + 1, dtype=np.int64)
+            keep = ~tail
+            delta, prev, base, obase = (
+                delta[keep], prev[keep], base[keep], obase[keep],
+            )
+            n_a, last1, pos = n_a[keep], last1[keep], pos[keep]
+            if not len(pos):
+                break
+        if len(pos) < _MIN_LANES:
+            for t in range(len(pos)):
+                w = W[base[t] : base[t] + stride].tolist()
+                _ts_resume(
+                    w, int(pos[t]), int(last1[t]), i, int(n_a[t]),
+                    int(prev[t]), int(delta[t]), out_ts, int(obase[t]),
+                )
+            break
+        f = (
+            (_lane_fetch(W, base, pos) >> (U64(28) - (pos & 7).astype(U64)))
+            & U64(0xFFFFFFFFF)
+        ).astype(np.int64)
+        c = _T_CLS[f >> 32]
+        dod = (((f >> _T_SH[c]) & _T_MASK[c]) ^ _T_XOR[c]) - _T_SUB[c]
+        delta += dod
+        prev += delta
+        out_ts[obase + i] = prev
+        pos += _T_LEN[c]
+        i += 1
+        if i < max_n:
+            keep = n_a > i
+            if not keep.all():
+                delta, prev, base, obase = (
+                    delta[keep], prev[keep], base[keep], obase[keep],
+                )
+                n_a, last1, pos = n_a[keep], last1[keep], pos[keep]
+        else:
+            break
+
+    # ---------------- values
+    W, last1_all, stride = _lane_words(val_blobs)
+    out_w = np.zeros(int(ns.sum()), dtype=U64)
+    prev0 = _lane_fetch(W, np.arange(L) * stride, np.zeros(L, dtype=np.int64))
+    out_w[obase_all] = prev0
+
+    live = ns > 1
+    prevw = prev0[live].copy()
+    base = np.flatnonzero(live) * stride
+    obase = obase_all[live]
+    n_a = ns[live]
+    last1 = last1_all[live]
+    pos = np.full(len(prevw), 64, dtype=np.int64)
+    wlead = np.zeros(len(prevw), dtype=np.int64)
+    wtrail = np.zeros(len(prevw), dtype=np.int64)
+    i = 1
+    while len(pos):
+        tail = pos > last1
+        if tail.any():
+            for t in np.flatnonzero(tail):
+                out_w[obase[t] + i : obase[t] + int(n_a[t])] = prevw[t]
+            keep = ~tail
+            prevw, base, obase = prevw[keep], base[keep], obase[keep]
+            n_a, last1, pos = n_a[keep], last1[keep], pos[keep]
+            wlead, wtrail = wlead[keep], wtrail[keep]
+            if not len(pos):
+                break
+        if len(pos) < _MIN_LANES:
+            for t in range(len(pos)):
+                w = W[base[t] : base[t] + stride].tolist()
+                _val_resume(
+                    w, int(pos[t]), int(last1[t]), i, int(n_a[t]),
+                    int(prevw[t]), int(wlead[t]), int(wtrail[t]),
+                    out_w, int(obase[t]),
+                )
+            break
+        hdr = (
+            (_lane_fetch(W, base, pos) >> (U64(51) - (pos & 7).astype(U64)))
+            & U64(0x1FFF)
+        ).astype(np.int64)
+        nz = hdr >= 0x1000
+        reuse = nz & ((hdr & 0x800) == 0)
+        fr_lead = (hdr >> 6) & 0x1F
+        fr_mlen = (hdr & 0x3F) + 1
+        mlen = np.where(
+            nz, np.where(reuse, 64 - wlead - wtrail, fr_mlen), 0
+        )
+        trail = np.where(reuse, wtrail, 64 - fr_lead - fr_mlen)
+        p2 = pos + np.where(nz, np.where(reuse, 2, 13), 1)
+        # payload, single fetch (fields <= 56 bits); wider fields are
+        # rare (huge fresh windows) and patched scalar below
+        wv = _lane_fetch(W, base, p2)
+        sh = np.maximum(64 - (p2 & 7) - mlen, 0).astype(U64)
+        mask = (U64(1) << np.minimum(mlen, 63).astype(U64)) - U64(1)
+        bits = (wv >> sh) & mask
+        big = mlen > 56
+        if big.any():
+            for t in np.flatnonzero(big):
+                bp, bm = int(p2[t]), int(mlen[t])
+                w = W[base[t] : base[t] + stride].tolist()
+                hi_n = bm - 32
+                hi = (_win(w, bp) >> (64 - (bp & 7) - hi_n)) & (
+                    (1 << hi_n) - 1
+                )
+                q = bp + hi_n
+                lo = (_win(w, q) >> (32 - (q & 7))) & 0xFFFFFFFF
+                bits[t] = U64((hi << 32) | lo)
+        xor = np.where(nz, bits << trail.astype(U64), U64(0))
+        prevw ^= xor
+        out_w[obase + i] = prevw
+        pos = p2 + mlen
+        blen = _bitlen_f(xor)
+        wlead = np.where(nz, np.minimum(64 - blen, 31), wlead)
+        lsb = xor & (~xor + U64(1))
+        wtrail = np.where(nz, _bitlen_f(lsb) - 1, wtrail)
+        i += 1
+        if i < max_n:
+            keep = n_a > i
+            if not keep.all():
+                prevw, base, obase = prevw[keep], base[keep], obase[keep]
+                n_a, last1, pos = n_a[keep], last1[keep], pos[keep]
+                wlead, wtrail = wlead[keep], wtrail[keep]
+        else:
+            break
+
+    return out_ts, out_w
+
+
 # ------------------------------------------------------------ Spark surface
 
 CHUNK_SCHEMA = (
@@ -393,9 +730,11 @@ def decode_chunks(chunks: "DataFrame") -> "DataFrame":
     (multi-KB blobs, up to 4096 points), so the session's Arrow batch
     size is scoped down to ARROW_BATCH_WIDE at call time — the 256k
     narrow-row default would be multi-GB per input batch (r4 ADVICE;
-    see session.set_arrow_batch for the scoping contract). Output
-    frames are additionally flushed every DECODE_FLUSH_POINTS decoded
-    points, bounding the Python-side buffer both ways."""
+    see session.set_arrow_batch for the scoping contract). Each Arrow
+    batch decodes LANE-PARALLEL (decode_chunk_lanes: the batch's ~2048
+    chunks advance in lockstep, one numpy op stream over all active
+    lanes), sub-sliced so no flat output frame exceeds
+    DECODE_FLUSH_POINTS points — bounding worker memory both ways."""
     from opentsdb_rollup_rust_spark.session import (
         ARROW_BATCH_WIDE,
         set_arrow_batch,
@@ -404,32 +743,46 @@ def decode_chunks(chunks: "DataFrame") -> "DataFrame":
     set_arrow_batch(chunks.sparkSession, ARROW_BATCH_WIDE)
 
     def decode(batches):
-        outs: list[pd.DataFrame] = []
-        pending = 0
         for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                sec = INTERVAL_SECONDS[row.interval]
-                ts_units, words = decode_chunk_arrays(
-                    bytes(row.ts_bits), bytes(row.val_bits), int(row.n)
+            if not len(pdf):
+                continue
+            ns = pdf["n"].to_numpy(np.int64)
+            secs = pdf["interval"].map(INTERVAL_SECONDS).to_numpy(np.int64)
+            starts = pdf["chunk_start"].astype("int64").to_numpy() // 10**9
+            # sub-slice the frame so one lane-decode's flat output (and
+            # its |lanes| x max_n working set) stays <= the flush bound
+            cum = np.cumsum(ns)
+            lo = 0
+            while lo < len(pdf):
+                prior = cum[lo - 1] if lo else 0
+                hi = int(
+                    np.searchsorted(cum, prior + DECODE_FLUSH_POINTS) + 1
                 )
-                epoch = int(row.chunk_start.timestamp()) + ts_units * sec
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "series_id": row.series_id,
-                            "interval": row.interval,
-                            "agg": row.agg,
-                            "window_start": pd.to_datetime(epoch, unit="s"),
-                            "value": words.view(np.int64),
-                        }
-                    )
+                hi = min(max(hi, lo + 1), len(pdf))
+                sub = slice(lo, hi)
+                nsub = ns[sub]
+                ts_units, words = decode_chunk_lanes(
+                    [bytes(b) for b in pdf["ts_bits"].iloc[sub]],
+                    [bytes(b) for b in pdf["val_bits"].iloc[sub]],
+                    nsub,
                 )
-                pending += int(row.n)
-                if pending >= DECODE_FLUSH_POINTS:
-                    yield pd.concat(outs, ignore_index=True)
-                    outs, pending = [], 0
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+                epoch = np.repeat(starts[sub], nsub) + ts_units * np.repeat(
+                    secs[sub], nsub
+                )
+                yield pd.DataFrame(
+                    {
+                        "series_id": np.repeat(
+                            pdf["series_id"].to_numpy()[sub], nsub
+                        ),
+                        "interval": np.repeat(
+                            pdf["interval"].to_numpy()[sub], nsub
+                        ),
+                        "agg": np.repeat(pdf["agg"].to_numpy()[sub], nsub),
+                        "window_start": pd.to_datetime(epoch, unit="s"),
+                        "value": words.view(np.int64),
+                    }
+                )
+                lo = hi
 
     return chunks.mapInPandas(decode, POINT_SCHEMA)
 

@@ -7,6 +7,7 @@ from hypothesis import given, settings, strategies as st
 
 from opentsdb_rollup_rust_spark.codec.gorilla import (
     decode_chunk_arrays,
+    decode_chunk_lanes,
     decode_chunks,
     encode_chunk_arrays,
     encode_chunks,
@@ -161,6 +162,82 @@ def test_decode_throughput_floor():
             decode_chunk_arrays(tb, vb, n)
         best = max(best, n * reps / (time.monotonic() - t0) / 1e6)
     assert best >= 0.25, f"decode throughput regressed: {best:.3f} Mpts/s"
+
+
+# ------------------------------------------------------- lane-parallel decode
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(chunks(), min_size=1, max_size=8))
+def test_lane_matches_scalar_property(batch):
+    """The lane-parallel batch reader is bit-for-bit the scalar reader
+    run chunk-by-chunk — on any mix of chunk shapes and sizes."""
+    encs = [encode_chunk_arrays(ts, vals) for ts, vals in batch]
+    ns = np.array([len(ts) for ts, _ in batch])
+    got_ts, got_w = decode_chunk_lanes(
+        [e[0] for e in encs], [e[1] for e in encs], ns
+    )
+    off = 0
+    for (ts, vals), n in zip(batch, ns):
+        assert np.array_equal(got_ts[off : off + n], ts)
+        assert np.array_equal(got_w[off : off + n], vals)
+        off += n
+
+
+def test_lane_hetero_handoff():
+    """One max-size chunk among many tiny ones drains the lane pool
+    below _MIN_LANES: the survivor must hand off to the scalar resume
+    path and still decode exactly (incl. carried-window state)."""
+    rng = np.random.RandomState(11)
+    batch = []
+    for j in range(40):
+        n = 3000 if j == 17 else rng.randint(1, 9)
+        ts = np.cumsum(
+            np.concatenate([[j % (1 << 14)], rng.randint(1, 999, n - 1)])
+        ).astype(np.int64)
+        # mixed values: runs of repeats (window carry) + jumps (fresh)
+        vals = np.where(
+            np.arange(n) % 3 == 0,
+            rng.randint(0, 2**62, n).astype(np.uint64),
+            np.uint64(7),
+        ).astype(np.uint64)
+        batch.append((ts, vals))
+    encs = [encode_chunk_arrays(ts, vals) for ts, vals in batch]
+    ns = np.array([len(ts) for ts, _ in batch])
+    got_ts, got_w = decode_chunk_lanes(
+        [e[0] for e in encs], [e[1] for e in encs], ns
+    )
+    off = 0
+    for ts, vals in batch:
+        n = len(ts)
+        assert np.array_equal(got_ts[off : off + n], ts)
+        assert np.array_equal(got_w[off : off + n], vals)
+        off += n
+
+
+def test_lane_throughput_floor():
+    """Pin the lane reader's advantage on the worst case for the
+    scalar loop (every point takes the value slow path): at 256 lanes
+    it measures ~2-3 Mpts/s vs the scalar ~0.7 (6x at full Arrow-batch
+    width); floor well under the measurement to stay unflaky."""
+    import time
+
+    rng = np.random.RandomState(7)
+    n, L = 2048, 256
+    ts = np.arange(n, dtype=np.int64)
+    tbs, vbs = [], []
+    for _ in range(L):
+        words = rng.randint(0, 1_000_000, n).astype(np.int64).view(np.uint64)
+        tb, vb = encode_chunk_arrays(ts, words)
+        tbs.append(tb)
+        vbs.append(vb)
+    ns = np.full(L, n)
+    decode_chunk_lanes(tbs, vbs, ns)  # warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        decode_chunk_lanes(tbs, vbs, ns)
+        best = max(best, n * L / (time.monotonic() - t0) / 1e6)
+    assert best >= 0.6, f"lane decode regressed: {best:.3f} Mpts/s"
 
 
 # --------------------------------------------------------- Spark integration
