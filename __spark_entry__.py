@@ -2467,13 +2467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_p95",
         # changed this round: minhash hot-bucket cap (engine+oracle,
         # also shared by the components oracle), ann_recall panel cap
-        # + literal-TRUE floor oracle, asof struct-wrap, decode
-        # batching
+        # + literal-TRUE floor oracle, asof struct-wrap, lane-parallel
+        # decode (codec_roundtrip + codec_check both execute it)
         "dedup_minhash",
         "ann_recall",
         "dedup_components",
         "join_asof",
         "codec_roundtrip",
+        "codec_check",
         # driver evidence from r1
         "dedup_exact",
         "dedup_jaccard",
