@@ -72,6 +72,7 @@ def main() -> None:
     )
     from opentsdb_rollup_rust_spark.codec.gorilla import (
         compression_stats,
+        decode_chunks,
         encode_chunks,
     )
 
@@ -170,13 +171,19 @@ def main() -> None:
 
     r1m = fused_tier_rollup(seqs, "1m", impl="arrow").persist()
     rolled_1m = r1m.count()
+    chunks = encode_chunks(r1m, "1m").persist()
     t0 = time.monotonic()
-    chunks = encode_chunks(r1m, "1m")
     stats = compression_stats(chunks).collect()
     encode_sec = time.monotonic() - t0
     enc = sum(r["enc_bytes"] for r in stats)
     npts = sum(r["points"] for r in stats)
     bytes_per_point = enc / max(npts, 1)
+    # read path: the lane-parallel Gorilla reader over the cached
+    # chunk table — decoded points/sec with no encode in the window
+    t0 = time.monotonic()
+    _sink(decode_chunks(chunks))
+    decode_sec = time.monotonic() - t0
+    chunks.unpersist()
     r1m.unpersist()
 
     # ---------------- per-query walls at sf_dir ----------------
@@ -239,6 +246,8 @@ def main() -> None:
         "points_per_sec_best": round(n_points / pipeline_min, 1),
         "pipeline_runs": [round(x, 2) for x in all_runs],
         "encode_sec": round(encode_sec, 3),
+        "decode_sec": round(decode_sec, 3),
+        "decode_pts_per_sec": round(npts / max(decode_sec, 1e-9), 1),
         "bytes_per_point": round(bytes_per_point, 3),
     }
     print(json.dumps(out))
