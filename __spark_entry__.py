@@ -1809,6 +1809,101 @@ def _q_api_query_tier_multi(spark, sf_dir):
     return api_query(pts, spec, tiers=tiers)
 
 
+def _q_api_query_tsuid_none(spark, sf_dir):
+    """The two remaining /api/query sub-query modes in one gate row:
+    tsuids (direct series selection — the engine TSUID is
+    '<metric>|<sorted k=v>', the columnar analogue of OpenTSDB's
+    metric-UID + tag-UID concatenation) and aggregator='none' (no
+    cross-series aggregation: every listed series passes through as
+    its own output series). Three tsuids spanning TWO metrics — a
+    filter query cannot express that at all — daily-summed per
+    series. Oracle rebuilds the identical tsuid strings from the
+    deterministic tag synthesis, so the hash pins the series-identity
+    format, the exact-member selection, and the passthrough."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="",
+        start=start,
+        end=end,
+        aggregator="none",
+        downsample=Downsample("1d", "sum", fill="none"),
+        tsuids=(
+            "click|dc=click,env=prod,host=web0,rack=r0",
+            "view|dc=view,env=prod,host=web0,rack=r0",
+            "click|dc=click,env=prod,host=web3,rack=r0",
+        ),
+    )
+    return api_query(pts, spec)
+
+
+def _q_api_query_0all(spark, sf_dir):
+    """OpenTSDB's whole-range downsample ('0all-avg'): ONE bucket
+    spanning [start, end), anchored at the query START rather than
+    the epoch grid, per host — the form dashboards use for
+    single-number summaries. avg makes the ppm int64 quantization
+    load-bearing over the largest possible window. The oracle
+    recomputes the range anchor (min epoch of the stream, the same
+    1-row probe _api_spec_range uses) and the whole-range per-host
+    average direct from raw."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="view",
+        start=start,
+        end=end,
+        aggregator="avg",
+        filters=(
+            TagFilter("iwildcard", "host", "WEB*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("0all", "avg"),
+    )
+    return api_query(pts, spec)
+
+
+def _q_api_query_gexp_moving(spark, sf_dir):
+    """sumSeries(movingAverage(sum:1h-sum-zero:view{host=*,env=prod},
+    3)) — the gexp windowed-transform + combiner family: each host's
+    zero-filled hourly sums smoothed by the trailing-3 ppm mean
+    (leading buckets average what exists, Graphite semantics), then
+    every host collapsed into ONE series. Order is load-bearing:
+    smoothing after the collapse would average a different stream.
+    The oracle mirrors the trailing window (ROWS 2 PRECEDING) and the
+    collapse literally."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_gexp,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="view",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("1h", "sum", fill="zero"),
+    )
+    return api_query_gexp(
+        pts, spec, (("movingAverage", 3), ("sumSeries", None))
+    )
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2380,6 +2475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_hist_tier": _q_api_query_hist_tier,
         "api_query_json": _q_api_query_json,
         "api_query_tier_multi": _q_api_query_tier_multi,
+        "api_query_tsuid_none": _q_api_query_tsuid_none,
+        "api_query_0all": _q_api_query_0all,
+        "api_query_gexp_moving": _q_api_query_gexp_moving,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2441,15 +2539,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round via scripts/check_oracle.py). The r3-evidence keys that
     # no longer fit the 50 slots are front-of-line for r06:
     # rollup_fused, tok_topk, win_delta, win_moving, win_rank,
-    # win_rate, win_topk, and (displaced by this round's fourteen new
+    # win_rate, win_topk, and (displaced by this round's seventeen new
     # api_query keys) derive_points, filter_range, filter_retention,
     # filter_series, gapfill_ffill, gapfill_zero, join_anti,
-    # join_broadcast, join_equi, join_range, join_semi.
+    # join_broadcast, join_equi, join_range, join_semi, plus — after
+    # the session-5 trio — agg_first_last, agg_interp, agg_percentile.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
         # request envelope, percentile downsampler; session-3:
-        # timeShift, gexp selectors, rollupUsage fallback)
+        # timeShift, gexp selectors, rollupUsage fallback; session-5:
+        # tsuid sub-queries + aggregator none, 0all whole-range
+        # downsample, gexp movingAverage/sumSeries)
+        "api_query_tsuid_none",
+        "api_query_0all",
+        "api_query_gexp_moving",
         "api_query_shift",
         "api_query_gexp",
         "api_query_fallback",
@@ -3297,6 +3401,75 @@ def oracle_sql() -> dict[str, str]:
                    FROM f GROUP BY 1, 2, 3, 4)
             SELECT host, w_start, max(v)::BIGINT AS value
             FROM ds GROUP BY 1, 2""",
+        # tsuids + aggregator none: the oracle REBUILDS the engine's
+        # '<metric>|<sorted k=v>' tsuid strings from the deterministic
+        # tag synthesis and selects the same three exact series, so
+        # the hash pins identity format + membership + passthrough
+        "api_query_tsuid_none": f"""{_TAGGED_CTE},
+            f AS (SELECT series_id || '|dc=' || dc || ',env=' || env
+                           || ',host=' || host || ',rack=' || rack AS series,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT)
+                           AS w_start,
+                         value
+                  FROM tp)
+            SELECT series, w_start, sum(value)::BIGINT AS value
+            FROM f
+            WHERE series IN ('click|dc=click,env=prod,host=web0,rack=r0',
+                             'view|dc=view,env=prod,host=web0,rack=r0',
+                             'click|dc=click,env=prod,host=web3,rack=r0')
+            GROUP BY 1, 2""",
+        # 0all: one bucket anchored at the stream's min epoch (the
+        # same probe the engine uses for the request range); avg at
+        # both stages mirrors the engine's per-series-then-group ppm
+        # quantization literally
+        "api_query_0all": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(min(epoch(ts)) AS BIGINT) AS lo FROM tp),
+            ds AS (SELECT host, rack, env,
+                          ((sum(value) * 1000000) // count(value))::BIGINT
+                            AS v
+                   FROM tp
+                   WHERE series_id = 'view'
+                     AND lower(host) LIKE 'web%' AND env IN ('prod')
+                   GROUP BY 1, 2, 3)
+            SELECT host, rng.lo AS w_start,
+                   ((sum(v) * 1000000) // count(v))::BIGINT AS value
+            FROM ds, rng GROUP BY 1, 2""",
+        # gexp movingAverage -> sumSeries: trailing-3 ppm mean per
+        # host over the zero-filled hourly sums, then ONE collapsed
+        # series — order is load-bearing and mirrored literally
+        "api_query_gexp_moving": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/3600)*3600 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/3600)*3600 AS BIGINT) AS last_b
+                    FROM tp),
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'view'
+                    AND lower(host) LIKE '%' AND env IN ('prod')),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            sd AS (SELECT DISTINCT host, rack, env FROM ds),
+            spine AS (SELECT sd.host, sd.rack, sd.env, gs.w_start
+                      FROM sd CROSS JOIN (
+                        SELECT unnest(generate_series(first_b, last_b, 3600))
+                               AS w_start FROM rng) gs),
+            filled AS (SELECT spine.host, spine.w_start,
+                              COALESCE(ds.v, 0)::BIGINT AS v
+                       FROM spine LEFT JOIN ds
+                         USING (host, rack, env, w_start)),
+            g AS (SELECT host, w_start, sum(v)::BIGINT AS value
+                  FROM filled GROUP BY 1, 2),
+            ma AS (SELECT host, w_start,
+                          ((sum(value) OVER (PARTITION BY host ORDER BY w_start
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                            * 1000000)
+                           // count(value) OVER (PARTITION BY host ORDER BY w_start
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                          )::BIGINT AS value
+                   FROM g)
+            SELECT w_start, sum(value)::BIGINT AS value
+            FROM ma GROUP BY 1""",
         # the JSON body key: day-shifted (+1d realign), zero-filled 2h
         # sums per host, counter rate with 2^40 wrap — every parsed
         # field is load-bearing in this arithmetic

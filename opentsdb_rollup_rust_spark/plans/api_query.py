@@ -61,7 +61,10 @@ from ..operators.tagquery import (
 Q_SCALE = 1_000_000
 
 _DS_AGGS = ("sum", "count", "min", "max", "avg")
-_GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum")
+#: "none" is OpenTSDB's no-cross-series-aggregation mode: every input
+#: series is returned as its own output series (the full sorted-k=v
+#: series identity becomes an output column named ``series``).
+_GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum", "none")
 _FILLS = ("none", "zero", "null", "ffill", "linear")
 
 #: OpenTSDB 2.4 percentile downsamplers — ``p<permille>`` (p500 =
@@ -138,6 +141,16 @@ class QuerySpec:
 
     ``rollup_usage``: what to do when a supplied tier cannot serve
     the downsample (see _ROLLUP_USAGE).
+
+    ``tsuids``: OpenTSDB's direct-series query mode — a sub-query
+    names exact series instead of metric + tag filters ([OTSDB-API]
+    /api/query ``tsuids``, mutually exclusive with ``metric``). The
+    engine's TSUID analogue is the full series identity string
+    ``<metric>|<sorted k=v tags>`` (OpenTSDB's hex TSUID is likewise
+    metric UID + sorted tag UIDs). With tsuids set, ``metric`` must
+    be "" and ``filters`` empty; the aggregator still applies ACROSS
+    the listed series (use aggregator="none" to fetch them
+    individually, as OpenTSDB clients do).
     """
 
     metric: str
@@ -150,6 +163,22 @@ class QuerySpec:
     rate: RateOptions | None = None
     time_shift: int = 0
     rollup_usage: str = "nofallback"
+    tsuids: tuple[str, ...] = ()
+
+
+def _is_0all(spec: QuerySpec) -> bool:
+    return spec.downsample is not None and spec.downsample.interval == "0all"
+
+
+def _ds_seconds(spec: QuerySpec) -> int:
+    """Downsample interval in seconds. OpenTSDB's ``0all`` interval
+    (one bucket spanning the whole query range, aligned at ``start``
+    rather than the epoch — '0all-sum' etc.) resolves to the range
+    length; its bucket expression is the constant ``start`` (see
+    api_query), not the usual epoch-floor."""
+    if _is_0all(spec):
+        return spec.end - spec.start
+    return resolve_interval_seconds(spec.downsample.interval)
 
 
 def _validate(spec: QuerySpec) -> None:
@@ -170,12 +199,14 @@ def _validate(spec: QuerySpec) -> None:
         raise ValueError(f"unknown fill policy {spec.downsample.fill!r}")
     if spec.aggregator not in _GROUP_AGGS:
         raise ValueError(f"unknown aggregator {spec.aggregator!r}")
-    sec = resolve_interval_seconds(spec.downsample.interval)  # raises KeyError
     if not (spec.end > spec.start):
         raise ValueError("end must be > start")
+    sec = _ds_seconds(spec)  # raises KeyError on unknown interval
     if spec.time_shift < 0:
         raise ValueError("time_shift must be >= 0 (shift back in time)")
-    if spec.time_shift % sec:
+    if spec.time_shift % sec and not _is_0all(spec):
+        # 0all is exempt: its single bucket sits at (start - shift)
+        # and re-aligns to exactly start for ANY shift
         raise ValueError(
             f"time_shift {spec.time_shift}s must be a multiple of the "
             f"downsample interval {sec}s: shifted buckets must land on "
@@ -183,6 +214,25 @@ def _validate(spec: QuerySpec) -> None:
         )
     if spec.rollup_usage not in _ROLLUP_USAGE:
         raise ValueError(f"unknown rollup_usage {spec.rollup_usage!r}")
+    if spec.tsuids:
+        # OpenTSDB: tsuids and metric/filters are mutually exclusive
+        # sub-query modes
+        if spec.metric:
+            raise ValueError(
+                "tsuids and metric are mutually exclusive: the engine "
+                "TSUID '<metric>|<sorted k=v>' carries the metric"
+            )
+        if spec.filters:
+            raise ValueError("tsuids and tag filters are mutually exclusive")
+        if spec.explicit_tags:
+            raise ValueError(
+                "explicit_tags is meaningless with tsuids: a TSUID "
+                "already names the exact tag set"
+            )
+        if any(not t or "|" not in t for t in spec.tsuids):
+            raise ValueError(
+                "each tsuid must be '<metric>|<sorted k=v tags>'"
+            )
     r = spec.rate
     if r is not None:
         if r.counter and r.drop_resets:
@@ -376,14 +426,17 @@ def api_query(
 
     Returns one row per (groupBy tag values..., w_start) with a single
     int64 ``value``: the downsampled/aggregated value, or — when
-    ``spec.rate`` is set — the ppm-quantized rate. With rate, the
+    ``spec.rate`` is set — the ppm-quantized rate. Under aggregator
+    'none' a ``series`` column (the full sorted-k=v identity, or the
+    TSUID in tsuid mode) is added and every series passes through
+    unaggregated. With rate, the
     first bucket of each group is dropped (no previous sample to
     difference, as in OpenTSDB), and under ``drop_resets`` so is any
     negative-delta sample.
     """
     _validate(spec)
     ds = spec.downsample
-    sec = resolve_interval_seconds(ds.interval)
+    sec = _ds_seconds(spec)
 
     if spec.time_shift:
         # timeShift ([OTSDB-API] 2.3): the WHOLE composition —
@@ -419,13 +472,28 @@ def api_query(
 
     group_tags = [f.tagk for f in spec.filters if f.group_by]
 
-    def _tag_pred(metric_expr: Column) -> Column:
-        p = metric_expr
-        for f in spec.filters:
-            p = p & compile_tag_filter(tags, f)
-        if spec.explicit_tags and spec.filters:
-            p = p & explicit_tags_predicate(tags, list(spec.filters))
-        return p
+    # the per-row series identity and the row predicate differ between
+    # the two sub-query modes: metric+filters (series = sorted tags;
+    # metric is a constant equality) vs tsuids (series = the full
+    # '<metric>|<sorted tags>' TSUID string; predicate = set member)
+    if spec.tsuids:
+        series_expr = F.concat_ws(
+            "|", F.col(metric_col), _series_key(tags)
+        )
+
+        def _row_pred() -> Column:
+            return series_expr.isin(*spec.tsuids)
+
+    else:
+        series_expr = _series_key(tags)
+
+        def _row_pred() -> Column:
+            p = F.col(metric_col) == F.lit(spec.metric)
+            for f in spec.filters:
+                p = p & compile_tag_filter(tags, f)
+            if spec.explicit_tags and spec.filters:
+                p = p & explicit_tags_predicate(tags, list(spec.filters))
+            return p
 
     if tier is not None and tiers:
         raise ValueError("pass either tier/tier_interval or tiers, not both")
@@ -444,6 +512,20 @@ def api_query(
                 f"downsample aggregator {ds.aggregator!r} is not "
                 "answerable from a sum/count/min/max tier"
             )
+        elif _is_0all(spec):
+            # 0all's single bucket is [start, end) itself; tier rows
+            # recombine exactly iff the RANGE is aligned to the tier's
+            # windows. Alignment is tier-dependent, so check the
+            # best-match (coarsest) tier — the only one nofallback may
+            # use; a finer-but-aligned fallback candidate is refused
+            # conservatively (loudly) rather than special-cased.
+            best = max(resolve_interval_seconds(iv) for _, iv in tiers)
+            if spec.start % best or spec.end % best:
+                spec_reason = (
+                    "0all tier routing needs [start, end) aligned to "
+                    f"the best-match tier interval {best}s: "
+                    f"[{spec.start}, {spec.end}) is not"
+                )
         elif spec.start % sec or spec.end % sec:
             spec_reason = (
                 "tier-routed queries need a bucket-aligned range: "
@@ -458,18 +540,24 @@ def api_query(
         if chosen is not None:
             tier = tiers[chosen][0]
 
+    def _bucket(ts_sec_expr: Column) -> Column:
+        # 0all: ONE bucket spanning the whole range, anchored at the
+        # query start (OpenTSDB's 0all alignment), not the epoch grid
+        if _is_0all(spec):
+            return F.lit(spec.start).cast("long")
+        return F.floor(ts_sec_expr / F.lit(sec)).cast("long") * F.lit(sec)
+
     if tier is not None:
         # --- 1+2 on tier rows: every tier window inside an aligned
         # range is FULLY inside, so plain w_start bounds are exact
-        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+        pred = _row_pred() & (
             (F.col("w_start") >= F.lit(spec.start))
             & (F.col("w_start") < F.lit(spec.end))
         )
         narrow = tier.where(pred).select(
             *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
-            _series_key(tags).alias("_series"),
-            (F.floor(F.col("w_start") / F.lit(sec)).cast("long") * F.lit(sec))
-            .alias("w_start"),
+            series_expr.alias("_series"),
+            _bucket(F.col("w_start")).alias("w_start"),
             "sum",
             "count",
             "min",
@@ -484,7 +572,7 @@ def api_query(
         # --- 1. filtering: metric + range are plain column predicates
         # (pushdown-eligible); tag filters compile to one codegen'd map
         # expression (operators/tagquery.py)
-        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+        pred = _row_pred() & (
             (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
         )
 
@@ -492,10 +580,8 @@ def api_query(
         # shuffle; the map column dies at the scan
         narrow = points.where(pred).select(
             *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
-            _series_key(tags).alias("_series"),
-            (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
-                "w_start"
-            ),
+            series_expr.alias("_series"),
+            _bucket(ts_sec).alias("w_start"),
             F.col(value_col).alias("value"),
         )
 
@@ -556,7 +642,7 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
             "resolved by api_query before the downsampled frame exists"
         )
     ds = spec.downsample
-    sec = resolve_interval_seconds(ds.interval)
+    sec = _ds_seconds(spec)
     group_tags = _group_tag_keys(spec)
 
     # --- 4. fill: dense bucket spine over the ALIGNED QUERY RANGE per
@@ -574,8 +660,12 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
         # the raw stream) caps the plan at one raw scan; lazy, spills
         # to disk, evictable.
         per_series = per_series.persist()
-        first_b = spec.start // sec * sec
-        last_b = (spec.end - 1) // sec * sec
+        if _is_0all(spec):
+            # single whole-range bucket anchored at start
+            first_b = last_b = spec.start
+        else:
+            first_b = spec.start // sec * sec
+            last_b = (spec.end - 1) // sec * sec
         series_dim = per_series.select(*group_tags, "_series").distinct()
         spine = series_dim.select(
             *group_tags,
@@ -652,20 +742,35 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
         # aggregates below (OpenTSDB's null render policy)
         per_series = filled
 
-    # --- 5. aggregation across the series of each group, per bucket
-    grouped = per_series.groupBy(*group_tags, "w_start").agg(
-        _group_agg_expr(spec.aggregator).cast("long").alias("value")
-    )
+    # --- 5. aggregation across the series of each group, per bucket.
+    # aggregator "none" (OpenTSDB's no-aggregation mode) skips the
+    # collapse: every series passes through as its own output series,
+    # its full sorted-k=v identity exposed as the ``series`` column —
+    # no shuffle is added (the frame is already per-series).
+    if spec.aggregator == "none":
+        grouped = per_series.select(
+            *group_tags,
+            F.col("_series").alias("series"),
+            "w_start",
+            F.col("v").cast("long").alias("value"),
+        )
+        out_dims = [*group_tags, "series"]
+    else:
+        grouped = per_series.groupBy(*group_tags, "w_start").agg(
+            _group_agg_expr(spec.aggregator).cast("long").alias("value")
+        )
+        out_dims = list(group_tags)
     if spec.rate is None:
         return grouped
 
-    # --- 6. rate conversion, LAST, per aggregated group series
+    # --- 6. rate conversion, LAST, per output series (the aggregated
+    # group series, or each passthrough series under aggregator none)
     r = spec.rate
-    wr = Window.partitionBy(*group_tags).orderBy("w_start")
+    wr = Window.partitionBy(*out_dims).orderBy("w_start")
     delta = F.col("value") - F.lag("value").over(wr)
     dt = (F.col("w_start") - F.lag("w_start").over(wr)).cast("double")
     staged = grouped.select(
-        *group_tags, "w_start", delta.alias("_delta"), dt.alias("_dt")
+        *out_dims, "w_start", delta.alias("_delta"), dt.alias("_dt")
     )
     if r.drop_resets:
         # emits nothing for the first sample (NULL delta) or a reset
@@ -688,7 +793,7 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
         rate = F.col("_delta").cast("double") / F.col("_dt")
         out = staged.where(F.col("_delta").isNotNull())
     return out.select(
-        *group_tags,
+        *out_dims,
         "w_start",
         F.floor(rate * F.lit(Q_SCALE)).cast("long").alias("value"),
     )
@@ -696,6 +801,16 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
 
 def _group_tag_keys(spec: QuerySpec) -> list[str]:
     return [f.tagk for f in spec.filters if f.group_by]
+
+
+def _out_dim_keys(spec: QuerySpec) -> list[str]:
+    """Output dimension columns of api_query(spec): the groupBy tag
+    keys, plus the passthrough ``series`` column under aggregator
+    'none' (stage 5)."""
+    dims = _group_tag_keys(spec)
+    if spec.aggregator == "none":
+        dims = [*dims, "series"]
+    return dims
 
 
 def api_query_multi(
@@ -733,13 +848,17 @@ def api_query_multi(
             value_col=value_col,
         )
         gts = sorted(_group_tag_keys(spec))
-        group_str = (
-            F.concat_ws(
+        if spec.aggregator == "none":
+            # passthrough mode: the series column IS the canonical
+            # sorted-k=v identity (it contains every tag, groupBy
+            # ones included), so it supersedes the group-tag string
+            group_str = F.col("series")
+        elif gts:
+            group_str = F.concat_ws(
                 ",", *[F.concat_ws("=", F.lit(k), F.col(k)) for k in gts]
             )
-            if gts
-            else F.lit("")
-        )
+        else:
+            group_str = F.lit("")
         parts.append(
             out.select(
                 F.lit(name).alias("query"),
@@ -811,6 +930,12 @@ def api_query_exp(
             raise ValueError(f"variable name {n!r} is not an identifier")
         if n in reserved:
             raise ValueError(f"variable name {n!r} collides with an output column")
+        if q.aggregator == "none":
+            raise ValueError(
+                f"sub-query {n!r}: aggregator 'none' (per-series "
+                "passthrough) cannot join into an expression — exp "
+                "variables must be aggregated group series"
+            )
         if _group_tag_keys(q) != group_tags:
             raise ValueError(
                 "every exp sub-query must group by the same tag keys: "
@@ -851,11 +976,20 @@ def api_query_exp(
 # /api/query/gexp — Graphite-style series functions (OpenTSDB 2.3)
 # ---------------------------------------------------------------------------
 
-#: gexp functions implemented, in the two families the endpoint has:
-#: per-point transforms (scale, absolute) and series selectors
-#: (highestMax, highestCurrent) that keep the k "loudest" GROUP
-#: series and drop the rest ([OTSDB-API] /api/query/gexp).
-_GEXP_FUNCS = ("scale", "absolute", "highestMax", "highestCurrent")
+#: gexp functions implemented, in the three families the endpoint
+#: has: per-point transforms (scale, absolute), windowed transforms
+#: (movingAverage — mean of the trailing k buckets per series), and
+#: series selectors/combiners (highestMax, highestCurrent keep the k
+#: "loudest" series; sumSeries collapses every series into one)
+#: ([OTSDB-API] /api/query/gexp).
+_GEXP_FUNCS = (
+    "scale",
+    "absolute",
+    "movingAverage",
+    "highestMax",
+    "highestCurrent",
+    "sumSeries",
+)
 
 
 def gexp_apply(
@@ -867,8 +1001,9 @@ def gexp_apply(
     (group tags..., w_start, value) — innermost first, mirroring how
     ``highestMax(scale(sum:metric{...}, 2), 3)`` nests.
 
-    ``funcs``: (name, arg) pairs; arg is the scale factor or the
-    selector's k, None for absolute.
+    ``funcs``: (name, arg) pairs; arg is the scale factor, the
+    selector's k, or movingAverage's window width — None for the
+    argless functions (absolute, sumSeries).
 
     Scale shape of the selectors: the ranking input is the per-group
     aggregate of the query's OWN output (|groups| rows — the output
@@ -876,17 +1011,57 @@ def gexp_apply(
     sort-limit (the TakeOrdered plan, ties broken by the group-tag
     string ascending so two engines agree) and rejoin as a BROADCAST
     semi-join — k rows against the output stream, no shuffle of the
-    stream itself.
+    stream itself. movingAverage is one WindowExec over the output
+    stream per series; sumSeries is one aggregation of output-sized
+    data and DROPS the group dimension (subsequent selectors see a
+    single ungrouped series).
     """
-    gcols = [F.col(k) for k in group_tags]
-    gstr = F.concat_ws(",", *gcols) if group_tags else F.lit("")
+    group_tags = list(group_tags)
     for name, arg in funcs:
+        gcols = [F.col(k) for k in group_tags]
+        gstr = F.concat_ws(",", *gcols) if group_tags else F.lit("")
         if name == "scale":
             out = out.withColumn(
                 "value", (F.col("value") * F.lit(int(arg))).cast("long")
             )
         elif name == "absolute":
             out = out.withColumn("value", F.abs("value").cast("long"))
+        elif name == "movingAverage":
+            k = int(arg)
+            if k < 1:
+                raise ValueError("movingAverage needs window >= 1")
+            # trailing-k mean per series, ppm-quantized in the repo's
+            # int64 discipline (same DIV idiom as the avg aggregator);
+            # leading buckets average over however many exist so far,
+            # as Graphite's movingAverage does
+            wm = (
+                Window.partitionBy(*group_tags)
+                .orderBy("w_start")
+                .rowsBetween(-(k - 1), 0)
+            )
+            out = (
+                out.withColumn("_ms", F.sum("value").over(wm))
+                .withColumn("_mc", F.count("value").over(wm))
+                .withColumn(
+                    "value",
+                    # an all-null trailing window (possible under the
+                    # null/linear fill policies) emits NULL, not an
+                    # ANSI division error
+                    F.expr(
+                        f"CASE WHEN _mc = 0 THEN NULL "
+                        f"ELSE (_ms * {Q_SCALE}) DIV _mc END"
+                    ).cast("long"),
+                )
+                .drop("_ms", "_mc")
+            )
+        elif name == "sumSeries":
+            # collapse every series into one ([GRAPHITE] sumSeries):
+            # one aggregation of output-sized data; the group
+            # dimension is gone from here on
+            out = out.groupBy("w_start").agg(
+                F.sum("value").cast("long").alias("value")
+            )
+            group_tags = []
         elif name in ("highestMax", "highestCurrent"):
             k = int(arg)
             if k < 1:
@@ -938,7 +1113,7 @@ def api_query_gexp(
         ts_col=ts_col,
         value_col=value_col,
     )
-    return gexp_apply(out, _group_tag_keys(spec), funcs)
+    return gexp_apply(out, _out_dim_keys(spec), funcs)
 
 
 # ---------------------------------------------------------------------------
@@ -1054,17 +1229,33 @@ def api_query_hist(
     from ..operators.rollup import value_bucket
 
     ds = spec.downsample
-    sec = resolve_interval_seconds(ds.interval)
+    sec = _ds_seconds(spec)
     tags = F.col(tags_col)
     group_tags = _group_tag_keys(spec)
 
-    def _tag_pred(metric_expr: Column) -> Column:
-        p = metric_expr
-        for f in spec.filters:
-            p = p & compile_tag_filter(tags, f)
-        if spec.explicit_tags and spec.filters:
-            p = p & explicit_tags_predicate(tags, list(spec.filters))
-        return p
+    # same two sub-query modes as api_query: metric+filters, or a
+    # tsuid list (here the listed series' HISTOGRAMS merge — exactly
+    # what histogram metrics are for)
+    if spec.tsuids:
+        _sid = F.concat_ws("|", F.col(metric_col), _series_key(tags))
+
+        def _row_pred() -> Column:
+            return _sid.isin(*spec.tsuids)
+
+    else:
+
+        def _row_pred() -> Column:
+            p = F.col(metric_col) == F.lit(spec.metric)
+            for f in spec.filters:
+                p = p & compile_tag_filter(tags, f)
+            if spec.explicit_tags and spec.filters:
+                p = p & explicit_tags_predicate(tags, list(spec.filters))
+            return p
+
+    def _bucket(ts_sec_expr: Column) -> Column:
+        if _is_0all(spec):
+            return F.lit(spec.start).cast("long")
+        return F.floor(ts_sec_expr / F.lit(sec)).cast("long") * F.lit(sec)
 
     if tier is not None and tiers:
         raise ValueError("pass either tier/tier_interval or tiers, not both")
@@ -1073,7 +1264,16 @@ def api_query_hist(
     tier = None
     if tiers:
         spec_reason = None
-        if spec.start % sec or spec.end % sec:
+        if _is_0all(spec):
+            # same conservative best-match alignment rule as api_query
+            best = max(resolve_interval_seconds(iv) for _, iv in tiers)
+            if spec.start % best or spec.end % best:
+                spec_reason = (
+                    "0all tier routing needs [start, end) aligned to "
+                    f"the best-match tier interval {best}s: "
+                    f"[{spec.start}, {spec.end}) is not"
+                )
+        elif spec.start % sec or spec.end % sec:
             spec_reason = (
                 "tier-routed queries need a bucket-aligned range: "
                 f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
@@ -1088,7 +1288,7 @@ def api_query_hist(
             tier = tiers[chosen][0]
 
     if tier is not None:
-        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+        pred = _row_pred() & (
             (F.col("w_start") >= F.lit(spec.start))
             & (F.col("w_start") < F.lit(spec.end))
         )
@@ -1096,10 +1296,7 @@ def api_query_hist(
             tier.where(pred)
             .select(
                 *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
-                (
-                    F.floor(F.col("w_start") / F.lit(sec)).cast("long")
-                    * F.lit(sec)
-                ).alias("w_start"),
+                _bucket(F.col("w_start")).alias("w_start"),
                 "bucket",
                 "n",
             )
@@ -1108,16 +1305,14 @@ def api_query_hist(
         )
     else:
         ts_sec = F.unix_timestamp(F.col(ts_col))
-        pred = _tag_pred(F.col(metric_col) == F.lit(spec.metric)) & (
+        pred = _row_pred() & (
             (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
         )
         hist = (
             points.where(pred)
             .select(
                 *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
-                (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
-                    "w_start"
-                ),
+                _bucket(ts_sec).alias("w_start"),
                 value_bucket(F.col(value_col)).alias("bucket"),
             )
             .groupBy(*group_tags, "w_start", "bucket")
@@ -1204,10 +1399,14 @@ def _parse_downsample(s: str) -> Downsample:
     parts = s.strip().split("-")
     if len(parts) not in (2, 3):
         raise ValueError(f"bad downsample {s!r} (want interval-agg[-fill])")
-    sec = parse_duration_seconds(parts[0])
     fill = parts[2] if len(parts) == 3 else "none"
     if fill == "nan":
         fill = "null"
+    if parts[0] == "0all":
+        # OpenTSDB's whole-range downsample ('0all-sum'): one bucket
+        # spanning [start, end), anchored at start — see _ds_seconds
+        return Downsample("0all", parts[1], fill)
+    sec = parse_duration_seconds(parts[0])
     return Downsample(f"{sec}s", parts[1], fill)
 
 
@@ -1247,8 +1446,13 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
             )
     out = []
     for i, q in enumerate(doc["queries"]):
-        if "metric" not in q:
-            raise ValueError(f"queries[{i}] has no metric")
+        tsuids = tuple(q.get("tsuids", ()))
+        if "metric" not in q and not tsuids:
+            raise ValueError(f"queries[{i}] has neither metric nor tsuids")
+        if "metric" in q and tsuids:
+            raise ValueError(
+                f"queries[{i}]: metric and tsuids are mutually exclusive"
+            )
         if "downsample" not in q:
             raise ValueError(
                 f"queries[{i}] has no downsample: this is a windowed "
@@ -1288,7 +1492,7 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
                 )
             permilles.append(int(pm))
         spec = QuerySpec(
-            metric=q["metric"],
+            metric=q.get("metric", ""),
             start=doc["start"],
             end=doc["end"],
             aggregator=q.get("aggregator", "sum"),
@@ -1298,6 +1502,7 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
             rate=rate,
             time_shift=parse_duration_seconds(shift) if shift else 0,
             rollup_usage=usage,
+            tsuids=tsuids,
         )
         _validate(spec)
         if permilles and spec.rate is not None:

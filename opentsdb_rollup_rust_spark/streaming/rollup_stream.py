@@ -191,6 +191,16 @@ def streaming_api_query_downsample(
             "time_shift is a read-side transform: shift the finishing "
             "query, not the ingestion"
         )
+    if spec.tsuids:
+        raise ValueError(
+            "tsuid sub-queries are a read-side selection: ingest with "
+            "metric + filters and select tsuids at finish time"
+        )
+    if ds.interval == "0all":
+        raise ValueError(
+            "0all (whole-range bucket) is undefined over an unbounded "
+            "stream: its bucket is the query's [start, end) itself"
+        )
     sec = resolve_interval_seconds(ds.interval)
     tags = F.col("tags")
     ts_sec = F.unix_timestamp(F.col("ts"))

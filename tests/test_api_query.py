@@ -622,9 +622,11 @@ def test_gexp_validation(spark):
     with pytest.raises(ValueError, match="at least one"):
         api_query_gexp(pts, _gexp_spec(), ())
     with pytest.raises(ValueError, match="unknown gexp"):
-        api_query_gexp(pts, _gexp_spec(), (("movingAverage", 3),))
+        api_query_gexp(pts, _gexp_spec(), (("derivative", 3),))
     with pytest.raises(ValueError, match="k >= 1"):
         api_query_gexp(pts, _gexp_spec(), (("highestMax", 0),))
+    with pytest.raises(ValueError, match="window >= 1"):
+        api_query_gexp(pts, _gexp_spec(), (("movingAverage", 0),))
 
 
 def test_linear_fill_lerps_only_between_observations(spark):
@@ -803,7 +805,7 @@ def test_parse_query_json_refusals():
     with _pytest.raises(ValueError, match="epoch seconds"):
         parse_query_json({"start": "1h-ago", "end": 0, "queries": []})
     base = {"start": 0, "end": 60}
-    with _pytest.raises(ValueError, match="no metric"):
+    with _pytest.raises(ValueError, match="neither metric nor tsuids"):
         parse_query_json({**base, "queries": [{"downsample": "1m-sum"}]})
     with _pytest.raises(ValueError, match="no downsample"):
         parse_query_json({**base, "queries": [{"metric": "m"}]})
@@ -880,3 +882,296 @@ def test_multi_tier_selection_policies(spark):
     assert got3 == want3
     with pytest.raises(ValueError, match="not both"):
         api_query(pts, spec, tier=tiers[0][0], tier_interval="1h", tiers=tiers)
+
+def test_aggregator_none_passes_series_through(spark):
+    """aggregator='none' (OpenTSDB's no-aggregation mode): every input
+    series becomes its own output series, identified by the canonical
+    sorted-k=v ``series`` column; nothing is collapsed."""
+    rows = [
+        ("m", 0, 5, HOST_A),
+        ("m", 0, 7, HOST_B),
+        ("m", 60, 9, HOST_B),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=120,
+        aggregator="none",
+        filters=(TagFilter("literal_or", "env", "prod"),),
+        downsample=Downsample("1m", "sum", "none"),
+    )
+    out = api_query(_pts(spark, rows), spec)
+    assert out.columns == ["series", "w_start", "value"]
+    got = {(r.series, r.w_start): r.value for r in out.collect()}
+    assert got == {
+        ("env=prod,host=a", 0): 5,
+        ("env=prod,host=b", 0): 7,
+        ("env=prod,host=b", 60): 9,
+    }
+
+
+def test_aggregator_none_rate_runs_per_series(spark):
+    """rate under aggregator none differences each passthrough series
+    independently — two series with opposite slopes must not bleed
+    into each other's deltas."""
+    rows = [
+        ("m", 0, 10, HOST_A),
+        ("m", 60, 70, HOST_A),
+        ("m", 0, 100, HOST_B),
+        ("m", 60, 40, HOST_B),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=120,
+        aggregator="none",
+        filters=(TagFilter("literal_or", "env", "prod"),),
+        downsample=Downsample("1m", "sum", "none"),
+        rate=RateOptions(),
+    )
+    got = {
+        (r.series, r.w_start): r.value
+        for r in api_query(_pts(spark, rows), spec).collect()
+    }
+    assert got == {
+        ("env=prod,host=a", 60): 1_000_000,
+        ("env=prod,host=b", 60): -1_000_000,
+    }
+
+
+def test_tsuid_mode_selects_exact_series(spark):
+    """tsuid sub-queries name exact series ('<metric>|<sorted k=v>');
+    the aggregator still applies ACROSS the listed series, and
+    aggregator none fetches them individually — series of the same
+    tags under a DIFFERENT metric are distinct tsuids."""
+    from dataclasses import replace
+
+    rows = [
+        ("m", 0, 5, HOST_A),
+        ("m", 0, 7, HOST_B),  # not listed -> excluded
+        ("n", 0, 100, HOST_A),  # same tags, other metric
+    ]
+    spec = QuerySpec(
+        metric="",
+        start=0,
+        end=60,
+        aggregator="sum",
+        downsample=Downsample("1m", "sum"),
+        tsuids=("m|env=prod,host=a", "n|env=prod,host=a"),
+    )
+    out = api_query(_pts(spark, rows), spec).collect()
+    assert [(r.w_start, r.value) for r in out] == [(0, 105)]
+    got = {
+        (r.series, r.w_start): r.value
+        for r in api_query(
+            _pts(spark, rows), replace(spec, aggregator="none")
+        ).collect()
+    }
+    assert got == {
+        ("m|env=prod,host=a", 0): 5,
+        ("n|env=prod,host=a", 0): 100,
+    }
+
+
+def test_tsuid_validation(spark):
+    pts = _pts(spark, [("m", 0, 1, HOST_A)])
+    ds = Downsample("1m", "sum")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        api_query(
+            pts,
+            QuerySpec(
+                metric="m", start=0, end=60, downsample=ds, tsuids=("m|host=a",)
+            ),
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        api_query(
+            pts,
+            QuerySpec(
+                metric="",
+                start=0,
+                end=60,
+                downsample=ds,
+                filters=(TagFilter("literal_or", "host", "a"),),
+                tsuids=("m|host=a",),
+            ),
+        )
+    with pytest.raises(ValueError, match="explicit_tags"):
+        api_query(
+            pts,
+            QuerySpec(
+                metric="",
+                start=0,
+                end=60,
+                downsample=ds,
+                explicit_tags=True,
+                tsuids=("m|host=a",),
+            ),
+        )
+    with pytest.raises(ValueError, match="sorted k=v"):
+        api_query(
+            pts,
+            QuerySpec(
+                metric="", start=0, end=60, downsample=ds, tsuids=("no-pipe",)
+            ),
+        )
+
+
+def test_0all_whole_range_bucket(spark):
+    """interval '0all' is one bucket spanning [start, end), anchored
+    at START (not the epoch grid) — the OpenTSDB whole-range
+    downsample ('0all-sum')."""
+    from dataclasses import replace
+
+    rows = [
+        ("m", 5, 1, HOST_A),
+        ("m", 100, 2, HOST_A),
+        ("m", 250, 4, HOST_A),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=300,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+        downsample=Downsample("0all", "sum"),
+    )
+    out = api_query(_pts(spark, rows), spec).collect()
+    assert [(r.host, r.w_start, r.value) for r in out] == [("a", 0, 7)]
+    # a non-epoch-aligned start anchors the bucket at start and
+    # excludes points before it
+    out2 = api_query(_pts(spark, rows), replace(spec, start=90)).collect()
+    assert [(r.w_start, r.value) for r in out2] == [(90, 6)]
+    # ppm avg over the single bucket
+    out3 = api_query(
+        _pts(spark, rows),
+        replace(spec, downsample=Downsample("0all", "avg")),
+    ).collect()
+    assert [(r.w_start, r.value) for r in out3] == [(0, 7 * 1_000_000 // 3)]
+    # fill spine degenerates to the single bucket (no crash, no extra
+    # rows): any observed series has its only bucket observed, so
+    # zero-fill is a structural no-op under 0all
+    out4 = api_query(
+        _pts(spark, rows),
+        replace(spec, downsample=Downsample("0all", "sum", "zero")),
+    ).collect()
+    assert [(r.w_start, r.value) for r in out4] == [(0, 7)]
+    # any time_shift is grid-safe for 0all (single bucket re-anchors)
+    out5 = api_query(
+        _pts(spark, rows), replace(spec, start=100, end=400, time_shift=100)
+    ).collect()
+    assert [(r.w_start, r.value) for r in out5] == [(100, 7)]
+
+
+def test_0all_tier_route(spark):
+    """A 0all range aligned to the tier's windows is served by
+    factor-window re-aggregation (== raw); an unaligned range refuses
+    under nofallback and runs raw under fallback_raw."""
+    from dataclasses import replace
+
+    from opentsdb_rollup_rust_spark.plans.api_query import build_tagged_tier
+
+    rows = [
+        ("m", t * 179 % 7200, (t * 13) % 400, HOST_A if t % 2 else HOST_B)
+        for t in range(200)
+    ]
+    pts = _pts(spark, rows)
+    tier = build_tagged_tier(pts, "1h")
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=7200,
+        aggregator="sum",
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("0all", "sum"),
+    )
+    want = {tuple(r) for r in api_query(pts, spec).collect()}
+    got = {
+        tuple(r)
+        for r in api_query(pts, spec, tier=tier, tier_interval="1h").collect()
+    }
+    assert got == want and got
+    unaligned = replace(spec, start=1800, end=7200)
+    with pytest.raises(ValueError, match="0all tier routing"):
+        api_query(pts, unaligned, tier=tier, tier_interval="1h")
+    raw = {tuple(r) for r in api_query(pts, unaligned).collect()}
+    fb = {
+        tuple(r)
+        for r in api_query(
+            pts,
+            replace(unaligned, rollup_usage="fallback_raw"),
+            tier=tier,
+            tier_interval="1h",
+        ).collect()
+    }
+    assert fb == raw
+
+
+def test_gexp_moving_average_and_sum_series(spark):
+    """movingAverage(k) is the ppm-quantized trailing-k mean per
+    output series (leading buckets average what exists, as Graphite
+    does); sumSeries collapses every series into one — a subsequent
+    selector sees a single ungrouped series and no-ops."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    pts = _pts(spark, _gexp_rows())
+    out = api_query_gexp(pts, _gexp_spec(), (("movingAverage", 2),))
+    got = {(r.host, r.w_start): r.value for r in out.collect()}
+    assert got[("a", 0)] == 90 * 1_000_000
+    assert got[("a", 60)] == (90 + 1) * 1_000_000 // 2
+    assert got[("c", 60)] == (10 + 60) * 1_000_000 // 2
+    out2 = api_query_gexp(pts, _gexp_spec(), (("sumSeries", None),))
+    assert out2.columns == ["w_start", "value"]
+    assert {(r.w_start, r.value) for r in out2.collect()} == {
+        (0, 150),
+        (60, 111),
+    }
+    out3 = api_query_gexp(
+        pts, _gexp_spec(), (("sumSeries", None), ("highestMax", 1))
+    )
+    assert {(r.w_start, r.value) for r in out3.collect()} == {
+        (0, 150),
+        (60, 111),
+    }
+
+
+def test_parse_query_json_tsuids_and_0all():
+    """The POST-body forms of the two new modes: a tsuids sub-query
+    (no metric) and a '0all-<agg>' downsample string."""
+    from opentsdb_rollup_rust_spark.plans.api_query import parse_query_json
+
+    [(spec, pm)] = parse_query_json(
+        {
+            "start": 0,
+            "end": 300,
+            "queries": [
+                {
+                    "tsuids": ["m|env=prod,host=a"],
+                    "aggregator": "none",
+                    "downsample": "0all-sum",
+                }
+            ],
+        }
+    )
+    assert spec.tsuids == ("m|env=prod,host=a",)
+    assert spec.metric == ""
+    assert spec.aggregator == "none"
+    assert spec.downsample == Downsample("0all", "sum", "none")
+    assert pm == ()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        parse_query_json(
+            {
+                "start": 0,
+                "end": 300,
+                "queries": [
+                    {
+                        "metric": "m",
+                        "tsuids": ["m|host=a"],
+                        "downsample": "1m-sum",
+                    }
+                ],
+            }
+        )
+    with pytest.raises(ValueError, match="neither metric nor tsuids"):
+        parse_query_json(
+            {"start": 0, "end": 300, "queries": [{"downsample": "1m-sum"}]}
+        )
