@@ -1904,6 +1904,81 @@ def _q_api_query_gexp_moving(spark, sf_dir):
     )
 
 
+def _q_api_query_dev(spark, sf_dir):
+    """Cross-series aggregator 'dev' ([OTSDB-AGG]) through the
+    composed endpoint: per rack, the population std-dev ACROSS that
+    rack's host series of their daily view sums — the A13
+    integer-power-sums rule lifted to stage 5 (the radicand
+    n*Σv² − (Σv)² is exact int64 in both engines, one IEEE sqrt, ppm
+    floor). groupBy rack because each rack carries 4 host series
+    (user_id % 12 determines % 3), so the deviation is over a real
+    population; groupBy host would degenerate to singletons."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="view",
+        start=start,
+        end=end,
+        aggregator="dev",
+        filters=(
+            TagFilter("regexp", "rack", "r.*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("1d", "sum", fill="none"),
+    )
+    return api_query(pts, spec)
+
+
+def _q_api_query_gexp_combine(spark, sf_dir):
+    """The gexp combiner family in one gate row, labeled by leg:
+    'diff' = diffSeries over the zero-filled hourly host sums (first
+    series by identity ascending — web0 — minus the sum of the other
+    eleven; exact int64), 'ratio' = divideSeries of exactly two hosts
+    (web2/web7 ppm integer ratio; buckets where the divisor is
+    missing or zero emit NULL, not an ANSI throw). The oracle
+    recomputes both legs direct from raw and unions them under the
+    same labels, so the hash pins the first-series ordering rule, the
+    rest-sum, the binary-ratio arithmetic, and the NULL edges."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_gexp,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    diff_spec = QuerySpec(
+        metric="view",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "*", group_by=True),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+        downsample=Downsample("1h", "sum", fill="zero"),
+    )
+    diff = api_query_gexp(pts, diff_spec, (("diffSeries", None),))
+    ratio_spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("literal_or", "host", "web2|web7", group_by=True),
+        ),
+        downsample=Downsample("1h", "sum", fill="none"),
+    )
+    ratio = api_query_gexp(pts, ratio_spec, (("divideSeries", None),))
+    return diff.select(F.lit("diff").alias("fn"), "w_start", "value").unionAll(
+        ratio.select(F.lit("ratio").alias("fn"), "w_start", "value")
+    )
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2478,6 +2553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_tsuid_none": _q_api_query_tsuid_none,
         "api_query_0all": _q_api_query_0all,
         "api_query_gexp_moving": _q_api_query_gexp_moving,
+        "api_query_dev": _q_api_query_dev,
+        "api_query_gexp_combine": _q_api_query_gexp_combine,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2539,18 +2616,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round via scripts/check_oracle.py). The r3-evidence keys that
     # no longer fit the 50 slots are front-of-line for r06:
     # rollup_fused, tok_topk, win_delta, win_moving, win_rank,
-    # win_rate, win_topk, and (displaced by this round's seventeen new
+    # win_rate, win_topk, and (displaced by this round's nineteen new
     # api_query keys) derive_points, filter_range, filter_retention,
     # filter_series, gapfill_ffill, gapfill_zero, join_anti,
     # join_broadcast, join_equi, join_range, join_semi, plus — after
-    # the session-5 trio — agg_first_last, agg_interp, agg_percentile.
+    # the session-5 trio — agg_first_last, agg_interp, agg_percentile,
+    # and — after the session-6 pair — agg_dev, agg_distinct.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
         # request envelope, percentile downsampler; session-3:
         # timeShift, gexp selectors, rollupUsage fallback; session-5:
         # tsuid sub-queries + aggregator none, 0all whole-range
-        # downsample, gexp movingAverage/sumSeries)
+        # downsample, gexp movingAverage/sumSeries; session-6: dev
+        # cross-series aggregator, gexp diffSeries/divideSeries)
+        "api_query_dev",
+        "api_query_gexp_combine",
         "api_query_tsuid_none",
         "api_query_0all",
         "api_query_gexp_moving",
@@ -3401,6 +3482,79 @@ def oracle_sql() -> dict[str, str]:
                    FROM f GROUP BY 1, 2, 3, 4)
             SELECT host, w_start, max(v)::BIGINT AS value
             FROM ds GROUP BY 1, 2""",
+        # cross-series dev: per rack, population std-dev across the
+        # rack's host series of daily view sums — the A13 power-sums
+        # rule verbatim (exact int64 radicand, one IEEE sqrt, ppm
+        # floor), so a hash match pins the whole float expression
+        "api_query_dev": f"""{_TAGGED_CTE},
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT)
+                           AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'view'
+                    AND regexp_matches(rack, '^(?:r.*)$')
+                    AND env IN ('prod')),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4)
+            SELECT rack, w_start,
+                   CASE WHEN count(v) = 0 THEN NULL
+                        ELSE CAST(FLOOR(1000000 *
+                             (sqrt((count(v)::BIGINT * sum(v*v)::BIGINT
+                                    - sum(v)::BIGINT * sum(v)::BIGINT)::DOUBLE)
+                              / count(v)::DOUBLE)) AS BIGINT) END AS value
+            FROM ds GROUP BY 1, 2""",
+        # gexp combiners, both legs under one hash: diff = min-host
+        # series minus the sum of the rest over the zero-filled hourly
+        # spine; ratio = web2/web7 ppm integer division with NULL on
+        # missing/zero divisor buckets
+        "api_query_gexp_combine": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/3600)*3600 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/3600)*3600 AS BIGINT) AS last_b
+                    FROM tp),
+            fd AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'view'
+                     AND lower(host) LIKE '%' AND env IN ('prod')),
+            dsd AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM fd GROUP BY 1, 2, 3, 4),
+            sdd AS (SELECT DISTINCT host, rack, env FROM dsd),
+            spd AS (SELECT sdd.host, sdd.rack, sdd.env, gs.w_start
+                    FROM sdd CROSS JOIN (
+                      SELECT unnest(generate_series(first_b, last_b, 3600))
+                             AS w_start FROM rng) gs),
+            fld AS (SELECT spd.host, spd.w_start,
+                           COALESCE(dsd.v, 0)::BIGINT AS v
+                    FROM spd LEFT JOIN dsd
+                      USING (host, rack, env, w_start)),
+            gd AS (SELECT host, w_start, sum(v)::BIGINT AS value
+                   FROM fld GROUP BY 1, 2),
+            lo AS (SELECT min(host) AS h FROM gd),
+            diffq AS (SELECT 'diff' AS fn, w_start,
+                             sum(CASE WHEN host = lo.h THEN value
+                                      ELSE -value END)::BIGINT AS value
+                      FROM gd, lo GROUP BY 1, 2),
+            fr AS (SELECT host,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'click' AND host IN ('web2', 'web7')),
+            dsr AS (SELECT host, w_start, sum(value)::BIGINT AS v
+                    FROM fr GROUP BY 1, 2),
+            d2 AS (SELECT w_start, v FROM dsr WHERE host = 'web2'),
+            d7 AS (SELECT w_start, v FROM dsr WHERE host = 'web7'),
+            ratioq AS (SELECT 'ratio' AS fn,
+                              COALESCE(d2.w_start, d7.w_start) AS w_start,
+                              CASE WHEN d7.v IS NULL OR d7.v = 0 THEN NULL
+                                   ELSE ((d2.v * 1000000) // d7.v)::BIGINT
+                              END AS value
+                       FROM d2 FULL OUTER JOIN d7
+                         ON d2.w_start = d7.w_start)
+            SELECT fn, w_start, value FROM diffq
+            UNION ALL
+            SELECT fn, w_start, value FROM ratioq""",
         # tsuids + aggregator none: the oracle REBUILDS the engine's
         # '<metric>|<sorted k=v>' tsuid strings from the deterministic
         # tag synthesis and selects the same three exact series, so

@@ -64,7 +64,11 @@ _DS_AGGS = ("sum", "count", "min", "max", "avg")
 #: "none" is OpenTSDB's no-cross-series-aggregation mode: every input
 #: series is returned as its own output series (the full sorted-k=v
 #: series identity becomes an output column named ``series``).
-_GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum", "none")
+#: "dev" is the population standard deviation across the group's
+#: series per bucket ([OTSDB-AGG] dev), computed via the A13
+#: integer-power-sums rule so both engines sqrt the identical exact
+#: int64 radicand.
+_GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum", "none", "dev")
 _FILLS = ("none", "zero", "null", "ffill", "linear")
 
 #: OpenTSDB 2.4 percentile downsamplers — ``p<permille>`` (p500 =
@@ -282,6 +286,18 @@ def _group_agg_expr(agg: str) -> Column:
         return F.min("v")
     if agg == "max":
         return F.max("v")
+    if agg == "dev":
+        # population std-dev across the group's series, the A13
+        # exactness rule: the radicand n*Σv² − (Σv)² is EXACT int64
+        # in both engines (domain: |v| < ~3e9 at n≤1000 series stays
+        # inside int64 — downsampled sums at this data scale; the
+        # standalone agg_dev carries the same bound), one
+        # deterministic IEEE sqrt, ppm floor. count 0 → NULL, as avg.
+        return F.expr(
+            f"CASE WHEN count(v) = 0 THEN NULL ELSE CAST(FLOOR("
+            f"sqrt(CAST(count(v)*sum(v*v) - sum(v)*sum(v) AS DOUBLE))"
+            f" / CAST(count(v) AS DOUBLE) * {Q_SCALE}) AS BIGINT) END"
+        )
     # a spine bucket where NO series of the group observed anything
     # (possible under the null/linear fill policies) has count 0 —
     # ANSI DIV would throw, OpenTSDB renders nothing: emit NULL
@@ -980,7 +996,10 @@ def api_query_exp(
 #: has: per-point transforms (scale, absolute), windowed transforms
 #: (movingAverage — mean of the trailing k buckets per series), and
 #: series selectors/combiners (highestMax, highestCurrent keep the k
-#: "loudest" series; sumSeries collapses every series into one)
+#: "loudest" series; sumSeries collapses every series into one;
+#: diffSeries = first series minus the sum of the rest; divideSeries
+#: = strictly-binary ppm ratio — series order is the group identity
+#: string ascending so two engines agree which is "first")
 #: ([OTSDB-API] /api/query/gexp).
 _GEXP_FUNCS = (
     "scale",
@@ -989,6 +1008,8 @@ _GEXP_FUNCS = (
     "highestMax",
     "highestCurrent",
     "sumSeries",
+    "diffSeries",
+    "divideSeries",
 )
 
 
@@ -1061,6 +1082,69 @@ def gexp_apply(
             out = out.groupBy("w_start").agg(
                 F.sum("value").cast("long").alias("value")
             )
+            group_tags = []
+        elif name in ("diffSeries", "divideSeries"):
+            # combiner family over the query's own output: the series
+            # ORDER is the group identity string ASCENDING (the
+            # selector tie-break rule), so both engines agree which
+            # series is first/the dividend. The roster is a 1-row
+            # aggregate of output-sized data, broadcast back — no
+            # shuffle of the stream, no driver collect.
+            if not group_tags:
+                raise ValueError(
+                    f"{name} needs grouped series: this output is a "
+                    "single ungrouped series"
+                )
+            roster = out.agg(
+                F.min(gstr).alias("_lo"),
+                F.max(gstr).alias("_hi"),
+                F.count_distinct(gstr).alias("_ng"),
+            )
+            joined = out.crossJoin(F.broadcast(roster))
+            if name == "diffSeries":
+                # first minus the sum of the rest ([GRAPHITE]
+                # diffSeries); a series with no value at a bucket
+                # (fill=none/null) contributes nothing, as in sum
+                out = joined.groupBy("w_start").agg(
+                    F.sum(
+                        F.when(
+                            gstr == F.col("_lo"), F.col("value")
+                        ).otherwise(-F.col("value"))
+                    )
+                    .cast("long")
+                    .alias("value")
+                )
+            else:
+                # divideSeries is strictly binary ([GRAPHITE]): the
+                # cardinality check rides the plan via raise_error —
+                # evaluated per bucket, errors iff a bucket executes
+                # with != 2 distinct series in the roster. ppm integer
+                # ratio; missing/zero divisor bucket → NULL, not an
+                # ANSI throw.
+                out = (
+                    joined.groupBy("w_start")
+                    .agg(
+                        F.max(
+                            F.when(gstr == F.col("_lo"), F.col("value"))
+                        ).alias("_num"),
+                        F.max(
+                            F.when(gstr == F.col("_hi"), F.col("value"))
+                        ).alias("_den"),
+                        F.first("_ng").alias("_ng"),
+                    )
+                    .select(
+                        "w_start",
+                        F.expr(
+                            "CASE WHEN _ng <> 2 THEN CAST(raise_error("
+                            "'divideSeries needs exactly 2 series, got '"
+                            " || CAST(_ng AS STRING)) AS BIGINT) "
+                            "WHEN _den IS NULL OR _den = 0 THEN NULL "
+                            f"ELSE (_num * {Q_SCALE}) DIV _den END"
+                        )
+                        .cast("long")
+                        .alias("value"),
+                    )
+                )
             group_tags = []
         elif name in ("highestMax", "highestCurrent"):
             k = int(arg)

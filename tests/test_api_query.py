@@ -1175,3 +1175,98 @@ def test_parse_query_json_tsuids_and_0all():
         parse_query_json(
             {"start": 0, "end": 300, "queries": [{"downsample": "1m-sum"}]}
         )
+
+
+def test_gexp_diff_series_first_minus_rest(spark):
+    """diffSeries = the FIRST series (group identity string ascending,
+    the selector tie-break rule) minus the sum of the rest; the group
+    dimension is gone afterwards. With hosts a/b/c: a - (b + c)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    pts = _pts(spark, _gexp_rows())
+    out = api_query_gexp(pts, _gexp_spec(), (("diffSeries", None),))
+    assert out.columns == ["w_start", "value"]
+    assert {(r.w_start, r.value) for r in out.collect()} == {
+        (0, 90 - (50 + 10)),
+        (60, 1 - (50 + 60)),
+    }
+
+
+def test_gexp_divide_series_binary_ppm_ratio(spark):
+    """divideSeries is strictly binary: dividend = first series
+    (identity ascending), ppm integer ratio, NULL where the divisor
+    bucket is missing or zero, and a runtime error — not a silent
+    wrong answer — when the sub-query yields != 2 series."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    rows = [
+        ("m", 0, 90, {"host": "a"}),
+        ("m", 60, 7, {"host": "a"}),
+        ("m", 120, 5, {"host": "a"}),
+        ("m", 0, 50, {"host": "b"}),
+        ("m", 120, 0, {"host": "b"}),  # zero divisor bucket
+        # b missing at 60 entirely (fill=none -> NULL ratio)
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=180,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a|b", group_by=True),),
+        downsample=Downsample("1m", "sum"),
+    )
+    out = api_query_gexp(_pts(spark, rows), spec, (("divideSeries", None),))
+    got = {r.w_start: r.value for r in out.collect()}
+    assert got == {
+        0: 90 * 1_000_000 // 50,
+        60: None,  # divisor bucket missing
+        120: None,  # divisor zero
+    }
+    # three series through divideSeries -> the raise_error branch
+    three = api_query_gexp(
+        _pts(spark, _gexp_rows()), _gexp_spec(), (("divideSeries", None),)
+    )
+    with pytest.raises(Exception, match="exactly 2 series"):
+        three.collect()
+    # ungrouped output refuses the combiner family loudly
+    nog = QuerySpec(
+        metric="m",
+        start=0,
+        end=180,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a|b"),),
+        downsample=Downsample("1m", "sum"),
+    )
+    with pytest.raises(ValueError, match="needs grouped series"):
+        api_query_gexp(_pts(spark, rows), nog, (("diffSeries", None),))
+
+
+def test_group_dev_aggregator_exact_power_sums(spark):
+    """aggregator 'dev' — population std-dev across the group's
+    series per bucket via the A13 integer-power-sums rule: the
+    radicand n*Σv² − (Σv)² is exact int64, one IEEE sqrt, ppm floor.
+    Pinned against the same expression evaluated in Python floats."""
+    import math
+
+    rows = [
+        ("m", 0, 10, {"host": "a", "env": "prod"}),
+        ("m", 0, 20, {"host": "b", "env": "prod"}),
+        ("m", 0, 40, {"host": "c", "env": "prod"}),
+        ("m", 60, 5, {"host": "a", "env": "prod"}),  # singleton bucket
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=120,
+        aggregator="dev",
+        filters=(TagFilter("literal_or", "env", "prod", group_by=True),),
+        downsample=Downsample("1m", "sum"),
+    )
+    got = {
+        r.w_start: r.value
+        for r in api_query(_pts(spark, rows), spec).collect()
+    }
+    # n=3, sx=70, sxx=2100 -> radicand 3*2100-4900 = 1400
+    assert got[0] == math.floor(math.sqrt(1400.0) / 3.0 * 1_000_000)
+    # a single-series bucket has dev 0 (radicand 1*25-25 = 0)
+    assert got[60] == 0
