@@ -1934,6 +1934,34 @@ def _q_api_query_dev(spark, sf_dir):
     return api_query(pts, spec)
 
 
+def _q_api_query_p50(spark, sf_dir):
+    """Cross-series percentile aggregator through the composed
+    endpoint: per env, the MEDIAN (p500 in the repo's permille
+    spelling of OpenTSDB's p50 family) of that env's ~12 host-series
+    daily view sums — the A9 exact discrete-rank rule at stage 5
+    (value at rank ceil(n*500/1000) of the sorted observed values,
+    integer ceil, rank-based row_number + filter, never
+    collect_list). The oracle runs the identical rank arithmetic, so
+    the hash pins the rank formula, the tie semantics, and the
+    skip-missing policy."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="view",
+        start=start,
+        end=end,
+        aggregator="p500",
+        filters=(TagFilter("iwildcard", "env", "*", group_by=True),),
+        downsample=Downsample("1d", "sum", fill="none"),
+    )
+    return api_query(pts, spec)
+
+
 def _q_api_query_gexp_combine(spark, sf_dir):
     """The gexp combiner family in one gate row, labeled by leg:
     'diff' = diffSeries over the zero-filled hourly host sums (first
@@ -2554,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_0all": _q_api_query_0all,
         "api_query_gexp_moving": _q_api_query_gexp_moving,
         "api_query_dev": _q_api_query_dev,
+        "api_query_p50": _q_api_query_p50,
         "api_query_gexp_combine": _q_api_query_gexp_combine,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
@@ -2621,16 +2650,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter_series, gapfill_ffill, gapfill_zero, join_anti,
     # join_broadcast, join_equi, join_range, join_semi, plus — after
     # the session-5 trio — agg_first_last, agg_interp, agg_percentile,
-    # and — after the session-6 pair — agg_dev, agg_distinct.
+    # and — after the session-6 trio — udaf_hist, agg_dev,
+    # agg_distinct.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
         # request envelope, percentile downsampler; session-3:
         # timeShift, gexp selectors, rollupUsage fallback; session-5:
         # tsuid sub-queries + aggregator none, 0all whole-range
-        # downsample, gexp movingAverage/sumSeries; session-6: dev
-        # cross-series aggregator, gexp diffSeries/divideSeries)
+        # downsample, gexp movingAverage/sumSeries; session-6: dev /
+        # p<permille> / mimmin/mimmax cross-series aggregators, gexp
+        # diffSeries/divideSeries)
         "api_query_dev",
+        "api_query_p50",
         "api_query_gexp_combine",
         "api_query_tsuid_none",
         "api_query_0all",
@@ -3504,6 +3536,25 @@ def oracle_sql() -> dict[str, str]:
                                     - sum(v)::BIGINT * sum(v)::BIGINT)::DOUBLE)
                               / count(v)::DOUBLE)) AS BIGINT) END AS value
             FROM ds GROUP BY 1, 2""",
+        # cross-series p500: the A9 discrete-rank rule at stage 5 —
+        # value at rank ceil(n*500/1000) of each (env, day) bucket's
+        # sorted per-series sums, integer rank arithmetic mirrored
+        "api_query_p50": f"""{_TAGGED_CTE},
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT)
+                           AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'view' AND lower(env) LIKE '%'),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            ranked AS (SELECT env, w_start, v,
+                              row_number() OVER (PARTITION BY env, w_start
+                                                 ORDER BY v) AS rn,
+                              count(v) OVER (PARTITION BY env, w_start) AS n
+                       FROM ds)
+            SELECT env, w_start, v::BIGINT AS value
+            FROM ranked WHERE rn = (n * 500 + 999) // 1000""",
         # gexp combiners, both legs under one hash: diff = min-host
         # series minus the sum of the rest over the zero-filled hourly
         # spine; ratio = web2/web7 ppm integer division with NULL on

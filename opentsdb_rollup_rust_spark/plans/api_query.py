@@ -67,8 +67,24 @@ _DS_AGGS = ("sum", "count", "min", "max", "avg")
 #: "dev" is the population standard deviation across the group's
 #: series per bucket ([OTSDB-AGG] dev), computed via the A13
 #: integer-power-sums rule so both engines sqrt the identical exact
-#: int64 radicand.
-_GROUP_AGGS = ("sum", "count", "min", "max", "avg", "zimsum", "none", "dev")
+#: int64 radicand. mimmin/mimmax are OpenTSDB's non-interpolating
+#: min/max — in this engine's bucketed model a missing series simply
+#: has no row, so they coincide with min/max (the A18 rule). The
+#: percentile aggregators (p500 = median, p950, p999 — the repo's
+#: permille spelling of OpenTSDB's p50/p95/p99.9 family) are accepted
+#: via _P_RE and computed by the A9 exact discrete-rank rule.
+_GROUP_AGGS = (
+    "sum",
+    "count",
+    "min",
+    "max",
+    "avg",
+    "zimsum",
+    "mimmin",
+    "mimmax",
+    "none",
+    "dev",
+)
 _FILLS = ("none", "zero", "null", "ffill", "linear")
 
 #: OpenTSDB 2.4 percentile downsamplers — ``p<permille>`` (p500 =
@@ -202,7 +218,9 @@ def _validate(spec: QuerySpec) -> None:
     if spec.downsample.fill not in _FILLS:
         raise ValueError(f"unknown fill policy {spec.downsample.fill!r}")
     if spec.aggregator not in _GROUP_AGGS:
-        raise ValueError(f"unknown aggregator {spec.aggregator!r}")
+        pm = _P_RE.match(spec.aggregator)
+        if not pm or not (1 <= int(pm.group(1)) <= 999):
+            raise ValueError(f"unknown aggregator {spec.aggregator!r}")
     if not (spec.end > spec.start):
         raise ValueError("end must be > start")
     sec = _ds_seconds(spec)  # raises KeyError on unknown interval
@@ -282,9 +300,11 @@ def _group_agg_expr(agg: str) -> Column:
         return F.sum("v")
     if agg == "count":
         return F.count("v")
-    if agg == "min":
+    if agg in ("min", "mimmin"):
+        # mimmin == min here: a missing series contributes no row in
+        # the bucketed model, exactly mim*'s skip-missing policy (A18)
         return F.min("v")
-    if agg == "max":
+    if agg in ("max", "mimmax"):
         return F.max("v")
     if agg == "dev":
         # population std-dev across the group's series, the A13
@@ -763,6 +783,7 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
     # collapse: every series passes through as its own output series,
     # its full sorted-k=v identity exposed as the ``series`` column —
     # no shuffle is added (the frame is already per-series).
+    pm = _P_RE.match(spec.aggregator)
     if spec.aggregator == "none":
         grouped = per_series.select(
             *group_tags,
@@ -771,6 +792,41 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
             F.col("v").cast("long").alias("value"),
         )
         out_dims = [*group_tags, "series"]
+    elif pm:
+        # percentile aggregator across the group's series (the A9
+        # exact discrete-rank rule): the value at rank
+        # ceil(n * permille / 1000) of the bucket's sorted observed
+        # values — integer ceil, no interpolation-float ambiguity.
+        # Rank-based (row_number + filter), never collect_list: the
+        # per-bucket sort is a spillable WindowExec bounded by the
+        # group's series count. NULL fills are excluded (a missing
+        # series contributes nothing, OpenTSDB's skip policy); a
+        # bucket with zero observations vanishes rather than erroring.
+        # The value AT a rank is well-defined under ties, so
+        # nondeterministic tie order cannot change the result.
+        permille = int(pm.group(1))
+        obs = per_series.where(F.col("v").isNotNull())
+        wr_ = Window.partitionBy(*group_tags, "w_start").orderBy("v")
+        wn_ = Window.partitionBy(*group_tags, "w_start")
+        grouped = (
+            obs.select(
+                *group_tags,
+                "w_start",
+                "v",
+                F.row_number().over(wr_).alias("_rn"),
+                F.count("v").over(wn_).alias("_n"),
+            )
+            .where(
+                F.col("_rn")
+                == F.expr(f"(_n * {permille} + 999) DIV 1000")
+            )
+            .select(
+                *group_tags,
+                "w_start",
+                F.col("v").cast("long").alias("value"),
+            )
+        )
+        out_dims = list(group_tags)
     else:
         grouped = per_series.groupBy(*group_tags, "w_start").agg(
             _group_agg_expr(spec.aggregator).cast("long").alias("value")
@@ -1560,6 +1616,17 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
                 reset_value=ro.get("resetValue"),
                 drop_resets=bool(ro.get("dropResets", False)),
             )
+        agg = q.get("aggregator", "sum")
+        # OpenTSDB spells its percentile aggregators in PERCENT
+        # (p50, p75, p90, p95, p99, and p999 meaning 99.9) — translate
+        # to the engine's 3-digit permille form (p500, ..., p999)
+        agg = {
+            "p50": "p500",
+            "p75": "p750",
+            "p90": "p900",
+            "p95": "p950",
+            "p99": "p990",
+        }.get(agg, agg)
         shift = q.get("timeShift", q.get("timeshift"))
         usage = q.get("rollupUsage", "nofallback")
         usage = {
@@ -1579,7 +1646,7 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
             metric=q.get("metric", ""),
             start=doc["start"],
             end=doc["end"],
-            aggregator=q.get("aggregator", "sum"),
+            aggregator=agg,
             filters=filters,
             explicit_tags=bool(q.get("explicitTags", False)),
             downsample=_parse_downsample(q["downsample"]),

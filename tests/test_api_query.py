@@ -1270,3 +1270,68 @@ def test_group_dev_aggregator_exact_power_sums(spark):
     assert got[0] == math.floor(math.sqrt(1400.0) / 3.0 * 1_000_000)
     # a single-series bucket has dev 0 (radicand 1*25-25 = 0)
     assert got[60] == 0
+
+
+def test_percentile_and_mim_group_aggregators(spark):
+    """Cross-series percentile aggregators (p<permille>, the A9 exact
+    discrete-rank rule: value at rank ceil(n*pm/1000) of the bucket's
+    sorted observed values) and the mimmin/mimmax aliases — in the
+    bucketed model a missing series has no row, so mim* == min/max."""
+    rows = [
+        ("m", 0, 10, {"host": "a", "env": "prod"}),
+        ("m", 0, 20, {"host": "b", "env": "prod"}),
+        ("m", 0, 30, {"host": "c", "env": "prod"}),
+        ("m", 0, 40, {"host": "d", "env": "prod"}),
+        ("m", 60, 5, {"host": "a", "env": "prod"}),  # lone observation
+    ]
+
+    def run(agg):
+        spec = QuerySpec(
+            metric="m",
+            start=0,
+            end=120,
+            aggregator=agg,
+            filters=(TagFilter("literal_or", "env", "prod", group_by=True),),
+            downsample=Downsample("1m", "sum"),
+        )
+        return {
+            (r.env, r.w_start): r.value
+            for r in api_query(_pts(spark, rows), spec).collect()
+        }
+
+    # ranks over n=4: p500 -> ceil(2.0)=2 -> 20; p999 -> ceil(3.996)=4
+    assert run("p500") == {("prod", 0): 20, ("prod", 60): 5}
+    assert run("p999") == {("prod", 0): 40, ("prod", 60): 5}
+    assert run("mimmin") == {("prod", 0): 10, ("prod", 60): 5}
+    assert run("mimmax") == {("prod", 0): 40, ("prod", 60): 5}
+    with pytest.raises(ValueError, match="unknown aggregator"):
+        run("p1234")
+
+
+def test_parse_query_json_percent_aggregator_names():
+    """OpenTSDB spells percentile aggregators in percent (p95, p999
+    = 99.9); the parser translates to the engine's permille form."""
+    from opentsdb_rollup_rust_spark.plans.api_query import parse_query_json
+
+    def agg_of(name):
+        [(spec, _)] = parse_query_json(
+            {
+                "start": 0,
+                "end": 300,
+                "queries": [
+                    {
+                        "metric": "m",
+                        "aggregator": name,
+                        "downsample": "1m-sum",
+                    }
+                ],
+            }
+        )
+        return spec.aggregator
+
+    assert agg_of("p50") == "p500"
+    assert agg_of("p99") == "p990"
+    assert agg_of("p999") == "p999"  # already permille-exact
+    assert agg_of("mimmax") == "mimmax"
+    with pytest.raises(ValueError, match="unknown aggregator"):
+        agg_of("p12345")
