@@ -1151,6 +1151,12 @@ def gexp_apply(
                     f"{name} needs grouped series: this output is a "
                     "single ungrouped series"
                 )
+            # roster + stream both consume `out`: without a persist
+            # the whole upstream composition (raw scan included) runs
+            # twice — the same column-pruning-diverges-the-branches
+            # reuse failure the fill spine hit (see api_query_finish).
+            # |groups x buckets| rows: lazy, evictable, output-sized.
+            out = out.persist()
             roster = out.agg(
                 F.min(gstr).alias("_lo"),
                 F.max(gstr).alias("_hi"),
@@ -1208,6 +1214,10 @@ def gexp_apply(
                 raise ValueError(f"{name} needs k >= 1")
             if not group_tags:
                 continue  # a single ungrouped series is trivially the top-1
+            # ranking + semi-join both consume `out` — persist the
+            # output-sized frame so the upstream composition (raw
+            # scan included) runs once, as in the combiner branch
+            out = out.persist()
             per_group = out.groupBy(*group_tags)
             if name == "highestMax":
                 ranked = per_group.agg(F.max("value").alias("_m"))
