@@ -1335,3 +1335,36 @@ def test_parse_query_json_percent_aggregator_names():
     assert agg_of("mimmax") == "mimmax"
     with pytest.raises(ValueError, match="unknown aggregator"):
         agg_of("p12345")
+
+
+def test_single_scan_persists_pinned_in_plan(spark):
+    """The two reuse-failure fixes stay fixed: with fill on, the
+    spine/probe branches must read the persisted per-series frame
+    (InMemoryTableScan), and a gexp selector/combiner must read its
+    persisted output rather than recomputing the composition — column
+    pruning diverges the branches, so without the persists the raw
+    scan runs twice (verified during development; this pins it)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    rows = [
+        ("m", 0, 10, HOST_A),
+        ("m", 60, 16, HOST_A),
+        ("m", 0, 50, HOST_B),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=120,
+        aggregator="sum",
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("1m", "sum", fill="zero"),
+    )
+    filled = api_query(_pts(spark, rows), spec)
+    filled.write.format("noop").mode("overwrite").save()
+    plan = filled._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2  # spine dim + probe
+
+    sel = api_query_gexp(_pts(spark, rows), spec, (("highestMax", 1),))
+    sel.write.format("noop").mode("overwrite").save()
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # ranking + semi-join share it
