@@ -1368,3 +1368,41 @@ def test_single_scan_persists_pinned_in_plan(spark):
     sel.write.format("noop").mode("overwrite").save()
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan  # ranking + semi-join share it
+
+
+def test_hist_tsuid_and_0all_modes(spark):
+    """The histogram endpoint supports both session-5 sub-query modes:
+    a tsuid list selects exact series whose HISTOGRAMS merge, and the
+    0all downsample collapses the whole range into one start-anchored
+    bucket. Hand-computed over three series: the tsuid pair
+    contributes values 1,1,8 (rank ceil(3*0.95)=3 -> bucket 4) while
+    the excluded series' 100s would have pushed the percentile up —
+    the exclusion is observable."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_hist
+
+    a0 = {"host": "a", "rack": "r0"}
+    a1 = {"host": "a", "rack": "r1"}
+    b0 = {"host": "b", "rack": "r0"}
+    pts = _pts(
+        spark,
+        [
+            ("m", 30, 1, a0),
+            ("m", 90, 1, a0),
+            ("m", 100, 8, a1),
+            ("m", 40, 100, b0),  # excluded by the tsuid list
+            ("m", 95, 100, b0),
+        ],
+    )
+    spec = QuerySpec(
+        metric="",
+        start=30,
+        end=130,
+        downsample=Downsample("0all", "sum"),
+        tsuids=("m|host=a,rack=r0", "m|host=a,rack=r1"),
+    )
+    out = api_query_hist(pts, spec, (950,)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # one whole-range bucket anchored at start=30; merged counts 3
+    assert r.w_start == 30 and r.total == 3
+    assert r.bucket == 4 and r.est_max == 15  # value 8 -> msb bucket 4
