@@ -127,7 +127,10 @@ def tag_filter_rollup(
         pred = e if pred is None else (pred & e)
     filtered = points.where(pred) if pred is not None else points
 
-    group_tags = [f.tagk for f in filters if f.group_by]
+    # order-preserving dedup: two filters on one tagk (both
+    # groupBy) are one output dimension (plans/api_query
+    # _group_tag_keys rule)
+    group_tags = list(dict.fromkeys(f.tagk for f in filters if f.group_by))
     # narrow projection BEFORE the shuffle: extracted groupBy tag
     # strings + window + value; the map column never reaches the agg
     w_start = (

@@ -186,6 +186,21 @@ class QuerySpec:
     tsuids: tuple[str, ...] = ()
 
 
+#: column names a groupBy tagk may not shadow: endpoint outputs,
+#: per-stage intermediates (raw + tier + histogram paths), and the
+#: gexp/exp working columns. Legal OpenTSDB tag names like "value"
+#: are rejected loudly at _validate rather than failing mid-plan.
+_RESERVED_DIM_NAMES = frozenset(
+    {
+        "value", "w_start", "v", "series", "_series", "ts",
+        "sum", "count", "min", "max", "bucket", "n", "interval",
+        "permille", "est_max", "total", "query", "group_tags",
+        "_rn", "_n", "_delta", "_dt", "_m", "_lo", "_hi", "_ng",
+        "_ms", "_mc", "_num", "_den",
+    }
+)
+
+
 def _is_0all(spec: QuerySpec) -> bool:
     return spec.downsample is not None and spec.downsample.interval == "0all"
 
@@ -199,6 +214,83 @@ def _ds_seconds(spec: QuerySpec) -> int:
     if _is_0all(spec):
         return spec.end - spec.start
     return resolve_interval_seconds(spec.downsample.interval)
+
+
+def _series_and_pred(
+    spec: QuerySpec, tags: Column, metric_col: str
+) -> tuple[Column, Column]:
+    """Per-row series identity + row predicate for the two sub-query
+    modes, shared by api_query and api_query_hist: metric+filters
+    (series = sorted tags; metric a constant equality, tag filters one
+    codegen'd map expression) vs tsuids (series = the full
+    '<metric>|<sorted tags>' TSUID string; predicate = membership in
+    the listed set)."""
+    if spec.tsuids:
+        series_expr = F.concat_ws("|", F.col(metric_col), _series_key(tags))
+        return series_expr, series_expr.isin(*spec.tsuids)
+    p = F.col(metric_col) == F.lit(spec.metric)
+    for f in spec.filters:
+        p = p & compile_tag_filter(tags, f)
+    if spec.explicit_tags and spec.filters:
+        p = p & explicit_tags_predicate(tags, list(spec.filters))
+    return _series_key(tags), p
+
+
+def _bucket_expr(spec: QuerySpec, sec: int, ts_sec_expr: Column) -> Column:
+    """Window-start expression. 0all: ONE bucket spanning the whole
+    range, anchored at the query start (OpenTSDB's 0all alignment),
+    not the epoch grid."""
+    if _is_0all(spec):
+        return F.lit(spec.start).cast("long")
+    return F.floor(ts_sec_expr / F.lit(sec)).cast("long") * F.lit(sec)
+
+
+def _choose_tier(
+    spec: QuerySpec,
+    sec: int,
+    tier: DataFrame | None,
+    tier_interval: str | None,
+    tiers,
+    pre_reason: str | None = None,
+):
+    """Tier-list selection shared by api_query and api_query_hist:
+    normalize the legacy single-tier form, compute the alignment
+    refusal reasons (0all needs [start, end) aligned to the BEST-MATCH
+    tier — a finer-but-aligned fallback candidate is refused
+    conservatively rather than special-cased; epoch-grid intervals
+    need a bucket-aligned range), and apply the rollup_usage policy
+    via select_rollup_tier (which raises loudly under nofallback).
+    ``pre_reason`` carries a caller-specific refusal that takes
+    precedence (api_query's non-decomposable downsample aggregator).
+    Returns the chosen tier DataFrame, or None for the raw path."""
+    if tier is not None and tiers:
+        raise ValueError("pass either tier/tier_interval or tiers, not both")
+    if tier is not None:
+        tiers = [(tier, tier_interval)]
+    if not tiers:
+        return None
+    spec_reason = pre_reason
+    if spec_reason is None:
+        if _is_0all(spec):
+            best = max(resolve_interval_seconds(iv) for _, iv in tiers)
+            if spec.start % best or spec.end % best:
+                spec_reason = (
+                    "0all tier routing needs [start, end) aligned to "
+                    f"the best-match tier interval {best}s: "
+                    f"[{spec.start}, {spec.end}) is not"
+                )
+        elif spec.start % sec or spec.end % sec:
+            spec_reason = (
+                "tier-routed queries need a bucket-aligned range: "
+                f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
+            )
+    chosen = select_rollup_tier(
+        [resolve_interval_seconds(iv) for _, iv in tiers],
+        sec,
+        spec.rollup_usage,
+        spec_reason,
+    )
+    return tiers[chosen][0] if chosen is not None else None
 
 
 def _validate(spec: QuerySpec) -> None:
@@ -224,6 +316,14 @@ def _validate(spec: QuerySpec) -> None:
     if not (spec.end > spec.start):
         raise ValueError("end must be > start")
     sec = _ds_seconds(spec)  # raises KeyError on unknown interval
+    if sec <= 0:
+        # parse_duration_seconds accepts "0m"/"0s" (\d+ matches 0);
+        # refuse loudly here instead of crashing later with a
+        # ZeroDivisionError in the shift-alignment check
+        raise ValueError(
+            f"downsample interval must be > 0s, got {sec}s "
+            f"({spec.downsample.interval!r})"
+        )
     if spec.time_shift < 0:
         raise ValueError("time_shift must be >= 0 (shift back in time)")
     if spec.time_shift % sec and not _is_0all(spec):
@@ -236,6 +336,18 @@ def _validate(spec: QuerySpec) -> None:
         )
     if spec.rollup_usage not in _ROLLUP_USAGE:
         raise ValueError(f"unknown rollup_usage {spec.rollup_usage!r}")
+    reserved = _RESERVED_DIM_NAMES.intersection(
+        f.tagk for f in spec.filters if f.group_by
+    )
+    if reserved:
+        # a groupBy tagk becomes an output column next to the plan's
+        # own columns; a collision (e.g. tagk "value") would raise
+        # AMBIGUOUS_REFERENCE mid-plan or silently bind the wrong
+        # column — reject at the spec boundary (the asof_join rule)
+        raise ValueError(
+            f"groupBy tag key(s) {sorted(reserved)} collide with "
+            "engine output/internal column names"
+        )
     if spec.tsuids:
         # OpenTSDB: tsuids and metric/filters are mutually exclusive
         # sub-query modes
@@ -279,6 +391,18 @@ def _series_key(tags: Column) -> Column:
     )
 
 
+def _ppm_div(num: str, den: str) -> str:
+    """Pure-int64 FLOOR-division SQL fragment. Spark's DIV truncates
+    toward zero, but the module's ppm discipline (and every DuckDB
+    oracle's ``//``) is FLOOR — they differ by 1 ulp on negative
+    quotients. pmod is the floored modulus (sign of the divisor), so
+    (num - pmod(num, den)) is exactly divisible and DIV of it IS the
+    floor, for either divisor sign. Identical aggregate calls inside
+    one expression collapse to a single buffer, so ``num`` appearing
+    twice costs nothing."""
+    return f"((({num}) - pmod(({num}), ({den}))) DIV ({den}))"
+
+
 def _ds_agg_expr(agg: str) -> Column:
     if agg == "sum":
         return F.sum("value")
@@ -289,7 +413,7 @@ def _ds_agg_expr(agg: str) -> Column:
     if agg == "max":
         return F.max("value")
     # avg, ppm-quantized in pure int64 (sum*1e6 then integer floor-div)
-    return F.expr(f"(sum(value) * {Q_SCALE}) DIV count(value)")
+    return F.expr(_ppm_div(f"sum(value) * {Q_SCALE}", "count(value)"))
 
 
 def _group_agg_expr(agg: str) -> Column:
@@ -323,7 +447,7 @@ def _group_agg_expr(agg: str) -> Column:
     # ANSI DIV would throw, OpenTSDB renders nothing: emit NULL
     return F.expr(
         f"CASE WHEN count(v) = 0 THEN NULL "
-        f"ELSE (sum(v) * {Q_SCALE}) DIV count(v) END"
+        f"ELSE {_ppm_div(f'sum(v) * {Q_SCALE}', 'count(v)')} END"
     )
 
 
@@ -389,7 +513,7 @@ def _tier_ds_agg_expr(agg: str) -> Column:
         return F.min("min")
     if agg == "max":
         return F.max("max")
-    return F.expr(f"(sum(sum) * {Q_SCALE}) DIV sum(count)")
+    return F.expr(_ppm_div(f"sum(sum) * {Q_SCALE}", "sum(count)"))
 
 
 def select_rollup_tier(
@@ -506,94 +630,41 @@ def api_query(
 
     tags = F.col(tags_col)
 
-    group_tags = [f.tagk for f in spec.filters if f.group_by]
+    group_tags = _group_tag_keys(spec)
 
-    # the per-row series identity and the row predicate differ between
-    # the two sub-query modes: metric+filters (series = sorted tags;
-    # metric is a constant equality) vs tsuids (series = the full
-    # '<metric>|<sorted tags>' TSUID string; predicate = set member)
-    if spec.tsuids:
-        series_expr = F.concat_ws(
-            "|", F.col(metric_col), _series_key(tags)
-        )
+    series_expr, row_pred = _series_and_pred(spec, tags, metric_col)
 
-        def _row_pred() -> Column:
-            return series_expr.isin(*spec.tsuids)
-
-    else:
-        series_expr = _series_key(tags)
-
-        def _row_pred() -> Column:
-            p = F.col(metric_col) == F.lit(spec.metric)
-            for f in spec.filters:
-                p = p & compile_tag_filter(tags, f)
-            if spec.explicit_tags and spec.filters:
-                p = p & explicit_tags_predicate(tags, list(spec.filters))
-            return p
-
-    if tier is not None and tiers:
-        raise ValueError("pass either tier/tier_interval or tiers, not both")
-    if tier is not None:
-        tiers = [(tier, tier_interval)]
-    tier = None
-    if tiers:
-        # rollupUsage ([OTSDB-ROLLUP] 2.4): under the default
-        # nofallback a silently-paid raw scan is exactly the 100 TB
-        # surprise the refusal exists to prevent; fallback walks the
-        # supplied tiers coarsest-first; fallback_raw makes the raw
-        # path an EXPLICIT opt-in.
-        spec_reason = None
-        if ds.aggregator not in _TIER_ROUTABLE:
-            spec_reason = (
-                f"downsample aggregator {ds.aggregator!r} is not "
-                "answerable from a sum/count/min/max tier"
-            )
-        elif _is_0all(spec):
-            # 0all's single bucket is [start, end) itself; tier rows
-            # recombine exactly iff the RANGE is aligned to the tier's
-            # windows. Alignment is tier-dependent, so check the
-            # best-match (coarsest) tier — the only one nofallback may
-            # use; a finer-but-aligned fallback candidate is refused
-            # conservatively (loudly) rather than special-cased.
-            best = max(resolve_interval_seconds(iv) for _, iv in tiers)
-            if spec.start % best or spec.end % best:
-                spec_reason = (
-                    "0all tier routing needs [start, end) aligned to "
-                    f"the best-match tier interval {best}s: "
-                    f"[{spec.start}, {spec.end}) is not"
-                )
-        elif spec.start % sec or spec.end % sec:
-            spec_reason = (
-                "tier-routed queries need a bucket-aligned range: "
-                f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
-            )
-        chosen = select_rollup_tier(
-            [resolve_interval_seconds(iv) for _, iv in tiers],
-            sec,
-            spec.rollup_usage,
-            spec_reason,
-        )
-        if chosen is not None:
-            tier = tiers[chosen][0]
-
-    def _bucket(ts_sec_expr: Column) -> Column:
-        # 0all: ONE bucket spanning the whole range, anchored at the
-        # query start (OpenTSDB's 0all alignment), not the epoch grid
-        if _is_0all(spec):
-            return F.lit(spec.start).cast("long")
-        return F.floor(ts_sec_expr / F.lit(sec)).cast("long") * F.lit(sec)
+    # rollupUsage ([OTSDB-ROLLUP] 2.4): under the default nofallback a
+    # silently-paid raw scan is exactly the 100 TB surprise the
+    # refusal exists to prevent; fallback walks the supplied tiers
+    # coarsest-first; fallback_raw makes the raw path an EXPLICIT
+    # opt-in. The non-decomposable-aggregator reason takes precedence
+    # over alignment reasons.
+    tier = _choose_tier(
+        spec,
+        sec,
+        tier,
+        tier_interval,
+        tiers,
+        pre_reason=(
+            f"downsample aggregator {ds.aggregator!r} is not "
+            "answerable from a sum/count/min/max tier"
+            if ds.aggregator not in _TIER_ROUTABLE
+            else None
+        ),
+    )
 
     if tier is not None:
         # --- 1+2 on tier rows: every tier window inside an aligned
         # range is FULLY inside, so plain w_start bounds are exact
-        pred = _row_pred() & (
+        pred = row_pred & (
             (F.col("w_start") >= F.lit(spec.start))
             & (F.col("w_start") < F.lit(spec.end))
         )
         narrow = tier.where(pred).select(
             *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
             series_expr.alias("_series"),
-            _bucket(F.col("w_start")).alias("w_start"),
+            _bucket_expr(spec, sec, F.col("w_start")).alias("w_start"),
             "sum",
             "count",
             "min",
@@ -608,7 +679,7 @@ def api_query(
         # --- 1. filtering: metric + range are plain column predicates
         # (pushdown-eligible); tag filters compile to one codegen'd map
         # expression (operators/tagquery.py)
-        pred = _row_pred() & (
+        pred = row_pred & (
             (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
         )
 
@@ -617,7 +688,7 @@ def api_query(
         narrow = points.where(pred).select(
             *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
             series_expr.alias("_series"),
-            _bucket(ts_sec).alias("w_start"),
+            _bucket_expr(spec, sec, ts_sec).alias("w_start"),
             F.col(value_col).alias("value"),
         )
 
@@ -872,7 +943,12 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
 
 
 def _group_tag_keys(spec: QuerySpec) -> list[str]:
-    return [f.tagk for f in spec.filters if f.group_by]
+    """GroupBy tag keys in filter order, deduplicated: two filters on
+    the same tagk (e.g. wildcard + not_literal_or, both groupBy) are
+    one output dimension — without the dedup the narrow select would
+    alias the column twice and every downstream groupBy would raise
+    AMBIGUOUS_REFERENCE on a legal OpenTSDB query."""
+    return list(dict.fromkeys(f.tagk for f in spec.filters if f.group_by))
 
 
 def _out_dim_keys(spec: QuerySpec) -> list[str]:
@@ -1015,7 +1091,17 @@ def api_query_exp(
             )
         if (q.start, q.end) != (first.start, first.end):
             raise ValueError(f"sub-query {n!r} has a different time range")
-        if q.downsample.interval != first.downsample.interval:
+        if q.downsample is None:
+            raise ValueError(f"sub-query {n!r} has no downsample")
+        # compare RESOLVED seconds, not interval spellings: "1h" and
+        # "3600s" are the same grid and must not be refused. An
+        # unresolvable spelling falls back to the string comparison —
+        # api_query itself raises the KeyError for it later.
+        try:
+            same = _ds_seconds(q) == _ds_seconds(first)
+        except KeyError:
+            same = q.downsample.interval == first.downsample.interval
+        if not same:
             raise ValueError(f"sub-query {n!r} has a different downsample interval")
 
     streams = [
@@ -1126,7 +1212,7 @@ def gexp_apply(
                     # ANSI division error
                     F.expr(
                         f"CASE WHEN _mc = 0 THEN NULL "
-                        f"ELSE (_ms * {Q_SCALE}) DIV _mc END"
+                        f"ELSE {_ppm_div(f'_ms * {Q_SCALE}', '_mc')} END"
                     ).cast("long"),
                 )
                 .drop("_ms", "_mc")
@@ -1201,7 +1287,7 @@ def gexp_apply(
                             "'divideSeries needs exactly 2 series, got '"
                             " || CAST(_ng AS STRING)) AS BIGINT) "
                             "WHEN _den IS NULL OR _den = 0 THEN NULL "
-                            f"ELSE (_num * {Q_SCALE}) DIV _den END"
+                            f"ELSE {_ppm_div(f'_num * {Q_SCALE}', '_den')} END"
                         )
                         .cast("long")
                         .alias("value"),
@@ -1218,12 +1304,21 @@ def gexp_apply(
             # output-sized frame so the upstream composition (raw
             # scan included) runs once, as in the combiner branch
             out = out.persist()
-            per_group = out.groupBy(*group_tags)
+            # rank over NON-NULL values only: under the null/linear
+            # fill policies a range ending after the last observation
+            # makes every group's final spine bucket NULL, and
+            # max_by(value, w_start) would rank every group by that
+            # NULL — "current" means the last OBSERVED value
+            # (Graphite's highestCurrent rule). Groups with no
+            # observed value at all drop out of the ranking.
+            per_group = out.where(F.col("value").isNotNull()).groupBy(
+                *group_tags
+            )
             if name == "highestMax":
                 ranked = per_group.agg(F.max("value").alias("_m"))
             else:
                 # highestCurrent: the value at each group's LAST
-                # bucket — max_by is a single-pass agg, no window
+                # non-null bucket — max_by is a single-pass agg
                 ranked = per_group.agg(
                     F.expr("max_by(value, w_start)").alias("_m")
                 )
@@ -1383,62 +1478,16 @@ def api_query_hist(
     tags = F.col(tags_col)
     group_tags = _group_tag_keys(spec)
 
-    # same two sub-query modes as api_query: metric+filters, or a
-    # tsuid list (here the listed series' HISTOGRAMS merge — exactly
-    # what histogram metrics are for)
-    if spec.tsuids:
-        _sid = F.concat_ws("|", F.col(metric_col), _series_key(tags))
-
-        def _row_pred() -> Column:
-            return _sid.isin(*spec.tsuids)
-
-    else:
-
-        def _row_pred() -> Column:
-            p = F.col(metric_col) == F.lit(spec.metric)
-            for f in spec.filters:
-                p = p & compile_tag_filter(tags, f)
-            if spec.explicit_tags and spec.filters:
-                p = p & explicit_tags_predicate(tags, list(spec.filters))
-            return p
-
-    def _bucket(ts_sec_expr: Column) -> Column:
-        if _is_0all(spec):
-            return F.lit(spec.start).cast("long")
-        return F.floor(ts_sec_expr / F.lit(sec)).cast("long") * F.lit(sec)
-
-    if tier is not None and tiers:
-        raise ValueError("pass either tier/tier_interval or tiers, not both")
-    if tier is not None:
-        tiers = [(tier, tier_interval)]
-    tier = None
-    if tiers:
-        spec_reason = None
-        if _is_0all(spec):
-            # same conservative best-match alignment rule as api_query
-            best = max(resolve_interval_seconds(iv) for _, iv in tiers)
-            if spec.start % best or spec.end % best:
-                spec_reason = (
-                    "0all tier routing needs [start, end) aligned to "
-                    f"the best-match tier interval {best}s: "
-                    f"[{spec.start}, {spec.end}) is not"
-                )
-        elif spec.start % sec or spec.end % sec:
-            spec_reason = (
-                "tier-routed queries need a bucket-aligned range: "
-                f"[{spec.start}, {spec.end}) is not a multiple of {sec}s"
-            )
-        chosen = select_rollup_tier(
-            [resolve_interval_seconds(iv) for _, iv in tiers],
-            sec,
-            spec.rollup_usage,
-            spec_reason,
-        )
-        if chosen is not None:
-            tier = tiers[chosen][0]
+    # same two sub-query modes and tier selection as api_query (the
+    # shared _series_and_pred/_choose_tier helpers; here the listed
+    # tsuid series' HISTOGRAMS merge — exactly what histogram metrics
+    # are for). The series identity itself is not an output dimension
+    # on this endpoint, only the predicate is used.
+    _, row_pred = _series_and_pred(spec, tags, metric_col)
+    tier = _choose_tier(spec, sec, tier, tier_interval, tiers)
 
     if tier is not None:
-        pred = _row_pred() & (
+        pred = row_pred & (
             (F.col("w_start") >= F.lit(spec.start))
             & (F.col("w_start") < F.lit(spec.end))
         )
@@ -1446,7 +1495,7 @@ def api_query_hist(
             tier.where(pred)
             .select(
                 *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
-                _bucket(F.col("w_start")).alias("w_start"),
+                _bucket_expr(spec, sec, F.col("w_start")).alias("w_start"),
                 "bucket",
                 "n",
             )
@@ -1455,14 +1504,14 @@ def api_query_hist(
         )
     else:
         ts_sec = F.unix_timestamp(F.col(ts_col))
-        pred = _row_pred() & (
+        pred = row_pred & (
             (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
         )
         hist = (
             points.where(pred)
             .select(
                 *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
-                _bucket(ts_sec).alias("w_start"),
+                _bucket_expr(spec, sec, ts_sec).alias("w_start"),
                 value_bucket(F.col(value_col)).alias("bucket"),
             )
             .groupBy(*group_tags, "w_start", "bucket")
@@ -1618,7 +1667,10 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
             for f in q.get("filters", ())
         )
         rate = None
-        if q.get("rate", False) or "rateOptions" in q:
+        # rate applies ONLY when the boolean says so — many clients
+        # always serialize a default rateOptions object, and OpenTSDB
+        # ignores it unless rate is true
+        if q.get("rate", False):
             ro = q.get("rateOptions", {}) or {}
             rate = RateOptions(
                 counter=bool(ro.get("counter", False)),

@@ -116,7 +116,10 @@ def streaming_tag_filter_rollup(
     for f in filters:
         c = compile_tag_filter(tags, f)
         pred = c if pred is None else (pred & c)
-    group_tags = [f.tagk for f in filters if f.group_by]
+    # order-preserving dedup: two filters on one tagk (both
+    # groupBy) are one output dimension (plans/api_query
+    # _group_tag_keys rule)
+    group_tags = list(dict.fromkeys(f.tagk for f in filters if f.group_by))
     sec = INTERVAL_SECONDS[interval]
     narrow = (points.where(pred) if pred is not None else points).select(
         *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
@@ -171,10 +174,11 @@ def streaming_api_query_downsample(
     refused (their streaming answer is the histogram tier, ST7);
     time_shift is a read-side transform and is refused likewise."""
     from ..plans.api_query import (
-        Q_SCALE,
         _percentile_permille,
+        _ppm_div,
         _series_key,
         _validate,
+        Q_SCALE,
     )
     from ..config import resolve_interval_seconds
     from ..operators.tagquery import compile_tag_filter
@@ -212,7 +216,9 @@ def streaming_api_query_downsample(
 
         pred = pred & explicit_tags_predicate(tags, list(spec.filters))
     pred = pred & (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
-    group_tags = [f.tagk for f in spec.filters if f.group_by]
+    group_tags = list(
+        dict.fromkeys(f.tagk for f in spec.filters if f.group_by)
+    )  # dedup, the _group_tag_keys rule
     narrow = points.where(pred).select(
         *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
         _series_key(tags).alias("_series"),
@@ -235,7 +241,8 @@ def streaming_api_query_downsample(
         "min": F.col("_min"),
         "max": F.col("_max"),
         # ppm-quantized int64 avg — the batch _ds_agg_expr rule
-        "avg": F.expr(f"(_sum * {Q_SCALE}) DIV _count"),
+        # (floor via pmod, so negative sums match batch exactly)
+        "avg": F.expr(_ppm_div(f"_sum * {Q_SCALE}", "_count")),
     }[ds.aggregator]
     return agged.select(
         *group_tags,

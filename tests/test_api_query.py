@@ -1406,3 +1406,112 @@ def test_hist_tsuid_and_0all_modes(spark):
     # one whole-range bucket anchored at start=30; merged counts 3
     assert r.w_start == 30 and r.total == 3
     assert r.bucket == 4 and r.est_max == 15  # value 8 -> msb bucket 4
+
+
+def test_review_fixes_session6(spark):
+    """Regression pins for the session-6 review findings."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        api_query_gexp,
+        parse_query_json,
+    )
+
+    # 1. "rate": false with a default rateOptions object present must
+    # NOT enable rate (many clients always serialize rateOptions)
+    [(spec, _)] = parse_query_json(
+        {
+            "start": 0,
+            "end": 300,
+            "queries": [
+                {
+                    "metric": "m",
+                    "downsample": "1m-sum",
+                    "rate": False,
+                    "rateOptions": {"counter": False},
+                }
+            ],
+        }
+    )
+    assert spec.rate is None
+
+    # 2. ppm quantization FLOORS negative quotients (DuckDB // parity):
+    # avg of a single series summing to -5 over 3 points in one bucket
+    rows = [
+        ("m", 0, -1, HOST_A),
+        ("m", 1, -1, HOST_A),
+        ("m", 2, -3, HOST_A),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=60,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+        downsample=Downsample("1m", "avg"),
+    )
+    [r] = api_query(_pts(spark, rows), spec).collect()
+    assert r.value == -1_666_667  # floor(-5e6/3), not DIV's -1_666_666
+
+    # 3. two filters on one tagk, both groupBy: one output column,
+    # no AMBIGUOUS_REFERENCE
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=60,
+        aggregator="sum",
+        filters=(
+            TagFilter("iwildcard", "host", "*", group_by=True),
+            TagFilter("not_literal_or", "host", "zzz", group_by=True),
+        ),
+        downsample=Downsample("1m", "sum"),
+    )
+    out = api_query(_pts(spark, rows), spec)
+    assert out.columns == ["host", "w_start", "value"]
+    assert out.count() == 1
+
+    # 4. zero-length interval refused loudly, not ZeroDivisionError
+    with pytest.raises(ValueError, match="must be > 0s"):
+        api_query(
+            _pts(spark, rows),
+            QuerySpec(
+                metric="m",
+                start=0,
+                end=60,
+                aggregator="sum",
+                downsample=Downsample("0s", "sum"),
+            ),
+        )
+
+    # 5. a groupBy tagk shadowing an engine column is rejected at the
+    # spec boundary
+    with pytest.raises(ValueError, match="collide with"):
+        api_query(
+            _pts(spark, rows),
+            QuerySpec(
+                metric="m",
+                start=0,
+                end=60,
+                aggregator="sum",
+                filters=(TagFilter("iwildcard", "value", "*", group_by=True),),
+                downsample=Downsample("1m", "sum"),
+            ),
+        )
+
+    # 6. highestCurrent ranks by the last OBSERVED value: under
+    # fill=null with a range ending past the data, the trailing spine
+    # buckets are NULL for everyone — the loudest series must still win
+    rows6 = [
+        ("m", 0, 1, HOST_A),
+        ("m", 60, 2, HOST_A),
+        ("m", 0, 90, HOST_B),  # b's last observed value is largest
+        ("m", 60, 99, HOST_B),
+    ]
+    spec6 = QuerySpec(
+        metric="m",
+        start=0,
+        end=300,  # three trailing empty buckets -> NULL under fill=null
+        aggregator="sum",
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("1m", "sum", fill="null"),
+    )
+    top = api_query_gexp(_pts(spark, rows6), spec6, (("highestCurrent", 1),))
+    assert {r.host for r in top.collect()} == {"b"}
