@@ -336,9 +336,13 @@ def decode_chunk_arrays(
 # sizes), the survivors hand off to scalar python-int continuations —
 # numpy dispatch on near-empty vectors loses to python arithmetic.
 
-_BYTE_LAST1 = np.full(256, -1, dtype=np.int64)
-for _v in range(1, 256):
-    _BYTE_LAST1[_v] = 7 - ((_v & -_v).bit_length() - 1)
+# NOTE: decode_chunk_arrays (the scalar reader) and the _ts_resume/
+# _val_resume handoff loops each carry their own copy of the bit
+# grammar ON PURPOSE: the scalar reader is the independent reference
+# the hypothesis differential test checks the lane decoder against —
+# merging them into one shared grammar would make that test
+# self-referential. A grammar change must touch all copies; the
+# differential test is what catches a missed one.
 
 # ts field class from the top 4 bits of the 36-bit window (= number of
 # leading ones); per-class shift/mask/xor/sub decode the dod in 4 ops
@@ -748,7 +752,16 @@ def decode_chunks(chunks: "DataFrame") -> "DataFrame":
                 continue
             ns = pdf["n"].to_numpy(np.int64)
             secs = pdf["interval"].map(INTERVAL_SECONDS).to_numpy(np.int64)
-            starts = pdf["chunk_start"].astype("int64").to_numpy() // 10**9
+            # resolution-proof epoch seconds: Spark's Arrow serializer
+            # coerces to datetime64[ns] today, but a future
+            # pandas-2-native datetime64[us] delivery would make a
+            # hardcoded //1e9 silently produce 1970-era epochs
+            starts = (
+                pdf["chunk_start"]
+                .to_numpy()
+                .astype("datetime64[s]")
+                .astype(np.int64)
+            )
             # sub-slice the frame so one lane-decode's flat output (and
             # its |lanes| x max_n working set) stays <= the flush bound
             cum = np.cumsum(ns)
