@@ -2007,6 +2007,84 @@ def _q_api_query_gexp_combine(spark, sf_dir):
     )
 
 
+def _q_api_query_first_last(spark, sf_dir):
+    """first/last downsamplers through the composed endpoint
+    ([OTSDB-AGG]: the order-dependent, downsample-only aggregators)
+    under the multi-request envelope: q0 = click per-series 2h-FIRST
+    -> cross-series sum per host; q1 = view per-series 1d-LAST ->
+    cross-series min per rack. Neither is answerable from a
+    sum/count/min/max tier, so both take the raw path (tier routing
+    refuses them — pytest pins the refusal). The selection key is the
+    exact int64 (microseconds, value) pair; the oracle reproduces it
+    with row_number over (epoch_us, value) asc / desc, so the hash
+    pins the tie rule and the µs resolution, not just the happy
+    path. One mergeable min_by/max_by aggregate per sub-query — no
+    window sort, partial aggregation still collapses map-side."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_multi,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    specs = {
+        "q0": QuerySpec(
+            metric="click",
+            start=start,
+            end=end,
+            aggregator="sum",
+            filters=(
+                TagFilter("iwildcard", "host", "WEB*", group_by=True),
+                TagFilter("literal_or", "env", "prod"),
+            ),
+            downsample=Downsample("7200s", "first", fill="none"),
+        ),
+        "q1": QuerySpec(
+            metric="view",
+            start=start,
+            end=end,
+            aggregator="min",
+            filters=(
+                TagFilter("regexp", "rack", "r[0-2]", group_by=True),
+                TagFilter("literal_or", "env", "prod|dev"),
+            ),
+            downsample=Downsample("1d", "last", fill="none"),
+        ),
+    }
+    return api_query_multi(pts, specs)
+
+
+def _q_api_query_gexp_multiply(spark, sf_dir):
+    """gexp multiplySeries — the last function of the official
+    [OTSDB-EXP] gexp set: per-rack daily click totals (per-series
+    1d-count downsample, cross-series sum per rack) collapsed to ONE
+    series as the exact int64 product of the three rack series per
+    bucket. count-downsampled inputs keep the product far inside
+    int64 (the dev-radicand domain rule). The oracle folds the same
+    per-bucket value list with list_reduce, so a hash match pins the
+    skip-missing policy and the exact integer product — a
+    float-product (exp-sum-of-logs) implementation would drift."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_gexp,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    spec = QuerySpec(
+        metric="click",
+        start=start,
+        end=end,
+        aggregator="sum",
+        filters=(
+            TagFilter("regexp", "rack", "r[0-2]", group_by=True),
+            TagFilter("literal_or", "env", "prod|dev"),
+        ),
+        downsample=Downsample("1d", "count", fill="none"),
+    )
+    return api_query_gexp(pts, spec, (("multiplySeries", None),))
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2584,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_dev": _q_api_query_dev,
         "api_query_p50": _q_api_query_p50,
         "api_query_gexp_combine": _q_api_query_gexp_combine,
+        "api_query_first_last": _q_api_query_first_last,
+        "api_query_gexp_multiply": _q_api_query_gexp_multiply,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2650,8 +2730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # filter_series, gapfill_ffill, gapfill_zero, join_anti,
     # join_broadcast, join_equi, join_range, join_semi, plus — after
     # the session-5 trio — agg_first_last, agg_interp, agg_percentile,
-    # and — after the session-6 trio — udaf_hist, agg_dev,
-    # agg_distinct.
+    # — after the session-6 trio — udaf_hist, agg_dev, agg_distinct,
+    # and — after the session-7 pair — sort_limit, text_tokens.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
@@ -2660,7 +2740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tsuid sub-queries + aggregator none, 0all whole-range
         # downsample, gexp movingAverage/sumSeries; session-6: dev /
         # p<permille> / mimmin/mimmax cross-series aggregators, gexp
-        # diffSeries/divideSeries)
+        # diffSeries/divideSeries; session-7: first/last downsamplers,
+        # gexp multiplySeries)
+        "api_query_first_last",
+        "api_query_gexp_multiply",
         "api_query_dev",
         "api_query_p50",
         "api_query_gexp_combine",
@@ -3606,6 +3689,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT fn, w_start, value FROM diffq
             UNION ALL
             SELECT fn, w_start, value FROM ratioq""",
+        # first/last downsamplers: the engine's min_by/max_by over the
+        # exact int64 (epoch_us, value) pair, reproduced here as a
+        # row_number over the identical total order (asc for first,
+        # desc for last) — a hash match pins the µs resolution AND the
+        # tie rule, then each sub-query's cross-series aggregator
+        "api_query_first_last": f"""{_TAGGED_CTE},
+            f0 AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/7200)*7200 AS BIGINT) AS w_start,
+                          epoch_us(ts) AS tus, value
+                   FROM tp
+                   WHERE series_id = 'click'
+                     AND lower(host) LIKE 'web%' AND env IN ('prod')),
+            r0 AS (SELECT host, rack, env, w_start, value,
+                          row_number() OVER (
+                            PARTITION BY host, rack, env, w_start
+                            ORDER BY tus, value) AS rn
+                   FROM f0),
+            g0 AS (SELECT host, w_start, sum(value)::BIGINT AS value
+                   FROM r0 WHERE rn = 1 GROUP BY 1, 2),
+            f1 AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                          epoch_us(ts) AS tus, value
+                   FROM tp
+                   WHERE series_id = 'view'
+                     AND regexp_matches(rack, '^(?:r[0-2])$')
+                     AND env IN ('prod', 'dev')),
+            r1 AS (SELECT host, rack, env, w_start, value,
+                          row_number() OVER (
+                            PARTITION BY host, rack, env, w_start
+                            ORDER BY tus DESC, value DESC) AS rn
+                   FROM f1),
+            g1 AS (SELECT rack, w_start, min(value)::BIGINT AS value
+                   FROM r1 WHERE rn = 1 GROUP BY 1, 2)
+            SELECT 'q0' AS query, 'host=' || host AS group_tags,
+                   w_start, value
+            FROM g0
+            UNION ALL
+            SELECT 'q1' AS query, 'rack=' || rack AS group_tags,
+                   w_start, value
+            FROM g1""",
+        # multiplySeries: the same per-rack daily pipeline, then an
+        # exact-BIGINT fold of each bucket's value list — a hash match
+        # pins the integer product (a float exp-sum-of-logs product
+        # would drift) and the skip-missing policy
+        "api_query_gexp_multiply": f"""{_TAGGED_CTE},
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'click'
+                    AND regexp_matches(rack, '^(?:r[0-2])$')
+                    AND env IN ('prod', 'dev')),
+            ds AS (SELECT host, rack, env, w_start,
+                          count(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            g AS (SELECT rack, w_start, sum(v)::BIGINT AS value
+                  FROM ds GROUP BY 1, 2)
+            SELECT w_start,
+                   list_reduce(list(value),
+                               (a, b) -> CAST(a * b AS BIGINT))::BIGINT
+                     AS value
+            FROM g GROUP BY 1""",
         # tsuids + aggregator none: the oracle REBUILDS the engine's
         # '<metric>|<sorted k=v>' tsuid strings from the deterministic
         # tag synthesis and selects the same three exact series, so

@@ -61,6 +61,20 @@ from ..operators.tagquery import (
 Q_SCALE = 1_000_000
 
 _DS_AGGS = ("sum", "count", "min", "max", "avg")
+
+#: OpenTSDB's order-dependent downsamplers ([OTSDB-AGG]: "first" /
+#: "last" return the first/last data point of the window and are
+#: "only useful for downsampling"). NOT decomposable — a
+#: sum/count/min/max tier cannot answer them, so like the percentile
+#: downsamplers they always take the raw path (tier routing refuses
+#: via the pre_reason rule). The ordering key is exact int64
+#: MICROSECONDS (Spark unix_micros == DuckDB epoch_us — no float
+#: epoch, no second-truncation divergence), and two points CAN still
+#: share a timestamp within one series (the tag map is coarser than
+#: the raw event key), so the selection orders by the full
+#: (ts_us, value) pair — a total order both engines agree on — rather
+#: than ts alone, which would be tie-nondeterministic.
+_DS_ORDER_AGGS = ("first", "last")
 #: "none" is OpenTSDB's no-cross-series-aggregation mode: every input
 #: series is returned as its own output series (the full sorted-k=v
 #: series identity becomes an output column named ``series``).
@@ -196,7 +210,7 @@ _RESERVED_DIM_NAMES = frozenset(
         "sum", "count", "min", "max", "bucket", "n", "interval",
         "permille", "est_max", "total", "query", "group_tags",
         "_rn", "_n", "_delta", "_dt", "_m", "_lo", "_hi", "_ng",
-        "_ms", "_mc", "_num", "_den",
+        "_ms", "_mc", "_num", "_den", "_ts",
     }
 )
 
@@ -302,6 +316,7 @@ def _validate(spec: QuerySpec) -> None:
         )
     if (
         spec.downsample.aggregator not in _DS_AGGS
+        and spec.downsample.aggregator not in _DS_ORDER_AGGS
         and _percentile_permille(spec.downsample.aggregator) is None
     ):
         raise ValueError(
@@ -649,7 +664,7 @@ def api_query(
         pre_reason=(
             f"downsample aggregator {ds.aggregator!r} is not "
             "answerable from a sum/count/min/max tier"
-            if ds.aggregator not in _TIER_ROUTABLE
+            if ds.aggregator not in _TIER_ROUTABLE  # p*/first/last
             else None
         ),
     )
@@ -684,19 +699,47 @@ def api_query(
         )
 
         # --- 2. grouping: extract groupBy tag values BEFORE any
-        # shuffle; the map column dies at the scan
+        # shuffle; the map column dies at the scan. The raw timestamp
+        # survives into the narrow frame only for the order-dependent
+        # downsamplers (first/last) — every other aggregator is
+        # order-free and the bucket id is all it needs.
+        order_ds = ds.aggregator in _DS_ORDER_AGGS
         narrow = points.where(pred).select(
             *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
             series_expr.alias("_series"),
             _bucket_expr(spec, sec, ts_sec).alias("w_start"),
             F.col(value_col).alias("value"),
+            *(
+                # cast: unix_micros rejects TIMESTAMP_NTZ; the session
+                # tz is pinned UTC, so NTZ -> LTZ is the same instant
+                # DuckDB's epoch_us reads from a naive timestamp
+                [
+                    F.unix_micros(
+                        F.col(ts_col).cast("timestamp_ltz")
+                    ).alias("_ts")
+                ]
+                if order_ds
+                else []
+            ),
         )
 
         # --- 3. downsampling: per full series identity (shuffle #1 —
         # the only shuffle that sees per-point rows, and partial
         # aggregation collapses them map-side first)
         pm = _percentile_permille(ds.aggregator)
-        if pm is not None:
+        if order_ds:
+            # first/last ([OTSDB-AGG]): the value at the window's
+            # earliest/latest point — min_by/max_by over the full
+            # (ts, value) pair (see _DS_ORDER_AGGS for the tie rule).
+            # One ordinary mergeable aggregate: partial aggregation
+            # still collapses map-side, no window sort needed.
+            fn = "min_by" if ds.aggregator == "first" else "max_by"
+            per_series = narrow.groupBy(*group_tags, "_series", "w_start").agg(
+                F.expr(f"{fn}(value, struct(_ts, value))")
+                .cast("long")
+                .alias("v")
+            )
+        elif pm is not None:
             # percentile downsampler: exact discrete selection — the
             # value at rank ceil(n*pm/1000) of the window's sorted
             # values (integer ceil: (n*pm + 999) DIV 1000). One
@@ -1138,7 +1181,8 @@ def api_query_exp(
 #: has: per-point transforms (scale, absolute), windowed transforms
 #: (movingAverage — mean of the trailing k buckets per series), and
 #: series selectors/combiners (highestMax, highestCurrent keep the k
-#: "loudest" series; sumSeries collapses every series into one;
+#: "loudest" series; sumSeries/multiplySeries collapse every series
+#: into one (sum / exact-int64 product per bucket);
 #: diffSeries = first series minus the sum of the rest; divideSeries
 #: = strictly-binary ppm ratio — series order is the group identity
 #: string ascending so two engines agree which is "first")
@@ -1150,6 +1194,7 @@ _GEXP_FUNCS = (
     "highestMax",
     "highestCurrent",
     "sumSeries",
+    "multiplySeries",
     "diffSeries",
     "divideSeries",
 )
@@ -1223,6 +1268,27 @@ def gexp_apply(
             # dimension is gone from here on
             out = out.groupBy("w_start").agg(
                 F.sum("value").cast("long").alias("value")
+            )
+            group_tags = []
+        elif name == "multiplySeries":
+            # product of every series per bucket ([OTSDB-EXP] lists
+            # multiplySeries; [GRAPHITE] semantics). Missing values
+            # are skipped, the module's sumSeries/diffSeries policy;
+            # a bucket where NO series observed anything emits NULL
+            # (a fold over the empty set would claim 1). Exact int64
+            # product — the caller owns the domain bound exactly like
+            # dev's radicand; integer multiplication commutes, so the
+            # collect order cannot change the result. One aggregation
+            # of output-sized data (|series| values per bucket — the
+            # gexp output dimension, never point-sized).
+            out = out.groupBy("w_start").agg(
+                F.expr(
+                    "CASE WHEN count(value) = 0 THEN NULL ELSE "
+                    "aggregate(collect_list(value), CAST(1 AS BIGINT), "
+                    "(a, x) -> a * x) END"
+                )
+                .cast("long")
+                .alias("value")
             )
             group_tags = []
         elif name in ("diffSeries", "divideSeries"):

@@ -225,6 +225,20 @@ def streaming_api_query_downsample(
         "ts",
         "value",
     )
+    # first/last are mergeable too (min_by/max_by merge keeps the
+    # extreme key), so they stream exactly like sum/min/max — on the
+    # SAME total order the batch path uses, exact int64 microseconds
+    # + value (see plans/api_query._DS_ORDER_AGGS), so stream-fed
+    # answers cannot drift from batch ones (parity test pins this).
+    order_aggs = []
+    if ds.aggregator in ("first", "last"):
+        fn = "min_by" if ds.aggregator == "first" else "max_by"
+        order_aggs.append(
+            F.expr(
+                f"{fn}(value, struct("
+                "unix_micros(CAST(ts AS TIMESTAMP_LTZ)), value))"
+            ).alias("_ord")
+        )
     agged = (
         narrow.withWatermark("ts", watermark)
         .groupBy(*group_tags, "_series", F.window("ts", f"{sec} seconds"))
@@ -233,6 +247,7 @@ def streaming_api_query_downsample(
             F.count("value").alias("_count"),
             F.min("value").alias("_min"),
             F.max("value").alias("_max"),
+            *order_aggs,
         )
     )
     v = {
@@ -243,6 +258,7 @@ def streaming_api_query_downsample(
         # ppm-quantized int64 avg — the batch _ds_agg_expr rule
         # (floor via pmod, so negative sums match batch exactly)
         "avg": F.expr(_ppm_div(f"_sum * {Q_SCALE}", "_count")),
+        **({ds.aggregator: F.col("_ord")} if order_aggs else {}),
     }[ds.aggregator]
     return agged.select(
         *group_tags,

@@ -1515,3 +1515,95 @@ def test_review_fixes_session6(spark):
     )
     top = api_query_gexp(_pts(spark, rows6), spec6, (("highestCurrent", 1),))
     assert {r.host for r in top.collect()} == {"b"}
+
+
+def test_first_last_downsamplers_order_and_ties(spark):
+    """first/last ([OTSDB-AGG]: the order-dependent, downsample-only
+    aggregators) select the value at the window's earliest/latest
+    point, ordered by the exact (microseconds, value) pair: a
+    timestamp tie breaks by value (min for first, max for last), the
+    documented total order the DuckDB oracle mirrors."""
+    rows = [
+        ("m", 0, 7, HOST_A),
+        ("m", 0, 3, HOST_A),  # tied earliest point -> first picks 3
+        ("m", 10, 2, HOST_A),
+        ("m", 50, 9, HOST_A),
+        ("m", 50, 4, HOST_A),  # tied latest point -> last picks 9
+        ("m", 70, 5, HOST_A),  # second bucket: single point
+    ]
+    base = dict(
+        metric="m",
+        start=0,
+        end=120,
+        aggregator="sum",
+        filters=(TagFilter("literal_or", "host", "a", group_by=True),),
+    )
+    for agg, want in (
+        ("first", {0: 3, 60: 5}),
+        ("last", {0: 9, 60: 5}),
+    ):
+        spec = QuerySpec(**base, downsample=Downsample("1m", agg))
+        got = {
+            r["w_start"]: r["value"]
+            for r in api_query(_pts(spark, rows), spec).collect()
+        }
+        assert got == want, agg
+    # 0all composes: ONE bucket anchored at the query start
+    spec = QuerySpec(**base, downsample=Downsample("0all", "last"))
+    [(host, w, v)] = api_query(_pts(spark, rows), spec).collect()
+    assert (host, w, v) == ("a", 0, 5)
+
+
+def test_first_last_refuse_tier_route(spark):
+    """first/last are order-dependent — a sum/count/min/max tier
+    cannot answer them, so tier routing must refuse loudly under the
+    default nofallback policy (the percentile-downsampler rule)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import build_tagged_tier
+
+    pts = _pts(spark, [("m", 0, 1, HOST_A)])
+    tier = build_tagged_tier(pts, "1h")
+    for agg in ("first", "last"):
+        with pytest.raises(ValueError, match="not.*answerable|tier"):
+            api_query(
+                pts,
+                QuerySpec(
+                    metric="m",
+                    start=0,
+                    end=7200,
+                    downsample=Downsample("7200s", agg),
+                ),
+                tier=tier,
+                tier_interval="1h",
+            ).collect()
+
+
+def test_gexp_multiply_series_product_and_null_bucket(spark):
+    """multiplySeries collapses the group's series to their exact
+    int64 product per bucket, skipping missing values (the sumSeries
+    policy); a bucket where NO series observed anything emits NULL —
+    a naive fold over the empty set would claim the identity 1."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_gexp
+
+    rows = [
+        ("m", 0, 3, HOST_A),
+        ("m", 0, 4, HOST_B),
+        ("m", 60, 5, HOST_A),  # b missing at 60 -> product is just 5
+        # bucket 120 empty for everyone -> NULL under fill=null
+        ("m", 180, 2, HOST_A),
+        ("m", 180, 6, HOST_B),
+    ]
+    spec = QuerySpec(
+        metric="m",
+        start=0,
+        end=240,
+        aggregator="sum",
+        filters=(TagFilter("iwildcard", "host", "*", group_by=True),),
+        downsample=Downsample("1m", "sum", fill="null"),
+    )
+    got = {
+        r["w_start"]: r["value"]
+        for r in api_query_gexp(
+            _pts(spark, rows), spec, (("multiplySeries", None),)
+        ).collect()
+    }
+    assert got == {0: 12, 60: 5, 120: None, 180: 12}

@@ -506,3 +506,62 @@ def test_streaming_api_query_downsample_refuses_read_side_specs(spark):
             pts,
             QuerySpec(**base, downsample=Downsample("1h"), time_shift=3600),
         )
+
+
+def test_streaming_first_last_downsample_equals_batch(
+    spark, tmp_path_factory
+):
+    """first/last stream exactly like sum/min/max (min_by/max_by
+    merge keeps the extreme (µs, value) key across micro-batches), on
+    the SAME total order as the batch path — the streamed per-series
+    frame must equal batch api_query run in aggregator="none"
+    passthrough mode, which exposes exactly that frame."""
+    from opentsdb_rollup_rust_spark.operators.tagquery import TagFilter
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query,
+    )
+    from opentsdb_rollup_rust_spark.streaming.rollup_stream import (
+        streaming_api_query_downsample,
+    )
+
+    tagged = spark.range(0, 2_000, 1, 4).select(
+        F.lit("click").alias("series_id"),
+        F.timestamp_seconds(
+            # 37 s stride + sub-second µs component: the ordering key
+            # must be microseconds, not truncated seconds
+            F.lit(1704067200)
+            + F.col("id") * 37
+            + (F.col("id") % 7) / F.lit(10.0)
+        ).alias("ts"),
+        (F.col("id") % 101).cast("long").alias("value"),
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("id") % 3).cast("string")),
+        ).alias("tags"),
+    )
+    d = str(tmp_path_factory.mktemp("flpts")) + "/tagged.parquet"
+    tagged.write.mode("overwrite").parquet(d)
+    batch = spark.read.parquet(d)
+    for agg in ("first", "last"):
+        spec = QuerySpec(
+            metric="click",
+            start=1704067200,
+            end=1704067200 + 2_000 * 37 + 1,
+            aggregator="none",
+            filters=(TagFilter("wildcard", "host", "h*"),),
+            downsample=Downsample("1h", agg),
+        )
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        name = _memname()
+        run_to_memory_table(
+            streaming_api_query_downsample(stream, spec), name
+        )
+        got = spark.table(name).select(
+            F.col("_series").alias("series"), "w_start", F.col("v")
+        )
+        want = api_query(batch, spec).select(
+            "series", "w_start", F.col("value").alias("v")
+        )
+        assert_df_equal(got, want), agg
