@@ -2085,6 +2085,58 @@ def _q_api_query_gexp_multiply(spark, sf_dir):
     return api_query_gexp(pts, spec, (("multiplySeries", None),))
 
 
+def _q_api_query_delete_read(spark, sf_dir):
+    """The /api/query DELETE flag composed over the snapshot store
+    ([OTSDB-API]: HTTP DELETE removes every data point MATCHING the
+    query): the tagged stream is written through ManifestStore, then
+    api_query_delete drops prod web1/web3 clicks in the MIDDLE THIRD
+    of the range (replace_range under a series predicate —
+    metadata-first file pruning, keep-filter one codegen'd predicate,
+    atomic manifest swap), and the result is the surviving table's
+    daily per-(series, host) sum/count read back FROM THE STORE. The
+    oracle recomputes the survivors direct from raw with the identical
+    NOT(match AND in-range) predicate and integer third-split, so a
+    hash match proves exactly the right rows died: matching-but-
+    outside-range and in-range-but-not-matching rows must all
+    survive, byte-for-byte."""
+    import tempfile
+
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        QuerySpec,
+        api_query_delete,
+    )
+    from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+
+    pts, lo, end = _api_spec_range(spark, sf_dir)
+    t0 = lo + (end - lo) // 3
+    t1 = lo + 2 * ((end - lo) // 3)
+    store = ManifestStore(
+        spark, tempfile.mkdtemp(prefix="spark_graft_api_delete_")
+    )
+    store.append("api_pts", pts)
+    spec = QuerySpec(
+        metric="click",
+        start=t0,
+        end=t1,
+        filters=(
+            TagFilter("literal_or", "host", "web1|web3"),
+            TagFilter("literal_or", "env", "prod"),
+        ),
+    )
+    api_query_delete(store, "api_pts", spec)
+    rem = store.read("api_pts")
+    return rem.groupBy(
+        "series_id",
+        F.element_at("tags", F.lit("host")).alias("host"),
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") * 86400).alias(
+            "w_start"
+        ),
+    ).agg(
+        F.sum("value").cast("long").alias("sum_v"),
+        F.count("*").alias("cnt"),
+    )
+
+
 def _parquet_data_sig(src: str) -> str:
     """Cache-key fingerprint of a parquet dataset: md5 over the sorted
     per-file (path, mtime, size) list — robust to in-place rewrites
@@ -2664,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_gexp_combine": _q_api_query_gexp_combine,
         "api_query_first_last": _q_api_query_first_last,
         "api_query_gexp_multiply": _q_api_query_gexp_multiply,
+        "api_query_delete_read": _q_api_query_delete_read,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2731,7 +2784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # join_broadcast, join_equi, join_range, join_semi, plus — after
     # the session-5 trio — agg_first_last, agg_interp, agg_percentile,
     # — after the session-6 trio — udaf_hist, agg_dev, agg_distinct,
-    # and — after the session-7 pair — sort_limit, text_tokens.
+    # and — after the session-7 trio — sort_global, sort_limit,
+    # text_tokens.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
@@ -2741,9 +2795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # downsample, gexp movingAverage/sumSeries; session-6: dev /
         # p<permille> / mimmin/mimmax cross-series aggregators, gexp
         # diffSeries/divideSeries; session-7: first/last downsamplers,
-        # gexp multiplySeries)
+        # gexp multiplySeries, the delete flag over the store)
         "api_query_first_last",
         "api_query_gexp_multiply",
+        "api_query_delete_read",
         "api_query_dev",
         "api_query_p50",
         "api_query_gexp_combine",
@@ -3751,6 +3806,28 @@ def oracle_sql() -> dict[str, str]:
                                (a, b) -> CAST(a * b AS BIGINT))::BIGINT
                      AS value
             FROM g GROUP BY 1""",
+        # the delete flag: survivors = NOT (series match AND inside
+        # the integer middle third of the range) — the same epoch
+        # truncation and floor-div split the engine computes, so a
+        # hash match proves exactly the right rows died in the store
+        "api_query_delete_read": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))) AS BIGINT) AS lo,
+                           CAST(FLOOR(max(epoch(ts))) + 1 AS BIGINT) AS hi
+                    FROM tp),
+            del AS (SELECT lo + (hi - lo) // 3 AS t0,
+                           lo + 2 * ((hi - lo) // 3) AS t1
+                    FROM rng),
+            rem AS (SELECT tp.* FROM tp, del
+                    WHERE NOT (series_id = 'click'
+                               AND host IN ('web1', 'web3')
+                               AND env IN ('prod')
+                               AND FLOOR(epoch(ts)) >= t0
+                               AND FLOOR(epoch(ts)) < t1))
+            SELECT series_id, host,
+                   CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                   sum(value)::BIGINT AS sum_v,
+                   count(*)::BIGINT AS cnt
+            FROM rem GROUP BY 1, 2, 3""",
         # tsuids + aggregator none: the oracle REBUILDS the engine's
         # '<metric>|<sorted k=v>' tsuid strings from the deterministic
         # tag synthesis and selects the same three exact series, so

@@ -1061,6 +1061,56 @@ def api_query_multi(
     return reduce(DataFrame.unionAll, parts)
 
 
+def api_query_delete(store, table: str, spec: QuerySpec, ts_col: str = "ts",
+                     metric_col: str = "series_id",
+                     tags_col: str = "tags") -> dict:
+    """The /api/query ``delete`` flag ([OTSDB-API]: an HTTP DELETE of
+    /api/query removes every data point MATCHING the query), composed
+    over the store's surgical range-replace primitive: rows of
+    ``table`` in [start, end) that match the spec's series selection
+    (metric + tag filters + explicitTags, or tsuids) are dropped;
+    non-matching rows inside the range and everything outside it
+    survive. Works on any store with read + replace_range
+    (ManifestStore or IcebergStore).
+
+    Only the SELECTION fields apply: downsample / aggregator / rate /
+    fill shape the read and are ignored here, exactly as OpenTSDB
+    ignores them on delete. timeShift is refused — silently deleting
+    a shifted range would be a surprise; resolve the shift
+    client-side.
+
+    Scale shape: replace_range's metadata-first pruning carries over —
+    parquet files whose footer [min, max] is disjoint from
+    [start, end) are never read or rewritten; only range-straddling
+    files are scanned, and the keep filter (inside the range AND NOT
+    matching) is one codegen'd predicate over those rows. One atomic
+    manifest swap; the prior snapshot stays readable (time travel)
+    until expired, so a mistaken delete is recoverable.
+    """
+    if spec.time_shift:
+        raise ValueError(
+            "delete does not accept timeShift: resolve the shift "
+            "client-side and submit absolute [start, end)"
+        )
+    if not spec.metric and not spec.tsuids:
+        raise ValueError(
+            "delete needs a series selection (metric or tsuids): an "
+            "empty metric would silently delete nothing"
+        )
+    if spec.end <= spec.start:
+        raise ValueError(f"empty delete range [{spec.start}, {spec.end})")
+    _, row_pred = _series_and_pred(spec, F.col(tags_col), metric_col)
+    cur = store.read(table)
+    ts_sec = F.unix_timestamp(F.col(ts_col))
+    in_range = (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
+    # keep = in-range rows that do NOT match. The compiled tag filters
+    # are null-safe (a missing tagk is FALSE, never NULL — the
+    # tagquery rule), but coalesce guards the negation anyway: a NULL
+    # predicate must mean "not matched -> keep", not "dropped".
+    keep = cur.where(in_range & ~F.coalesce(row_pred, F.lit(False)))
+    return store.replace_range(table, ts_col, spec.start, spec.end, keep)
+
+
 @dataclass(frozen=True)
 class ExprSpec:
     """One /api/query/exp request ([OTSDB-EXP], OpenTSDB 2.3): named

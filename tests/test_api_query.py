@@ -1607,3 +1607,63 @@ def test_gexp_multiply_series_product_and_null_bucket(spark):
         ).collect()
     }
     assert got == {0: 12, 60: 5, 120: None, 180: 12}
+
+
+def test_api_query_delete_scopes_by_series_and_range(spark, tmp_path):
+    """The delete flag must kill EXACTLY the matching rows inside
+    [start, end): matching-but-outside-range and in-range-but-not-
+    matching rows survive; the pre-delete snapshot stays readable
+    (time travel makes a mistaken delete recoverable); a repeated
+    delete is a no-op on the data."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_delete
+    from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+
+    rows = [
+        ("m", 50, 1, HOST_A),   # matching, before range -> survives
+        ("m", 100, 2, HOST_A),  # matching, in range -> DIES
+        ("m", 150, 3, HOST_B),  # in range, wrong host -> survives
+        ("n", 160, 4, HOST_A),  # in range, wrong metric -> survives
+        ("m", 200, 5, HOST_A),  # matching, at end (exclusive) -> survives
+    ]
+    store = ManifestStore(spark, str(tmp_path))
+    store.append("pts", _pts(spark, rows))
+    spec = QuerySpec(
+        metric="m",
+        start=100,
+        end=200,
+        filters=(TagFilter("literal_or", "host", "a"),),
+    )
+    pre = store.current_snapshot("pts")
+    api_query_delete(store, "pts", spec)
+    surv = sorted(r["value"] for r in store.read("pts").collect())
+    assert surv == [1, 3, 4, 5]
+    # prior snapshot still holds every row (recoverability)
+    assert store.read("pts", snapshot_id=pre).count() == 5
+    # idempotent on the data
+    api_query_delete(store, "pts", spec)
+    assert sorted(r["value"] for r in store.read("pts").collect()) == surv
+
+
+def test_api_query_delete_refusals(spark, tmp_path):
+    """delete refuses timeShift (silently deleting a shifted range)
+    and an empty series selection (metric='' matches nothing and
+    would no-op silently)."""
+    from opentsdb_rollup_rust_spark.plans.api_query import api_query_delete
+    from opentsdb_rollup_rust_spark.sources.store import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path))
+    store.append("pts", _pts(spark, [("m", 0, 1, HOST_A)]))
+    with pytest.raises(ValueError, match="timeShift"):
+        api_query_delete(
+            store,
+            "pts",
+            QuerySpec(metric="m", start=0, end=60, time_shift=60),
+        )
+    with pytest.raises(ValueError, match="series selection"):
+        api_query_delete(
+            store, "pts", QuerySpec(metric="", start=0, end=60)
+        )
+    with pytest.raises(ValueError, match="empty delete range"):
+        api_query_delete(
+            store, "pts", QuerySpec(metric="m", start=60, end=60)
+        )
