@@ -2085,6 +2085,49 @@ def _q_api_query_gexp_multiply(spark, sf_dir):
     return api_query_gexp(pts, spec, (("multiplySeries", None),))
 
 
+def _q_api_query_ep(spark, sf_dir):
+    """Estimated-percentile cross-series aggregators (OpenTSDB 2.4
+    ep<pct>r<3|7> — the Commons Math R_3/R_7 estimation rules) under
+    the multi envelope: q0 = hourly per-rack ep95r7 (the Excel/NumPy
+    linear rule — ppm-quantized exact-int64 lerp between bracketing
+    order statistics), q1 = daily per-rack ep50r3 (H&F type 3 —
+    order-statistic selection with the ties-to-even index rule,
+    numpy/R-verified). Rack groups carry up to 8 (host, env) series
+    per bucket, so both the interpolated and the tie branch are
+    load-bearing. The oracle reproduces the identical integer index
+    arithmetic (floor-div j, permille fraction, clamp), so a hash
+    match pins both estimation rules bit-for-bit — with these, every
+    aggregator on the documented OpenTSDB list is implemented."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        Downsample,
+        QuerySpec,
+        api_query_multi,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+
+    def sub(metric, agg, interval):
+        return QuerySpec(
+            metric=metric,
+            start=start,
+            end=end,
+            aggregator=agg,
+            filters=(
+                TagFilter("regexp", "rack", "r[0-2]", group_by=True),
+                TagFilter("literal_or", "env", "prod|dev"),
+            ),
+            downsample=Downsample(interval, "sum", fill="none"),
+        )
+
+    return api_query_multi(
+        pts,
+        {
+            "q0": sub("click", "ep95r7", "1h"),
+            "q1": sub("view", "ep50r3", "1d"),
+        },
+    )
+
+
 def _q_api_query_delete_read(spark, sf_dir):
     """The /api/query DELETE flag composed over the snapshot store
     ([OTSDB-API]: HTTP DELETE removes every data point MATCHING the
@@ -2717,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_first_last": _q_api_query_first_last,
         "api_query_gexp_multiply": _q_api_query_gexp_multiply,
         "api_query_delete_read": _q_api_query_delete_read,
+        "api_query_ep": _q_api_query_ep,
         "query_tag_filters": _q_query_tag_filters,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
@@ -2784,8 +2828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # join_broadcast, join_equi, join_range, join_semi, plus — after
     # the session-5 trio — agg_first_last, agg_interp, agg_percentile,
     # — after the session-6 trio — udaf_hist, agg_dev, agg_distinct,
-    # and — after the session-7 trio — sort_global, sort_limit,
-    # text_tokens.
+    # and — after the session-7 additions — set_union, sort_global,
+    # sort_limit, text_tokens.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
@@ -2795,10 +2839,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # downsample, gexp movingAverage/sumSeries; session-6: dev /
         # p<permille> / mimmin/mimmax cross-series aggregators, gexp
         # diffSeries/divideSeries; session-7: first/last downsamplers,
-        # gexp multiplySeries, the delete flag over the store)
+        # gexp multiplySeries, the delete flag over the store, the
+        # ep estimated-percentile aggregator family)
         "api_query_first_last",
         "api_query_gexp_multiply",
         "api_query_delete_read",
+        "api_query_ep",
         "api_query_dev",
         "api_query_p50",
         "api_query_gexp_combine",
@@ -3828,6 +3874,67 @@ def oracle_sql() -> dict[str, str]:
                    sum(value)::BIGINT AS sum_v,
                    count(*)::BIGINT AS cnt
             FROM rem GROUP BY 1, 2, 3""",
+        # ep estimated percentiles: the identical integer index
+        # arithmetic — R_7's floor-div j + permille fraction lerp
+        # (ppm-scaled), R_3's ties-to-even selection with clamp
+        "api_query_ep": f"""{_TAGGED_CTE},
+            f0 AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'click'
+                     AND regexp_matches(rack, '^(?:r[0-2])$')
+                     AND env IN ('prod', 'dev')),
+            ds0 AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM f0 GROUP BY 1, 2, 3, 4),
+            r0 AS (SELECT rack, w_start, v,
+                          row_number() OVER (PARTITION BY rack, w_start
+                                             ORDER BY v) AS rn,
+                          count(*) OVER (PARTITION BY rack, w_start) AS n
+                   FROM ds0),
+            j0 AS (SELECT *, ((n - 1) * 950 + 1000) // 1000 AS j,
+                             ((n - 1) * 950 + 1000) % 1000 AS fr
+                   FROM r0),
+            g0 AS (SELECT rack, w_start,
+                          max(CASE WHEN rn = j THEN v END) AS vl,
+                          max(CASE WHEN rn = j + 1 THEN v END) AS vh,
+                          max(fr) AS fr2
+                   FROM j0 WHERE rn = j OR rn = j + 1
+                   GROUP BY 1, 2),
+            q0 AS (SELECT rack, w_start,
+                          (vl * 1000000
+                           + COALESCE((vh - vl) * fr2 * 1000, 0))::BIGINT
+                            AS value
+                   FROM g0),
+            f1 AS (SELECT host, rack, env,
+                          CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                          value
+                   FROM tp
+                   WHERE series_id = 'view'
+                     AND regexp_matches(rack, '^(?:r[0-2])$')
+                     AND env IN ('prod', 'dev')),
+            ds1 AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                    FROM f1 GROUP BY 1, 2, 3, 4),
+            r1 AS (SELECT rack, w_start, v,
+                          row_number() OVER (PARTITION BY rack, w_start
+                                             ORDER BY v) AS rn,
+                          count(*) OVER (PARTITION BY rack, w_start) AS n
+                   FROM ds1),
+            j1 AS (SELECT *, greatest(1, least(n,
+                     CASE WHEN (n * 500 - 500) % 1000 = 0
+                          AND ((n * 500 - 500) // 1000) % 2 = 1
+                          THEN (n * 500 - 500) // 1000
+                          ELSE (n * 500 - 500) // 1000 + 1 END)) AS j
+                   FROM r1),
+            q1 AS (SELECT rack, w_start, v::BIGINT AS value
+                   FROM j1 WHERE rn = j)
+            SELECT 'q0' AS query, 'rack=' || rack AS group_tags,
+                   w_start, value
+            FROM q0
+            UNION ALL
+            SELECT 'q1' AS query, 'rack=' || rack AS group_tags,
+                   w_start, value
+            FROM q1""",
         # tsuids + aggregator none: the oracle REBUILDS the engine's
         # '<metric>|<sorted k=v>' tsuid strings from the deterministic
         # tag synthesis and selects the same three exact series, so

@@ -86,7 +86,10 @@ _DS_ORDER_AGGS = ("first", "last")
 #: has no row, so they coincide with min/max (the A18 rule). The
 #: percentile aggregators (p500 = median, p950, p999 — the repo's
 #: permille spelling of OpenTSDB's p50/p95/p99.9 family) are accepted
-#: via _P_RE and computed by the A9 exact discrete-rank rule.
+#: via _P_RE and computed by the A9 exact discrete-rank rule; the
+#: ep<pct>r<3|7> estimated-percentile family via _EP_RE below. With
+#: those, every aggregator on the documented OpenTSDB list
+#: ([OTSDB-AGG]) is implemented.
 _GROUP_AGGS = (
     "sum",
     "count",
@@ -106,6 +109,36 @@ _FILLS = ("none", "zero", "null", "ffill", "linear")
 #: ceil(n * permille / 1000) of the sorted window), the A9 rule — all
 #: integer arithmetic, so every engine agrees bit-for-bit.
 _P_RE = re.compile(r"^p(\d{3})$")
+
+#: OpenTSDB 2.4 estimated-percentile aggregators — ep<pct>r<3|7>
+#: (ep50r3 .. ep999r7, [OTSDB-AGG]): cross-series percentiles under
+#: the two Hyndman–Fan estimation rules OpenTSDB exposes (Commons
+#: Math EstimationType R_3 / R_7). Percent spelling like the
+#: p-family: two digits = whole percent (ep50 -> 500 permille),
+#: three digits = the p999 convention (99.9% -> 999 permille). Both
+#: rules are EXACT integer arithmetic here, so DuckDB reproduces
+#: either bit-for-bit: R_3 selects an order statistic (H&F type 3 —
+#: j = floor(n*q - 1/2), stay at x_j only when the fraction is
+#: exactly 0 AND j is odd 1-indexed (ties-to-even over 0-based
+#: positions, the numpy/R-verified behavior), clamp to [1, n]);
+#: R_7 (the Excel/NumPy
+#: linear rule — h = (n-1)*q + 1) interpolates between bracketing
+#: order statistics with a ppm-quantized lerp, so ep*r7 OUTPUTS ARE
+#: PPM-SCALED int64 (the avg/dev discipline) while ep*r3 and the
+#: exact p* family return raw selected values.
+_EP_RE = re.compile(r"^ep(\d{2,3})r([37])$")
+
+
+def _ep_parse(agg: str) -> tuple[int, int] | None:
+    """(permille, rule) of an ep-aggregator spelling, else None."""
+    m = _EP_RE.match(agg)
+    if m is None:
+        return None
+    digits = m.group(1)
+    pm = int(digits) * (10 if len(digits) == 2 else 1)
+    if not 1 <= pm <= 999:
+        raise ValueError(f"estimated percentile {agg!r} out of (0, 1000)")
+    return pm, int(m.group(2))
 
 
 def _percentile_permille(agg: str) -> int | None:
@@ -210,7 +243,8 @@ _RESERVED_DIM_NAMES = frozenset(
         "sum", "count", "min", "max", "bucket", "n", "interval",
         "permille", "est_max", "total", "query", "group_tags",
         "_rn", "_n", "_delta", "_dt", "_m", "_lo", "_hi", "_ng",
-        "_ms", "_mc", "_num", "_den", "_ts",
+        "_ms", "_mc", "_num", "_den", "_ts", "_j", "_f", "_fr",
+        "_vl", "_vh",
     }
 )
 
@@ -326,7 +360,9 @@ def _validate(spec: QuerySpec) -> None:
         raise ValueError(f"unknown fill policy {spec.downsample.fill!r}")
     if spec.aggregator not in _GROUP_AGGS:
         pm = _P_RE.match(spec.aggregator)
-        if not pm or not (1 <= int(pm.group(1)) <= 999):
+        if (
+            not pm or not (1 <= int(pm.group(1)) <= 999)
+        ) and _ep_parse(spec.aggregator) is None:
             raise ValueError(f"unknown aggregator {spec.aggregator!r}")
     if not (spec.end > spec.start):
         raise ValueError("end must be > start")
@@ -940,6 +976,92 @@ def api_query_finish(per_series: DataFrame, spec: QuerySpec) -> DataFrame:
                 F.col("v").cast("long").alias("value"),
             )
         )
+        out_dims = list(group_tags)
+    elif _ep_parse(spec.aggregator) is not None:
+        # estimated-percentile aggregators (ep<pct>r<3|7>, see _EP_RE)
+        # — same spillable rank machinery as the exact p-family (one
+        # WindowExec sort per bucket, NULL fills excluded, empty
+        # buckets vanish), plus the per-rule selection arithmetic.
+        # All index math is per-row integer expressions over (_rn, _n)
+        # so both engines agree exactly.
+        permille, rule = _ep_parse(spec.aggregator)
+        obs = per_series.where(F.col("v").isNotNull())
+        wre = Window.partitionBy(*group_tags, "w_start").orderBy("v")
+        wne = Window.partitionBy(*group_tags, "w_start")
+        ranked = obs.select(
+            *group_tags,
+            "w_start",
+            "v",
+            F.row_number().over(wre).alias("_rn"),
+            F.count("v").over(wne).alias("_n"),
+        )
+        if rule == 7:
+            # R-7: h = (n-1)*q + 1 in 1/1000 units -> h1000 =
+            # (n-1)*pm + 1000, so j = h1000 DIV 1000 is in [1, n] and
+            # a nonzero fraction implies j < n (h1000 <= n*1000).
+            # value = ppm-floor lerp between x_j and x_{j+1}; the
+            # fraction-0 case has no x_{j+1} row — coalesce adds 0.
+            h = f"((_n - 1) * {permille} + 1000)"
+            grouped = (
+                ranked.withColumn("_j", F.expr(f"{h} DIV 1000"))
+                .withColumn("_f", F.expr(f"pmod({h}, 1000)"))
+                .where(
+                    (F.col("_rn") == F.col("_j"))
+                    | (F.col("_rn") == F.col("_j") + 1)
+                )
+                .groupBy(*group_tags, "w_start")
+                .agg(
+                    F.max(
+                        F.when(F.col("_rn") == F.col("_j"), F.col("v"))
+                    ).alias("_vl"),
+                    F.max(
+                        F.when(F.col("_rn") == F.col("_j") + 1, F.col("v"))
+                    ).alias("_vh"),
+                    F.first("_f").alias("_fr"),
+                )
+                .select(
+                    *group_tags,
+                    "w_start",
+                    (
+                        F.col("_vl") * F.lit(Q_SCALE)
+                        + F.coalesce(
+                            (F.col("_vh") - F.col("_vl"))
+                            * F.col("_fr")
+                            * F.lit(1000),
+                            F.lit(0),
+                        )
+                    )
+                    .cast("long")
+                    .alias("value"),
+                )
+            )
+        else:
+            # R-3 (H&F type 3, the numpy closest_observation / R
+            # type=3 behavior, verified against both): j =
+            # floor(n*q - 1/2), take x_{j+1} unless the fraction is
+            # exactly 0 AND j is ODD (1-indexed — H&F's "ties to even"
+            # is stated over 0-based positions), then stay at x_j;
+            # clamp to [1, n]. Selection only — raw value out, like
+            # the exact p-family.
+            h = f"(_n * {permille} - 500)"
+            j = _ppm_div(h, "1000")
+            grouped = (
+                ranked.withColumn(
+                    "_j",
+                    F.expr(
+                        f"greatest(1, least(_n, "
+                        f"CASE WHEN pmod({h}, 1000) = 0 "
+                        f"AND pmod({j}, 2) = 1 THEN {j} "
+                        f"ELSE {j} + 1 END))"
+                    ),
+                )
+                .where(F.col("_rn") == F.col("_j"))
+                .select(
+                    *group_tags,
+                    "w_start",
+                    F.col("v").cast("long").alias("value"),
+                )
+            )
         out_dims = list(group_tags)
     else:
         grouped = per_series.groupBy(*group_tags, "w_start").agg(

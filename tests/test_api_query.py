@@ -1667,3 +1667,46 @@ def test_api_query_delete_refusals(spark, tmp_path):
         api_query_delete(
             store, "pts", QuerySpec(metric="m", start=60, end=60)
         )
+
+
+def test_estimated_percentile_aggregators_r3_r7(spark):
+    """ep<pct>r<3|7> (OpenTSDB 2.4 estimated percentiles, the
+    Commons Math R_3/R_7 rules): R_7 lerps between bracketing order
+    statistics (ppm-scaled output, exact int64 lerp); R_3 selects an
+    order statistic with the ties-to-even index rule — both verified
+    against numpy's linear / closest_observation in development; the
+    literal cases here pin the arithmetic. n=4 values [1,3,5,10]:
+    ep50r7 -> h=2.5 -> 3 + 0.5*(5-3) = 4.0 (4_000_000 ppm);
+    ep50r3 -> j=floor(2-0.5)=1 odd, frac 0.5>0 -> x_2 = 3;
+    n=5 adds 20: ep50r3 -> h=2.0 frac 0, j=2 even -> x_3 = 5."""
+    rows4 = [
+        ("m", 0, 1, {"host": "h0", "env": "prod"}),
+        ("m", 0, 3, {"host": "h1", "env": "prod"}),
+        ("m", 0, 5, {"host": "h2", "env": "prod"}),
+        ("m", 0, 10, {"host": "h3", "env": "prod"}),
+    ]
+    base = dict(
+        metric="m",
+        start=0,
+        end=60,
+        filters=(TagFilter("literal_or", "env", "prod"),),
+        downsample=Downsample("1m", "sum"),
+    )
+    for agg, want in (("ep50r7", 4_000_000), ("ep50r3", 3)):
+        spec = QuerySpec(**base, aggregator=agg)
+        [(w, v)] = api_query(_pts(spark, rows4), spec).collect()
+        assert (w, v) == (0, want), agg
+    rows5 = rows4 + [("m", 0, 20, {"host": "h4", "env": "prod"})]
+    for agg, want in (
+        ("ep50r3", 5),  # frac 0, j=2 even -> round UP to x_3
+        ("ep95r7", 18_000_000),  # h=4.8: 10 + 0.8*(20-10) = 18.0
+    ):
+        spec = QuerySpec(**base, aggregator=agg)
+        [(w, v)] = api_query(_pts(spark, rows5), spec).collect()
+        assert (w, v) == (0, want), agg
+    # unknown estimation rule / junk percent refuse loudly
+    for bad in ("ep50r5", "ep0r3", "epxxr7"):
+        with pytest.raises(ValueError, match="unknown aggregator|out of"):
+            api_query(
+                _pts(spark, rows4), QuerySpec(**base, aggregator=bad)
+            ).collect()
