@@ -1710,3 +1710,50 @@ def test_estimated_percentile_aggregators_r3_r7(spark):
             api_query(
                 _pts(spark, rows4), QuerySpec(**base, aggregator=bad)
             ).collect()
+
+
+def test_parse_query_json_session7_spellings():
+    """The session-7 surface through the literal JSON body: ep*
+    aggregators pass through verbatim (OpenTSDB spells them exactly
+    as the engine does), and first/last ride the downsample string."""
+    from opentsdb_rollup_rust_spark.plans.api_query import parse_query_json
+
+    [(s0, _), (s1, _)] = parse_query_json(
+        {
+            "start": 0,
+            "end": 7200,
+            "queries": [
+                {
+                    "metric": "m",
+                    "aggregator": "ep95r7",
+                    "downsample": "1h-first",
+                },
+                {
+                    "metric": "m",
+                    "aggregator": "ep50r3",
+                    "downsample": "2h-last-none",
+                },
+            ],
+        }
+    )
+    assert s0.aggregator == "ep95r7"
+    assert s0.downsample.aggregator == "first"
+    assert s1.aggregator == "ep50r3"
+    assert (s1.downsample.interval, s1.downsample.aggregator) == (
+        "7200s",
+        "last",
+    )
+    with pytest.raises(ValueError, match="unknown aggregator"):
+        parse_query_json(
+            {
+                "start": 0,
+                "end": 60,
+                "queries": [
+                    {
+                        "metric": "m",
+                        "aggregator": "ep95r9",  # no such rule
+                        "downsample": "1m-sum",
+                    }
+                ],
+            }
+        )
