@@ -51,6 +51,50 @@ def _sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def emit_line(
+    out: dict, budget: int | None = None, full_path: str | None = None
+) -> str:
+    """Budget the one printed JSON line to the driver's stdout tail.
+
+    The driver keeps only the last ~2000 chars of stdout and parses the
+    JSON line out of that tail: BENCH_r03/r04 both recorded
+    "parsed": null because the line outgrew the window once the
+    registry passed ~100 queries (the r4 tail starts mid-JSON, see
+    BENCH_r04.json "tail"). The COMPLETE result always goes to
+    BENCH/bench_full_latest.json first; when trimming, per-query
+    entries drop from the END of registry order, so the sample-front
+    (new/changed keys, then oldest driver evidence) survives on the
+    printed line and `queries_omitted`/`queries_full` say where the
+    rest is.
+    """
+    if budget is None:
+        budget = int(os.environ.get("BENCH_LINE_BUDGET", "1800"))
+    if full_path is None:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH",
+            "bench_full_latest.json",
+        )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+    line = json.dumps(out)
+    if len(line) > budget:
+        out = dict(out)
+        out["queries"] = dict(out.get("queries", {}))
+        names = list(out["queries"])
+        out["queries_full"] = "BENCH/bench_full_latest.json"
+        out["queries_omitted"] = 0
+        while names and len(json.dumps(out)) > budget:
+            out["queries"].pop(names.pop())
+            out["queries_omitted"] += 1
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -250,7 +294,7 @@ def main() -> None:
         "decode_pts_per_sec": round(npts / max(decode_sec, 1e-9), 1),
         "bytes_per_point": round(bytes_per_point, 3),
     }
-    print(json.dumps(out))
+    print(emit_line(out))
 
 
 if __name__ == "__main__":
