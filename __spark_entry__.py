@@ -844,6 +844,47 @@ def _q_query_tag_filters(spark, sf_dir):
     )
 
 
+def _q_query_tag_filters_not(spark, sf_dir):
+    """P6c (r5): the two remaining documented TagVFilter types —
+    ``not_iliteral_or`` (tag present, value NOT in the list, compared
+    case-insensitively) and ``not_key`` (series must not carry the
+    key at all). The demo stream adds an OPTIONAL 'canary' tag
+    (present on 1-in-7 users only, via map_filter dropping the null
+    value) so key-absence is actually exercised — the base tagged
+    stream carries every key on every series. Filters AND together:
+    host wildcard (groupBy dimension), dc not_iliteral_or
+    'CLICK|Purchase' (case-folds against lowercase stored values),
+    canary not_key. Still one codegen'd map predicate, no UDF."""
+    e = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    tags = F.map_filter(
+        F.create_map(
+            F.lit("host"),
+            F.concat(F.lit("web"), F.pmod(uid, F.lit(12)).cast("string")),
+            F.lit("dc"),
+            F.col("event_type"),
+            F.lit("canary"),
+            F.when(F.pmod(uid, F.lit(7)) == 0, F.lit("on")),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    pts = e.select(
+        F.col("event_type").alias("series_id"),
+        F.col("ts"),
+        F.floor(F.col("value") * F.lit(1000)).cast("long").alias("value"),
+        tags.alias("tags"),
+    )
+    return tag_filter_rollup(
+        pts,
+        [
+            TagFilter("wildcard", "host", "web*", group_by=True),
+            TagFilter("not_iliteral_or", "dc", "CLICK|Purchase"),
+            TagFilter("not_key", "canary", ""),
+        ],
+        86400,
+    )
+
+
 def _q_suggest(spark, sf_dir):
     """/api/suggest autocomplete, all three kinds in one result:
     metrics capped at 3 (the `max` param doing real work), every tag
@@ -2762,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_delete_read": _q_api_query_delete_read,
         "api_query_ep": _q_api_query_ep,
         "query_tag_filters": _q_query_tag_filters,
+        "query_tag_filters_not": _q_query_tag_filters_not,
         "suggest_names": _q_suggest,
         "uid_encode": _q_uid_encode,
         "split_assign": _q_split_assign,
@@ -2829,7 +2871,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the session-5 trio — agg_first_last, agg_interp, agg_percentile,
     # — after the session-6 trio — udaf_hist, agg_dev, agg_distinct,
     # and — after the session-7 additions — set_union, sort_global,
-    # sort_limit, text_tokens.
+    # sort_limit, text_tokens. Session 9 (query_tag_filters_not)
+    # shifts the boundary one more: the 50-slot sample now ends at
+    # set_intersect; set_union onward is r06 front-of-line.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
@@ -2841,6 +2885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diffSeries/divideSeries; session-7: first/last downsamplers,
         # gexp multiplySeries, the delete flag over the store, the
         # ep estimated-percentile aggregator family)
+        # session-9: the last two documented TagVFilter types
+        # (not_iliteral_or, not_key) over an optional-key tag stream
+        "query_tag_filters_not",
         "api_query_first_last",
         "api_query_gexp_multiply",
         "api_query_delete_read",
@@ -4169,6 +4216,22 @@ def oracle_sql() -> dict[str, str]:
             FROM tp
             WHERE series_id = 'click'
               AND lower(host) LIKE 'web%' AND env IN ('prod')
+            GROUP BY 1, 2""",
+        "query_tag_filters_not": """WITH tpn AS (
+    SELECT CAST(FLOOR(value*1000) AS BIGINT) AS value, ts,
+           'web' || CAST(user_id % 12 AS VARCHAR) AS host,
+           event_type AS dc,
+           CASE WHEN user_id % 7 = 0 THEN 'on' ELSE NULL END AS canary
+    FROM events)
+            SELECT host,
+                   CAST(FLOOR(epoch(ts)/86400)*86400 AS BIGINT) AS w_start,
+                   sum(value)::BIGINT AS "sum", count(value)::BIGINT AS "count",
+                   min(value) AS "min", max(value) AS "max",
+                   (sum(value)::DOUBLE) / (count(value)::DOUBLE) AS avg
+            FROM tpn
+            WHERE host LIKE 'web%'
+              AND lower(dc) NOT IN ('click', 'purchase')
+              AND canary IS NULL
             GROUP BY 1, 2""",
         "query_tag_filters": f"""{_TAGGED_CTE}
             SELECT host,

@@ -7,13 +7,20 @@ family implemented here:
 
   literal_or / iliteral_or      pipe-separated exact values (i = case-
                                 insensitive)
-  not_literal_or                tag present AND value not in the list
+  not_literal_or /              tag present AND value not in the list
+  not_iliteral_or               (i = compare case-insensitively)
   wildcard / iwildcard          '*' glob (the only wildcard OpenTSDB
                                 supports); translated to SQL LIKE with
                                 literal %/_ escaped
   regexp                        full-match regex (Java Pattern.matches
                                 semantics — OpenTSDB anchors the whole
                                 value, so we wrap '^(?:...)$')
+  not_key                       series must NOT carry the tag key at
+                                all (the one filter whose semantics is
+                                key ABSENCE; OpenTSDB requires its
+                                filter value empty and forbids groupBy
+                                — an absent key has no value to group
+                                on — both enforced here)
 
 Semantics faithful to the reference engine:
   - every filter requires the tag to be PRESENT on the series (a
@@ -79,6 +86,21 @@ def compile_tag_filter(tags: Column, f: TagFilter) -> Column:
         return present & F.lower(v).isin(*vals)
     if t == "not_literal_or":
         return present & ~v.isin(*f.filter.split("|"))
+    if t == "not_iliteral_or":
+        vals = [s.lower() for s in f.filter.split("|")]
+        return present & ~F.lower(v).isin(*vals)
+    if t == "not_key":
+        if f.filter:
+            raise ValueError(
+                "not_key takes no filter value (OpenTSDB requires it "
+                f"empty); got {f.filter!r} for tagk {f.tagk!r}"
+            )
+        if f.group_by:
+            raise ValueError(
+                f"not_key cannot be a groupBy dimension (tagk "
+                f"{f.tagk!r} is required ABSENT, so it has no value)"
+            )
+        return v.isNull()
     if t == "wildcard":
         return present & v.like(_like_pattern(f.filter))
     if t == "iwildcard":
@@ -96,8 +118,12 @@ def explicit_tags_predicate(
     is excluded even if every filter matches. Implemented as a size
     check (the per-filter compile already requires each filtered key
     present, so size-equality plus those presence checks IS set
-    equality); still a pure codegen'd map expression."""
-    tagks = sorted({f.tagk for f in filters})
+    equality); still a pure codegen'd map expression.
+
+    A ``not_key`` filter's tagk does not count toward the expected
+    set: that filter requires the key ABSENT, so the exact tag set a
+    matching series may carry is the remaining filters' keys."""
+    tagks = sorted({f.tagk for f in filters if f.type != "not_key"})
     return F.size(F.map_keys(tags)) == F.lit(len(tagks))
 
 

@@ -68,6 +68,46 @@ def test_not_literal_or_requires_tag_present(tagged):
     assert got == {"b", "d", "e"}
 
 
+def test_not_iliteral_or_case_insensitive(tagged):
+    # case-insensitive exclusion, but still tag-present-only: f (no
+    # host) stays out, and both 'web1' and 'WEB1' are excluded.
+    got = _ids(tagged, TagFilter("not_iliteral_or", "host", "WEB1|web10"))
+    assert got == {"d", "e"}
+
+
+def test_not_key_matches_only_absent_tag(tagged):
+    # not_key is the one absence filter: only f carries no host tag.
+    assert _ids(tagged, TagFilter("not_key", "host", "")) == {"f"}
+
+
+def test_not_key_refuses_value_and_group_by(tagged):
+    with pytest.raises(ValueError, match="no filter value"):
+        compile_tag_filter(F.col("tags"), TagFilter("not_key", "host", "x"))
+    with pytest.raises(ValueError, match="groupBy"):
+        compile_tag_filter(
+            F.col("tags"), TagFilter("not_key", "host", "", group_by=True)
+        )
+
+
+def test_not_key_with_explicit_tags(tagged):
+    """explicitTags + not_key: the absent key must not count toward
+    the exact tag set. Filters (dc literal_or east, host not_key)
+    under explicitTags match exactly the series whose tag set is
+    {dc} — only f."""
+    out = tag_filter_rollup(
+        tagged,
+        [
+            TagFilter("literal_or", "dc", "east", group_by=True),
+            TagFilter("not_key", "host", ""),
+        ],
+        60,
+        explicit_tags=True,
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["dc"] == "east" and rows[0]["sum"] == 60
+
+
 def test_wildcard_glob_and_case(tagged):
     # '*' is the only glob char; matching is case-SENSITIVE.
     assert _ids(tagged, TagFilter("wildcard", "host", "web1*")) == {"a", "b"}
