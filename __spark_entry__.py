@@ -1813,6 +1813,35 @@ def _q_api_query_json(spark, sf_dir):
     return api_query(pts, spec)
 
 
+def _q_api_query_qs(spark, sf_dir):
+    """The GET spelling of /api/query ([OTSDB-API] HTTP query string
+    format) — the form every CLI/dashboard client actually sends: a
+    literal percent-encoded query string parsed by parse_query_string
+    and executed. The string exercises the GET-only surface: brace-
+    group position semantics (FIRST group = groupBy dimensions,
+    second = plain filters), the 2.0 ``web*`` glob shorthand, an
+    explicit literal_or(...) filter function, the ``dropcounter``
+    rate spelling (negative deltas emit nothing), and a
+    '1h-sum-zero' downsample segment. The oracle recomputes the
+    whole composition direct from raw, so a mis-parsed segment
+    (groups swapped, glob mis-mapped, dropcounter read as plain
+    rate) cannot hash-match."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        api_query,
+        parse_query_string,
+    )
+
+    pts, start, end = _api_spec_range(spark, sf_dir)
+    qs = (
+        f"start={start}&end={end}"
+        "&m=sum:1h-sum-zero:rate%7Bdropcounter%7D:"
+        "signup%7Bhost=web*%7D%7Benv=literal_or(prod)%7D"
+    )
+    ((spec, permilles),) = parse_query_string(qs)
+    assert permilles == ()
+    return api_query(pts, spec)
+
+
 def _q_api_query_tier_multi(spark, sf_dir):
     """rollupUsage=ROLLUP_FALLBACK across a tier LIST (the OpenTSDB
     rollup-table selection rule): 1h and 2h tagged tiers supplied, a
@@ -2791,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_query_hist": _q_api_query_hist,
         "api_query_hist_tier": _q_api_query_hist_tier,
         "api_query_json": _q_api_query_json,
+        "api_query_qs": _q_api_query_qs,
         "api_query_tier_multi": _q_api_query_tier_multi,
         "api_query_tsuid_none": _q_api_query_tsuid_none,
         "api_query_0all": _q_api_query_0all,
@@ -2886,7 +2916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gexp multiplySeries, the delete flag over the store, the
         # ep estimated-percentile aggregator family)
         # session-9: the last two documented TagVFilter types
-        # (not_iliteral_or, not_key) over an optional-key tag stream
+        # (not_iliteral_or, not_key) over an optional-key tag stream,
+        # and the GET query-string request form (parse_query_string)
+        "api_query_qs",
         "query_tag_filters_not",
         "api_query_first_last",
         "api_query_gexp_multiply",
@@ -4054,6 +4086,42 @@ def oracle_sql() -> dict[str, str]:
         # the JSON body key: day-shifted (+1d realign), zero-filled 2h
         # sums per host, counter rate with 2^40 wrap — every parsed
         # field is load-bearing in this arithmetic
+        # GET query-string twin of api_query_json: same composition
+        # machinery, dropcounter tail (delta >= 0 survives, nothing
+        # wraps), case-SENSITIVE glob from the 'web*' shorthand
+        "api_query_qs": f"""{_TAGGED_CTE},
+            rng AS (SELECT CAST(FLOOR(min(epoch(ts))/3600)*3600 AS BIGINT) AS first_b,
+                           CAST(FLOOR(max(epoch(ts))/3600)*3600 AS BIGINT) AS last_b
+                    FROM tp),
+            f AS (SELECT host, rack, env,
+                         CAST(FLOOR(epoch(ts)/3600)*3600 AS BIGINT) AS w_start,
+                         value
+                  FROM tp
+                  WHERE series_id = 'signup'
+                    AND host LIKE 'web%' AND env IN ('prod')),
+            ds AS (SELECT host, rack, env, w_start, sum(value)::BIGINT AS v
+                   FROM f GROUP BY 1, 2, 3, 4),
+            sd AS (SELECT DISTINCT host, rack, env FROM ds),
+            spine AS (SELECT sd.host, sd.rack, sd.env, gs.w_start
+                      FROM sd CROSS JOIN (
+                        SELECT unnest(generate_series(first_b, last_b, 3600))
+                               AS w_start FROM rng) gs),
+            filled AS (SELECT spine.host, spine.w_start,
+                              COALESCE(ds.v, 0)::BIGINT AS v
+                       FROM spine LEFT JOIN ds
+                         USING (host, rack, env, w_start)),
+            g AS (SELECT host, w_start, sum(v)::BIGINT AS value
+                  FROM filled GROUP BY 1, 2),
+            r AS (SELECT host, w_start,
+                         value - lag(value) OVER
+                           (PARTITION BY host ORDER BY w_start) AS delta,
+                         w_start - lag(w_start) OVER
+                           (PARTITION BY host ORDER BY w_start) AS dt
+                  FROM g)
+            SELECT host, w_start,
+                   CAST(FLOOR(delta::DOUBLE / dt::DOUBLE * 1000000) AS BIGINT)
+                     AS value
+            FROM r WHERE delta IS NOT NULL AND delta >= 0""",
         "api_query_json": f"""{_TAGGED_CTE},
             rng AS (SELECT CAST(FLOOR(min(epoch(ts))/7200)*7200 AS BIGINT) AS first_b,
                            CAST(FLOOR(max(epoch(ts))/7200)*7200 AS BIGINT) AS last_b,

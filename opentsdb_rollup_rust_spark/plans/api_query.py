@@ -1963,3 +1963,246 @@ def parse_query_json(doc) -> list[tuple[QuerySpec, tuple[int, ...]]]:
             )
         out.append((spec, tuple(permilles)))
     return out
+
+
+# ------------------------------------------------- GET query strings
+
+_QS_FILTER_FN = re.compile(r"^([a-z_]+)\((.*)\)$")
+
+
+def _split_depth0(s: str, sep: str) -> list[str]:
+    """Split ``s`` on ``sep`` at depth 0 of {}/() nesting — OpenTSDB's
+    m= sub-query strings carry ':' and ',' INSIDE rate options,
+    filter functions, and regexp bodies, so a naive split corrupts
+    them ([OTSDB-API] query string format)."""
+    out: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in s:
+        if ch in "{(":
+            depth += 1
+        elif ch in "})":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced braces in {s!r}")
+        if ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if depth != 0:
+        raise ValueError(f"unbalanced braces in {s!r}")
+    out.append("".join(buf))
+    return out
+
+
+def _take_brace_group(s: str, ctx: str) -> tuple[str, str]:
+    """``s`` starts with '{': return (body, remainder) of the first
+    balanced {...} group. Parens nest (regexp bodies may carry '}'
+    only via escapes, which OpenTSDB's own splitter also rejects)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch in "{(":
+            depth += 1
+        elif ch in "})":
+            depth -= 1
+            if depth == 0:
+                if ch != "}":
+                    raise ValueError(f"mismatched braces in {ctx!r}")
+                return s[1:i], s[i + 1 :]
+    raise ValueError(f"unbalanced braces in {ctx!r}")
+
+
+def _qs_tag_filter(tagk: str, expr: str, group_by: bool) -> TagFilter:
+    """One ``tagk=expr`` entry from an m= brace group -> TagFilter.
+
+    Explicit filter functions pass through verbatim —
+    ``host=literal_or(web01|web02)``, ``host=regexp(web\\d+)``,
+    ``canary=not_key()`` — exactly the type names compile_tag_filter
+    implements. The 2.0-era shorthands map per the public docs:
+    ``*`` / any value containing ``*`` is the glob filter, anything
+    else (including pipe lists) is literal_or."""
+    m = _QS_FILTER_FN.match(expr)
+    if m:
+        return TagFilter(m.group(1), tagk, m.group(2), group_by=group_by)
+    if "*" in expr:
+        return TagFilter("wildcard", tagk, expr, group_by=group_by)
+    return TagFilter("literal_or", tagk, expr, group_by=group_by)
+
+
+def _qs_rate(seg: str) -> RateOptions:
+    """``rate`` / ``rate{counter[,<counterMax>[,<resetValue>]]}``;
+    the ``dropcounter`` spelling is OpenTSDB's dropResets form
+    (negative-delta samples emit nothing — this engine models it as
+    drop_resets WITHOUT wrap, since a dropped reset never wraps).
+    Empty positions are legal (``rate{counter,,1000}``). Note the
+    engine's explicit-or-refuse stance carries over: ``rate{counter}``
+    with no counterMax is refused downstream by _validate rather than
+    silently defaulting to Long.MAX_VALUE as OpenTSDB does."""
+    if seg == "rate":
+        return RateOptions()
+    body = seg[len("rate") :]
+    if not (body.startswith("{") and body.endswith("}")):
+        raise ValueError(f"bad rate options {seg!r}")
+    toks = [t.strip() for t in body[1:-1].split(",")]
+    if len(toks) > 3:
+        raise ValueError(f"bad rate options {seg!r} (max 3 fields)")
+    kind = toks[0] if toks and toks[0] else ""
+    if kind not in ("", "counter", "dropcounter"):
+        raise ValueError(f"bad rate counter spelling {kind!r}")
+    cmax = int(toks[1]) if len(toks) > 1 and toks[1] else None
+    reset = int(toks[2]) if len(toks) > 2 and toks[2] else None
+    return RateOptions(
+        counter=kind == "counter",
+        counter_max=cmax,
+        reset_value=reset,
+        drop_resets=kind == "dropcounter",
+    )
+
+
+def _qs_subquery(
+    m: str, start: int, end: int, tsuid_mode: bool
+) -> QuerySpec:
+    """One ``m=`` (or ``tsuid=``) parameter value -> QuerySpec.
+
+    Layout ([OTSDB-API] /api/query, HTTP query string format):
+    ``<aggregator>:[<downsample>:][rate[{...}]:][explicit_tags:]
+    <metric>[{<groupBy filters>}][{<non-groupBy filters>}]`` — the
+    middle segments are detected by shape rather than position
+    (OpenTSDB's own parser accepts rate and downsample in either
+    order), so ``sum:rate:1h-avg:metric`` and ``sum:1h-avg:rate:
+    metric`` both parse."""
+    parts = _split_depth0(m.strip(), ":")
+    if len(parts) < 2:
+        raise ValueError(f"bad m= value {m!r} (want agg:...:metric)")
+    agg = {
+        "p50": "p500",
+        "p75": "p750",
+        "p90": "p900",
+        "p95": "p950",
+        "p99": "p990",
+    }.get(parts[0], parts[0])
+    rate = None
+    downsample = None
+    explicit = False
+    for seg in parts[1:-1]:
+        if seg == "explicit_tags":
+            explicit = True
+        elif seg == "rate" or seg.startswith("rate{"):
+            if rate is not None:
+                raise ValueError(f"duplicate rate segment in {m!r}")
+            rate = _qs_rate(seg)
+        else:
+            if downsample is not None:
+                raise ValueError(f"duplicate downsample segment in {m!r}")
+            downsample = _parse_downsample(seg)
+    if downsample is None:
+        raise ValueError(
+            f"m= value {m!r} has no downsample segment: this is a "
+            "windowed rollup engine (see QuerySpec)"
+        )
+    last = parts[-1]
+    if tsuid_mode:
+        if "{" in last:
+            raise ValueError(f"tsuid= takes no tag filters: {m!r}")
+        spec = QuerySpec(
+            metric="",
+            start=start,
+            end=end,
+            aggregator=agg,
+            downsample=downsample,
+            rate=rate,
+            tsuids=tuple(t for t in last.split(",") if t),
+        )
+        _validate(spec)
+        return spec
+    brace = last.find("{")
+    metric = last if brace < 0 else last[:brace]
+    filters: list[TagFilter] = []
+    groups: list[str] = []
+    rest = "" if brace < 0 else last[brace:]
+    while rest:
+        if not rest.startswith("{"):
+            raise ValueError(f"bad filter braces in {m!r}")
+        body, rest = _take_brace_group(rest, m)
+        groups.append(body)
+    if len(groups) > 2:
+        raise ValueError(f"at most two filter groups in {m!r}")
+    for gi, grp in enumerate(groups):
+        group_by = gi == 0  # first brace group = output dimensions
+        for pair in _split_depth0(grp, ","):
+            if not pair:
+                continue
+            if "=" not in pair:
+                raise ValueError(f"bad tag filter {pair!r} in {m!r}")
+            tagk, expr = pair.split("=", 1)
+            filters.append(_qs_tag_filter(tagk.strip(), expr.strip(),
+                                          group_by))
+    if explicit and not filters:
+        raise ValueError(f"explicit_tags with no filters in {m!r}")
+    spec = QuerySpec(
+        metric=metric,
+        start=start,
+        end=end,
+        aggregator=agg,
+        filters=tuple(filters),
+        explicit_tags=explicit,
+        downsample=downsample,
+        rate=rate,
+    )
+    _validate(spec)
+    return spec
+
+
+def parse_query_string(qs) -> list[tuple[QuerySpec, tuple[int, ...]]]:
+    """Parse the GET form of /api/query ([OTSDB-API] HTTP query
+    string) — the spelling every CLI and dashboard client uses —
+    into the same (QuerySpec, percentiles) pairs parse_query_json
+    produces, on the same validation plumbing.
+
+    Accepts a raw query string (leading '?' or a full path+query
+    tolerated; percent-encoding and '+' decoded by stdlib parse_qsl)
+    or a pre-parsed {param: value-or-list} dict. ``start``/``end``
+    must be epoch seconds — relative '-ago' spellings are client
+    sugar and refused (the parse_query_json rule: resolving 'now'
+    engine-side makes plans irreproducible). ``m=`` repeats for
+    multiple sub-queries; ``tsuid=`` carries the direct-series mode.
+    The GET form has no percentiles[] field (that is POST-body-only
+    in OpenTSDB 2.4), so the permille tuple is always ().
+
+    Execution stays the caller's choice, exactly as with
+    parse_query_json (api_query / api_query_multi)."""
+    from urllib.parse import parse_qsl
+
+    if isinstance(qs, (str, bytes)):
+        if isinstance(qs, bytes):
+            qs = qs.decode()
+        qs = qs.split("?", 1)[-1].lstrip("?")
+        pairs = parse_qsl(qs, keep_blank_values=True)
+        params: dict[str, list[str]] = {}
+        for k, v in pairs:
+            params.setdefault(k, []).append(v)
+    else:
+        params = {
+            k: (list(v) if isinstance(v, (list, tuple)) else [v])
+            for k, v in qs.items()
+        }
+    for k in ("start", "end"):
+        if k not in params or len(params[k]) != 1:
+            raise ValueError(f"query string needs exactly one {k!r}")
+        if not str(params[k][0]).lstrip("-").isdigit():
+            raise ValueError(
+                f"{k!r} must be epoch seconds (relative '-ago' times "
+                "are client-side sugar; resolve them before submitting)"
+            )
+    start, end = int(params["start"][0]), int(params["end"][0])
+    ms = params.get("m", [])
+    tsuids = params.get("tsuid", [])
+    if not ms and not tsuids:
+        raise ValueError("query string has no m= or tsuid= sub-query")
+    out: list[tuple[QuerySpec, tuple[int, ...]]] = []
+    for m in ms:
+        out.append((_qs_subquery(m, start, end, tsuid_mode=False), ()))
+    for t in tsuids:
+        out.append((_qs_subquery(t, start, end, tsuid_mode=True), ()))
+    return out

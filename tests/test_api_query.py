@@ -1757,3 +1757,92 @@ def test_parse_query_json_session7_spellings():
                 ],
             }
         )
+
+
+def test_parse_query_string_field_mapping():
+    """GET /api/query spelling -> QuerySpec: segment detection by
+    shape (rate and downsample in either order), explicit filter
+    functions vs 2.0 shorthands, FIRST brace group = groupBy,
+    percent-encoding, and the percent->permille aggregator map."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        parse_query_string,
+    )
+
+    qs = (
+        "start=0&end=7200"
+        "&m=p95:90m-avg-nan:rate%7Bcounter,65535,100%7D:explicit_tags:"
+        "m1%7Bhost=web*,dc=literal_or(east%7Cwest)%7D"
+        "%7Benv=not_iliteral_or(DEV),canary=not_key()%7D"
+        "&m=max:rate:1h-sum:m2"
+    )
+    (s1, p1), (s2, p2) = parse_query_string(qs)
+    assert p1 == () and p2 == ()
+    assert s1.aggregator == "p950"  # percent spelling translated
+    assert s1.downsample == Downsample("5400s", "avg", "null")
+    assert (s1.rate.counter, s1.rate.counter_max, s1.rate.reset_value,
+            s1.rate.drop_resets) == (True, 65535, 100, False)
+    assert s1.explicit_tags and s1.metric == "m1"
+    by_key = {(f.tagk, f.type): f for f in s1.filters}
+    assert by_key[("host", "wildcard")].group_by
+    assert by_key[("dc", "literal_or")].filter == "east|west"
+    assert by_key[("dc", "literal_or")].group_by
+    f_env = by_key[("env", "not_iliteral_or")]
+    assert f_env.filter == "DEV" and not f_env.group_by
+    assert by_key[("canary", "not_key")].filter == ""
+    # m2: rate BEFORE downsample parses identically; plain rate
+    assert s2.downsample == Downsample("3600s", "sum", "none")
+    assert s2.rate == RateOptions() and s2.filters == ()
+
+
+def test_parse_query_string_tsuid_and_dropcounter():
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        parse_query_string,
+    )
+
+    out = parse_query_string(
+        {"start": "0", "end": "3600",
+         "tsuid": "none:1h-sum:m|host=a,m|host=b",
+         "m": "sum:1h-sum:rate{dropcounter}:m3"}
+    )
+    (s_m, _), (s_t, _) = out  # m= specs first, then tsuid=
+    assert s_t.tsuids == ("m|host=a", "m|host=b")
+    assert s_t.metric == "" and s_t.aggregator == "none"
+    assert (s_m.rate.drop_resets, s_m.rate.counter) == (True, False)
+
+
+def test_parse_query_string_refusals():
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        parse_query_string,
+    )
+
+    def bad(qs, pat):
+        with pytest.raises(ValueError, match=pat):
+            parse_query_string(qs)
+
+    bad("start=1h-ago&end=0&m=sum:1m-sum:m", "epoch seconds")
+    bad("start=0&end=60", "no m= or tsuid=")
+    bad("start=0&end=60&m=sum:m", "no downsample")
+    bad("start=0&end=60&m=sum:1m-sum:1h-avg:m", "duplicate downsample")
+    bad("start=0&end=60&m=sum:rate:rate:1m-sum:m", "duplicate rate")
+    bad("start=0&end=60&m=sum:1m-sum:rate{nope}:m", "counter spelling")
+    bad("start=0&end=60&m=sum:1m-sum:m{host=a", "unbalanced")
+    bad("start=0&end=60&m=sum:1m-sum:m{a=1}{b=2}{c=3}", "two filter")
+    bad("start=0&end=60&m=sum:1m-sum:explicit_tags:m", "explicit_tags")
+    # the engine's explicit-or-refuse counterMax rule carries over
+    bad("start=0&end=60&m=sum:1m-sum:rate{counter}:m", "counter_max")
+    bad("start=0&end=60&tsuid=sum:1m-sum:m%7Bhost=a%7D",
+        "no tag filters")
+
+
+def test_parse_query_string_nested_separators():
+    """':' and ',' INSIDE filter functions must survive the split —
+    a regexp body with both, and a pipe list, stay intact."""
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        parse_query_string,
+    )
+
+    ((s, _),) = parse_query_string(
+        "start=0&end=60&m=sum:1m-sum:m{host=regexp(web[0-9]{1,2}:x)}"
+    )
+    assert s.filters[0].type == "regexp"
+    assert s.filters[0].filter == "web[0-9]{1,2}:x"
