@@ -2105,6 +2105,20 @@ def _qs_subquery(
     if tsuid_mode:
         if "{" in last:
             raise ValueError(f"tsuid= takes no tag filters: {m!r}")
+        tsuids = tuple(t for t in last.split(",") if t)
+        # OpenTSDB's GET tsuid list is comma-separated, which is safe
+        # for its hex TSUIDs; this engine's identity analogue
+        # ('<metric>|<k=v,k=v>') uses commas as the TAG joiner, so a
+        # multi-tag identity cannot ride the comma list — the split
+        # leaves '|'-less fragments. Refuse loudly (the JSON body's
+        # tsuids[] carries any identity) rather than match nothing.
+        bad = [t for t in tsuids if "|" not in t]
+        if bad:
+            raise ValueError(
+                f"tsuid fragment(s) {bad!r} have no '|': multi-tag "
+                "series identities cannot be comma-listed in the GET "
+                "form (commas join tags); use the JSON body's tsuids[]"
+            )
         spec = QuerySpec(
             metric="",
             start=start,
@@ -2112,7 +2126,7 @@ def _qs_subquery(
             aggregator=agg,
             downsample=downsample,
             rate=rate,
-            tsuids=tuple(t for t in last.split(",") if t),
+            tsuids=tsuids,
         )
         _validate(spec)
         return spec

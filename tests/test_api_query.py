@@ -1832,6 +1832,9 @@ def test_parse_query_string_refusals():
     bad("start=0&end=60&m=sum:1m-sum:rate{counter}:m", "counter_max")
     bad("start=0&end=60&tsuid=sum:1m-sum:m%7Bhost=a%7D",
         "no tag filters")
+    # a multi-tag identity can't ride the comma list: the comma is
+    # the identity's own tag joiner — loud refusal, not a no-match
+    bad("start=0&end=60&tsuid=sum:1m-sum:m|a=1,b=2", "tsuids")
 
 
 def test_parse_query_string_nested_separators():
@@ -1846,3 +1849,59 @@ def test_parse_query_string_nested_separators():
     )
     assert s.filters[0].type == "regexp"
     assert s.filters[0].filter == "web[0-9]{1,2}:x"
+
+
+def test_run_query_cli(spark, tmp_path, capsys):
+    """jobs/run_query.py — the read-side spark-submit surface: a GET
+    string over a parquet points table prints exactly api_query's
+    rows; --out writes parquet distributed; malformed invocations
+    refuse loudly."""
+    import json as _json
+
+    import jobs.run_query as rq
+    from opentsdb_rollup_rust_spark.plans.api_query import (
+        parse_query_string,
+    )
+
+    rows = [
+        ("m", 0, 10, HOST_A),
+        ("m", 3600, 30, HOST_A),
+        ("m", 0, 5, HOST_B),
+        ("m", 7200, 7, HOST_B),
+    ]
+    pts = _pts(spark, rows)
+    path = str(tmp_path / "pts")
+    pts.write.parquet(path)
+    qs = "start=0&end=10800&m=sum:1h-sum-zero:m{host=*}"
+
+    ((spec, _),) = parse_query_string(qs)
+    want = sorted(
+        (r["host"], r["w_start"], r["value"])
+        for r in api_query(pts, spec).collect()
+    )
+    assert want  # the fixture actually produces rows
+
+    assert rq.main(["--points", path, "--qs", qs, "--limit", "100"]) == 0
+    got = sorted(
+        (d["host"], d["w_start"], d["value"])
+        for d in map(
+            _json.loads, capsys.readouterr().out.strip().splitlines()
+        )
+    )
+    assert got == want
+
+    outp = str(tmp_path / "res")
+    assert rq.main(["--points", path, "--qs", qs, "--out", outp]) == 0
+    back = sorted(
+        (r["host"], r["w_start"], r["value"])
+        for r in spark.read.parquet(outp).collect()
+    )
+    assert back == want
+
+    with pytest.raises(ValueError, match="exactly one of"):
+        rq.main(["--points", path])
+    with pytest.raises(ValueError, match="single-sub-query"):
+        rq.main(
+            ["--points", path, "--tier", f"{path}:1h",
+             "--qs", "start=0&end=60&m=sum:1m-sum:a&m=sum:1m-sum:b"]
+        )
