@@ -2902,8 +2902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # — after the session-6 trio — udaf_hist, agg_dev, agg_distinct,
     # and — after the session-7 additions — set_union, sort_global,
     # sort_limit, text_tokens. Session 9 (query_tag_filters_not)
-    # shifts the boundary one more: the 50-slot sample now ends at
-    # set_intersect; set_union onward is r06 front-of-line.
+    # shifts the boundary one more. Note codec_stats (oracle-less,
+    # rows-only) did NOT consume one of r04's 50 oracle slots, so
+    # counting oracled keys the 50-slot sample ends at set_except;
+    # set_intersect onward is r06 front-of-line.
     front = [
         # new this round (the composed /api/query endpoint + the
         # session-2 additions: expression endpoint, multi-sub-query
