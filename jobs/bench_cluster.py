@@ -39,13 +39,21 @@ def executor_count(spark: SparkSession) -> int:
 
 def wait_executors(spark: SparkSession, want: int, timeout_s: float) -> int:
     t0 = time.monotonic()
-    n = executor_count(spark)
+    n, last_log = executor_count(spark), 0.0
     while n < want:
-        if time.monotonic() - t0 > timeout_s:
+        el = time.monotonic() - t0
+        if el > timeout_s:
             raise RuntimeError(
                 f"only {n}/{want} executors registered after "
                 f"{timeout_s:.0f}s — refusing to measure a short fleet"
             )
+        if el - last_log >= 15:
+            print(
+                f"waiting executors: {n}/{want} after {el:.0f}s "
+                "(-Xms+AlwaysPreTouch page-zeroing is untimed startup)",
+                file=sys.stderr,
+            )
+            last_log = el
         time.sleep(0.5)
         n = executor_count(spark)
     return n

@@ -243,6 +243,11 @@ class Cluster:
             str(reps),
             "--wait-executors",
             str(self.n),
+            # registration waits out the untimed -Xms/AlwaysPreTouch
+            # page-zeroing: 4 concurrent 16g heaps exceed 120s on this
+            # host's fault path (observed: 4-worker leg never registered)
+            "--wait-timeout",
+            "600",
         ]
         out = subprocess.run(
             cmd,
