@@ -71,6 +71,12 @@ def main() -> None:
     # a mid-run abort should not consume the run budget: retry the
     # whole gate+run cycle up to this many times per requested run.
     ap.add_argument("--max-aborts", type=int, default=5)
+    # which protocol to gate: the local[8]/local[32] core-scaling run
+    # (scaling_run.py) or the 1-vs-4 real-executor-JVM cluster run
+    # (standalone_scaling.py) — the launch gate is identical
+    ap.add_argument(
+        "--target", choices=("local", "standalone"), default="local"
+    )
     ap.add_argument("rest", nargs=argparse.REMAINDER)
     args = ap.parse_args()
 
@@ -86,12 +92,20 @@ def main() -> None:
                 ),
                 flush=True,
             )
+            script = (
+                "scaling_run.py"
+                if args.target == "local"
+                else "standalone_scaling.py"
+            )
+            prefix = (
+                "gated_run" if args.target == "local" else "gated_sa_run"
+            )
             cmd = [
                 sys.executable,
-                os.path.join(REPO, "scripts", "scaling_run.py"),
+                os.path.join(REPO, "scripts", script),
                 "--out",
                 os.path.join(
-                    REPO, "BENCH", f"gated_run_{int(time.time())}.md"
+                    REPO, "BENCH", f"{prefix}_{int(time.time())}.md"
                 ),
                 "--abort-below-mops",
                 str(args.abort_below_mops),

@@ -360,7 +360,7 @@ def main() -> None:
                             }
                         )
                     )
-                    return
+                    sys.exit(75)  # EX_TEMPFAIL: watcher may retry
             sample("mid")
     sample("post")
 
