@@ -260,9 +260,12 @@ def q_dedup_embed(spark, sf_dir):
 # ---------------------------------------------------------------- similarity
 
 def q_ann_topk(spark, sf_dir):
+    # 10 literal queries: the all-JVM broadcast-join plan wins below
+    # the vectorized scorer's fixed two-job overhead (similarity
+    # brute_force_topk docstring has the measured crossover)
     e = _mp(_embs(spark, sf_dir))
     q = e.where(F.col("vec_id") < 10)
-    return brute_force_topk(e, q, k=5).select(
+    return brute_force_topk(e, q, k=5, impl="join").select(
         "q_id", "neighbor_id", "cos_q", F.col("rank").cast("int").alias("rank")
     )
 

@@ -73,18 +73,256 @@ def _prepared(embeddings: DataFrame, emb_col: str = "embedding") -> DataFrame:
     ).withColumn("n2", int_norm2(F.col("qe")))
 
 
+def _gather_table(prepared: DataFrame):
+    """Materialize a prepared frame (vec_id, qe, n2) into a numpy
+    gather table broadcast to the executors: (sorted ids, int64 matrix
+    in id order, n2 in id order).
+
+    This is the SAME driver-memory shape as the F.broadcast(...) hash
+    relations the r1-r5 rerank plans already built from `prepared`
+    (Spark collects a broadcast side to the driver to frame it), just
+    exposed as columnar numpy instead of a row hash table — ~40 B +
+    8*dim per vector, 10 MB at 20k vectors/64 dims. The vectorized
+    scorers below gather rows from it by id instead of shuffling a
+    copy of both embedding payloads onto every candidate pair (guide
+    §8: decide with small rows, attach heavy bytes via a broadcast
+    plan). At a corpus too big to broadcast, the same scorers accept a
+    per-bucket collect_list of (id, qe, n2) structs — the vectors then
+    move through exactly one (bucket-keyed) shuffle — but below the
+    broadcast cap the gather table is strictly less data movement."""
+    import numpy as np
+
+    pdf = prepared.select("vec_id", "qe", "n2").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    if len(ids):
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qe"]])
+    else:
+        mat = np.zeros((0, 1), dtype=np.int64)
+    n2 = pdf["n2"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    return prepared.sparkSession.sparkContext.broadcast(
+        (ids[order], mat[order].astype(np.float64), n2[order])
+    )
+
+
+def _np_cos_q(S, sq_a, sq_b):
+    """floor(1e6 * dot / (|a| * |b|)) on float64 — the EXACT mirror of
+    cosine_q: dots are integers < 2^53 (so the float64 matmul that
+    produced S is exact), sqrt is correctly rounded IEEE in numpy and
+    the JVM alike, and the op order (divide, then *1e6, then floor)
+    matches the Column expression term for term."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.floor(S / (sq_a[:, None] * sq_b[None, :]) * 1_000_000.0)
+    # JVM double->long cast semantics for degenerate zero-norm rows
+    c = np.where(np.isnan(c), 0.0, c)
+    return np.clip(c, -9.2233720368547e18, 9.2233720368547e18).astype(np.int64)
+
+
+#: chunk of score-matrix rows per numpy slab: bounds peak memory at
+#: chunk x max_bucket x 8 B (~64 MB at the 4096 bucket cap) per task.
+_SCORE_CHUNK = 2048
+
+
+def _topk_rows_from_scores(C, row_ids, col_ids, k, exclude_self=True):
+    """Per-row top-k of an int64 cos_q matrix with the engine's exact
+    tie-break (cos desc, id asc), via the composite int64 key
+    cos_q * 2^32 - id (|cos_q| <= 1e6, id < 2^32 => no overflow, total
+    order identical to the window's ORDER BY). Returns (q, v, c)
+    arrays."""
+    import numpy as np
+
+    key = C * (1 << 32) - col_ids[None, :]
+    if exclude_self:
+        # self-slots sink below every valid key; the `keep` filter
+        # drops them, so each row yields its top-min(k, n_valid)
+        key = np.where(row_ids[:, None] == col_ids[None, :], np.int64(-(1 << 62)), key)
+    n_rows, n_cols = key.shape
+    kk = min(k, n_cols)
+    if kk <= 0 or n_rows == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return e, e, e
+    if kk < n_cols:
+        top = np.argpartition(key, n_cols - kk, axis=1)[:, n_cols - kk :]
+    else:
+        top = np.broadcast_to(np.arange(n_cols), (n_rows, n_cols)).copy()
+    tkey = np.take_along_axis(key, top, axis=1)
+    keep = tkey > np.int64(-(1 << 62))  # drop self-slots when kk > valid
+    q = np.repeat(row_ids, kk)[keep.ravel()]
+    v = col_ids[top.ravel()][keep.ravel()]
+    c = np.take_along_axis(C, top, axis=1).ravel()[keep.ravel()]
+    return q, v, c
+
+
+def _scored_topk_out(spark_df, k):
+    """Shared tail: (q_id, neighbor_id, cos_q) candidate superset ->
+    per-query global top-k with rank, the same window the r1-r5 plans
+    ran — but over the per-bucket-pruned survivors (10^5-ish rows)
+    instead of every scored pair (10^8 at sf1.0)."""
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_q"), F.asc("neighbor_id"))
+    return (
+        spark_df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cos_q", "rank")
+    )
+
+
+_PAIR_SCHEMA = "q_id long, neighbor_id long, cos_q long"
+
+
+def _bucket_topk_scores(
+    buckets: DataFrame, table_bc, k: int, directed: bool = False
+) -> DataFrame:
+    """Bucketed exact scoring: one input row = one candidate bucket.
+
+    Undirected (LSH) buckets carry `ms` (member ids) — every ordered
+    (q, v), q != v, in-bucket pair is a candidate. Directed (IVF)
+    buckets carry `qs` (probe ids) and `ms` (corpus ids).
+
+    For each bucket the member vectors are GATHERED from the broadcast
+    table and scored as one float64 BLAS matmul (exact: every
+    intermediate is an integer < 2^53), then pruned to the per-bucket
+    top-k per query before anything re-enters the JVM: any globally
+    top-k neighbor of q is by definition top-k within every bucket
+    containing the pair, so the union of per-bucket top-k rows is a
+    superset of the global top-k and the final window re-ranks it
+    identically (same composite order). This replaces r5's plan —
+    bucket self-equi-join streaming ~10^8 (id,id) pairs into a
+    dropDuplicates shuffle, a broadcast-join re-attach of both
+    vectors, ~10^8 interpreted zip_with/aggregate dot products, and a
+    10^8-row ranking window — with one narrow shuffle of (bucket, id)
+    rows and O(sum B^2) exact dgemm flops. Row chunking (_SCORE_CHUNK)
+    bounds the per-task score slab at the 4096-member bucket cap."""
+
+    def score(it):
+        import numpy as np
+        import pyarrow as pa
+
+        ids, matf, n2 = table_bc.value
+        sq = np.sqrt(n2.astype(np.float64))
+        for batch in it:
+            d = batch.to_pydict()
+            ms_rows = d["ms"]
+            qs_rows = d["qs"] if directed else d["ms"]
+            outq, outv, outc = [], [], []
+            for ms, qs in zip(ms_rows, qs_rows):
+                col_ids = np.asarray(ms, dtype=np.int64)
+                row_ids = np.asarray(qs, dtype=np.int64)
+                if len(col_ids) == 0 or len(row_ids) == 0:
+                    continue
+                ci = np.searchsorted(ids, col_ids)
+                Gc = matf[ci]
+                sqc = sq[ci]
+                for lo in range(0, len(row_ids), _SCORE_CHUNK):
+                    rid = row_ids[lo : lo + _SCORE_CHUNK]
+                    ri = np.searchsorted(ids, rid)
+                    S = matf[ri] @ Gc.T
+                    C = _np_cos_q(S, sq[ri], sqc)
+                    q, v, c = _topk_rows_from_scores(C, rid, col_ids, k)
+                    outq.append(q)
+                    outv.append(v)
+                    outc.append(c)
+            if outq:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(outq), pa.int64()),
+                        pa.array(np.concatenate(outv), pa.int64()),
+                        pa.array(np.concatenate(outc), pa.int64()),
+                    ],
+                    names=["q_id", "neighbor_id", "cos_q"],
+                )
+
+    return buckets.mapInArrow(score, _PAIR_SCHEMA)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame | None = None,
     k: int = 5,
     emb_col: str = "embedding",
+    impl: str = "scored",
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries`` defaults to the corpus itself filtered elsewhere; the
-    query side is broadcast (small by construction), so the big corpus
-    is never shuffled — the join is map-side, followed by a top-k
-    window partitioned by query (k*|queries| rows reach the shuffle)."""
+    query side is tiny by construction and rides along as a broadcast
+    gather table, so the big corpus is never shuffled — each scan task
+    scores its Arrow batches against the query matrix as one exact
+    float64 dgemm and emits only its per-batch top-k per query
+    (a superset of the global top-k); the ranking window then sees
+    O(tasks * |queries| * k) rows instead of |corpus| * |queries|.
+    The r1-r5 plan broadcast-joined the query rows onto every corpus
+    row and paid an interpreted HOF dot per (corpus, query) pair.
+
+    The corpus is quantized INSIDE the scorer (np.floor(x * 1000.0) on
+    float64 — float32 -> float64 is exact and the multiply/floor are
+    the same IEEE ops as quantize_embedding's cast/floor chain), so
+    the whole-corpus interpreted HOF quantize projection disappears
+    from this plan too.
+
+    ``impl="join"`` keeps the r5 all-JVM broadcast-join plan — for a
+    HANDFUL of query vectors (|corpus| x |queries| dots ~ 10^5) its
+    single JVM-only job beats the scorer's fixed two-job + Arrow
+    overhead (measured 0.53 s vs 0.72 s warm on 20k x 10 at sf1.0);
+    the vectorized path wins from panel-sized query sets up
+    (2000 x 20k: the interpreted plan is the 10^8-dot regime the r6
+    rework removed everywhere else). Both return identical rows."""
+    if impl == "join":
+        return _brute_force_topk_join(embeddings, queries, k, emb_col)
+    corpus = embeddings.select("vec_id", F.col(emb_col).alias("emb"))
+    if queries is None:
+        queries = embeddings
+    q_bc = _gather_table(_prepared(queries, emb_col))
+    scale = float(QUANT)
+
+    def score(it):
+        import numpy as np
+        import pyarrow as pa
+
+        q_ids, q_matf, q_n2 = q_bc.value
+        q_sq = np.sqrt(q_n2.astype(np.float64))
+        for batch in it:
+            d = batch.to_pydict()
+            bids = np.asarray(d["vec_id"], dtype=np.int64)
+            if len(bids) == 0:
+                continue
+            bmat = np.floor(
+                np.asarray(d["emb"], dtype=np.float64) * scale
+            ).reshape(len(bids), -1)
+            bsq = np.sqrt((bmat * bmat).sum(axis=1))
+            outq, outv, outc = [], [], []
+            for lo in range(0, len(q_ids), _SCORE_CHUNK):
+                qid = q_ids[lo : lo + _SCORE_CHUNK]
+                S = q_matf[lo : lo + _SCORE_CHUNK] @ bmat.T
+                C = _np_cos_q(S, q_sq[lo : lo + _SCORE_CHUNK], bsq)
+                q, v, c = _topk_rows_from_scores(C, qid, bids, k)
+                outq.append(q)
+                outv.append(v)
+                outc.append(c)
+            if outq:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(outq), pa.int64()),
+                        pa.array(np.concatenate(outv), pa.int64()),
+                        pa.array(np.concatenate(outc), pa.int64()),
+                    ],
+                    names=["q_id", "neighbor_id", "cos_q"],
+                )
+
+    scored = corpus.mapInArrow(score, _PAIR_SCHEMA)
+    return _scored_topk_out(scored, k)
+
+
+def _brute_force_topk_join(
+    embeddings: DataFrame,
+    queries: DataFrame | None,
+    k: int,
+    emb_col: str,
+) -> DataFrame:
+    """The r5 plan, kept for tiny query sets (see brute_force_topk):
+    broadcast the prepared query rows, map-side theta-join against the
+    corpus, HOF dot per surviving pair, per-query ranking window."""
     corpus = _prepared(embeddings, emb_col)
     if queries is None:
         queries = embeddings
@@ -317,29 +555,31 @@ def lsh_topk(
     through codegen. Jaccard postings win because max_df caps them at
     a few dozen docs.)
 
-    ``max_bucket`` drops degenerate hot buckets BEFORE the self-join
-    (a bucket of B members contributes B^2/2 pairs — at 10^9 rows a
-    stop-bucket is quadratic death, and real LSH systems cap or
-    re-split). The guard is a constant-memory count aggregation; both
-    it and the join probe shuffle the same banded subtree, so
-    ReuseExchange computes the banding once."""
+    ``max_bucket`` drops degenerate hot buckets BEFORE any pair is
+    formed (a bucket of B members contributes B^2/2 pairs — at 10^9
+    rows a stop-bucket is quadratic death, and real LSH systems cap or
+    re-split); the size filter on the collected bucket is the same
+    guard the r5 count-aggregation join applied, in the same shuffle.
+
+    r6 plan (replaces the banded self-equi-join + 10^8-pair
+    dropDuplicates + broadcast-join rerank + full-pair window): ONE
+    (tbl, key) shuffle collects each guarded bucket's member ids
+    (bounded by max_bucket), the bucketed numpy scorer computes every
+    in-bucket pair's exact cos_q as a float64 dgemm and emits only the
+    per-bucket top-k per member, a cross-bucket id dedup (identical
+    cos_q on every duplicate) shrinks that to one row per candidate
+    edge direction, and the global window re-ranks the survivors —
+    provably the same top-k (see _bucket_topk_scores)."""
     prepared = _prepared(embeddings, emb_col)
     banded = banded_table_keys(prepared, dim, n_tables, planes_per_table)
-    safe = (
+    buckets = (
         banded.groupBy("tbl", "key")
-        .agg(F.count("*").alias("bsz"))
-        .where(F.col("bsz") <= max_bucket)
-        .select("tbl", "key")
+        .agg(F.collect_list("vec_id").alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .select("ms")
     )
-    guarded = banded.join(safe, ["tbl", "key"])
-    a = guarded.select(F.col("vec_id").alias("q_id"), "tbl", "key")
-    pairs = (
-        a.join(guarded, ["tbl", "key"])
-        .where(F.col("q_id") < F.col("vec_id"))
-        .select(F.col("q_id").alias("id_a"), F.col("vec_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return exact_rerank_topk_symmetric(pairs, prepared, k)
+    scored = _bucket_topk_scores(buckets, _gather_table(prepared), k)
+    return _scored_topk_out(scored.dropDuplicates(["q_id", "neighbor_id"]), k)
 
 
 IVF_LISTS = 16
@@ -415,22 +655,38 @@ def ivf_topk(
     O(n^2) cross join. The standard recall/cost dial is (n_lists,
     n_probe). Same integer-exact quantization as the LSH path, so the
     DuckDB oracle reproduces centroids, assignments, and top-k
-    bit-for-bit."""
+    bit-for-bit.
+
+    r6 plan (replaces the probes x corpus equi-join streaming ~10^8
+    (q, v) id pairs into a dropDuplicates shuffle + broadcast-join
+    rerank + full-pair window): ONE shuffle keyed by list id collects
+    each inverted list's corpus members (rank 1) and probe members
+    (ranks 1..n_probe) side by side, the bucketed numpy scorer
+    computes the probe x member exact cos_q block as a float64 dgemm
+    and emits only each probe's per-list top-k, and the global window
+    re-ranks the survivors — the same top-k (a vector is filed under
+    exactly one list, so candidate (q, v) pairs are unique across
+    lists, and any global top-k neighbor is top-k within its own
+    list's block)."""
     prepared = _prepared(embeddings, emb_col)
     cents = ivf_centroids(prepared, n_lists)
     # one assignment pass serves both roles: rank 1 = the corpus filing,
     # ranks 1..n_probe = the query-side probe set (identical subtree ->
     # the window/exchange is computed once and reused)
     assign = ivf_assign(prepared, cents, n_keep=n_probe)
-    corpus_assign = assign.where(F.col("rank") == 1).select("vec_id", "lst")
-    probes = assign.select(F.col("vec_id").alias("q_id"), "lst")
-    cand = (
-        probes.join(corpus_assign, "lst")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .dropDuplicates(["q_id", "vec_id"])
+    lists = (
+        assign.groupBy("lst")
+        .agg(
+            F.collect_list(
+                F.when(F.col("rank") == 1, F.col("vec_id"))
+            ).alias("ms"),
+            F.collect_list("vec_id").alias("qs"),
+        )
+        .where(F.size("ms") >= 1)
+        .select("ms", "qs")
     )
-    return exact_rerank_topk(cand, prepared, k)
+    scored = _bucket_topk_scores(lists, _gather_table(prepared), k, directed=True)
+    return _scored_topk_out(scored.dropDuplicates(["q_id", "neighbor_id"]), k)
 
 
 def embedding_near_dup_pairs(
@@ -441,31 +697,63 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b) with
-    cosine >= min_cos_q/1e6, found via the LSH bucket equi-join.
+    cosine >= min_cos_q/1e6, found via the LSH buckets.
     Near-identical vectors land in the same bucket with probability
-    ~(1 - theta/pi)^n_planes ~ 1 for tiny angles."""
-    prepared = with_lsh_bucket(_prepared(embeddings, emb_col), dim, n_planes)
-    a = prepared.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("qe").alias("qe_a"),
-        F.col("n2").alias("n2_a"),
-        "bucket",
+    ~(1 - theta/pi)^n_planes ~ 1 for tiny angles.
+
+    r6 plan: one bucket-keyed shuffle collects member ids, each
+    bucket's pair block is scored as one exact float64 dgemm and only
+    the a < b pairs at or above the threshold are emitted (the r5
+    self-equi-join shuffled both embedding payloads onto every
+    in-bucket pair and paid an interpreted HOF dot per pair). Each
+    vector has exactly ONE bucket, so no cross-bucket dedup exists to
+    lose; .distinct() is kept because the oracle spells it."""
+    prep = _prepared(embeddings, emb_col)
+    prepared = with_lsh_bucket(prep, dim, n_planes)
+    buckets = (
+        prepared.groupBy("bucket")
+        .agg(F.collect_list("vec_id").alias("ms"))
+        .where(F.size("ms") >= 2)
+        .select("ms")
     )
-    b = prepared.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("qe").alias("qe_b"),
-        F.col("n2").alias("n2_b"),
-        "bucket",
-    )
-    return (
-        a.join(b, "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", int_dot(F.col("qe_a"), F.col("qe_b")))
-        .withColumn("cos_q", cosine_q(F.col("dot"), F.col("n2_a"), F.col("n2_b")))
-        .where(F.col("cos_q") >= min_cos_q)
-        .select("vec_a", "vec_b", "cos_q")
-        .distinct()
-    )
+    table_bc = _gather_table(prep)
+
+    def score(it):
+        import numpy as np
+        import pyarrow as pa
+
+        ids, matf, n2 = table_bc.value
+        sq = np.sqrt(n2.astype(np.float64))
+        for batch in it:
+            outa, outb, outc = [], [], []
+            for ms in batch.to_pydict()["ms"]:
+                mids = np.sort(np.asarray(ms, dtype=np.int64))
+                mi = np.searchsorted(ids, mids)
+                G = matf[mi]
+                sqm = sq[mi]
+                for lo in range(0, len(mids), _SCORE_CHUNK):
+                    rid = mids[lo : lo + _SCORE_CHUNK]
+                    S = matf[np.searchsorted(ids, rid)] @ G.T
+                    C = _np_cos_q(S, sq[np.searchsorted(ids, rid)], sqm)
+                    # upper triangle (vec_a < vec_b) at/above threshold
+                    hit = (C >= min_cos_q) & (rid[:, None] < mids[None, :])
+                    r, cix = np.nonzero(hit)
+                    outa.append(rid[r])
+                    outb.append(mids[cix])
+                    outc.append(C[hit])
+            if outa:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(outa), pa.int64()),
+                        pa.array(np.concatenate(outb), pa.int64()),
+                        pa.array(np.concatenate(outc), pa.int64()),
+                    ],
+                    names=["vec_a", "vec_b", "cos_q"],
+                )
+
+    return buckets.mapInArrow(
+        score, "vec_a long, vec_b long, cos_q long"
+    ).distinct()
 
 
 def with_planted_vec_dupes(
