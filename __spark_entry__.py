@@ -1211,41 +1211,97 @@ def _q_join_equi(spark, sf_dir):
 
 
 def _q_join_range(spark, sf_dir):
-    """Range join via hour-bucketization: pairs of events of different
-    types within 1 hour (b in [a.ts, a.ts+1h)). The explode of
-    [bucket, bucket+1] turns a quadratic theta-join into an equi-join
-    on the bucket plus a residual range filter.
+    """Range join via MARKER COUNTING (r6): pairs of events of
+    different types within 1 hour (b in [a.ts, a.ts+1h)), counted per
+    (a_series, b_series) without ever materializing a pair row.
 
-    The probe side is explicitly spread first: the small build side
-    auto-broadcasts, so WITHOUT a repartition the quadratic pair
-    volume runs at the parquet scan's parallelism — the single-file
-    testdata put a 5.8s single-task stage on the wire (event-log
-    forensics); at scale the same applies whenever the scan has fewer
-    splits than cores."""
+    The r1-r5 plan hour-bucketized both sides and equi-joined on the
+    bucket — correct, but the join still streams every qualifying
+    pair (~2.8e9 rows at sf1.0, 26 s; quadratic in sf). The count
+    only needs, per a-event and b-series, the CUMULATIVE event count
+    C(<t) at the band edges: |[a.ts, a.ts+1h)| = C(<a.ts+1h) -
+    C(<a.ts). So each a-event emits two signed markers per other
+    series (start -1, end +1), markers union with the events, one
+    window partitioned by (b_series, hour block) ordered by
+    (t_us, markers-before-events) forms the block-local running event
+    count, and the distributed exclusive prefix over per-block totals
+    (the concat_pack_spans idiom: |series x hours| rows through a
+    tiny per-series window, broadcast back) lifts it to the global C.
+    sum(sign * C) grouped by (a_series, b_series) is exactly the pair
+    count; groups the old inner join never produced (zero pairs) are
+    filtered. Linear rows (~9M at sf1.0), parallelism =
+    |series x hour blocks|, no quadratic anything."""
+    HOUR_US = 3_600_000_000
     pts = _event_points(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    a = pts.select(
-        F.col("series_id").alias("a_series"),
-        F.col("ts").alias("a_ts"),
-        F.explode(
-            F.array(
-                F.floor(F.unix_timestamp("ts") / 3600),
-                F.floor(F.unix_timestamp("ts") / 3600) + 1,
-            )
-        ).alias("hb"),
+    series = pts.select(F.col("series_id").alias("b_series")).distinct()
+    markers = (
+        pts.crossJoin(F.broadcast(series))
+        .where(F.col("series_id") != F.col("b_series"))
+        .select(
+            F.col("series_id").alias("a_series"),
+            "b_series",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+                        F.lit(-1).cast("long").alias("sign"),
+                    ),
+                    F.struct(
+                        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(HOUR_US)).alias("t_us"),
+                        F.lit(1).cast("long").alias("sign"),
+                    ),
+                )
+            ).alias("mk"),
+        )
+        .select(
+            "a_series",
+            "b_series",
+            F.col("mk.t_us").alias("t_us"),
+            F.col("mk.sign").alias("sign"),
+            F.lit(0).cast("long").alias("is_event"),
+        )
     )
-    b = pts.select(
+    events = pts.select(
+        F.lit(None).cast("string").alias("a_series"),
         F.col("series_id").alias("b_series"),
-        F.col("ts").alias("b_ts"),
-        F.floor(F.unix_timestamp("ts") / 3600).alias("hb"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.lit(0).cast("long").alias("sign"),
+        F.lit(1).cast("long").alias("is_event"),
     )
-    pairs = a.join(b, "hb").where(
-        (F.col("b_ts") >= F.col("a_ts"))
-        & (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
-        & (F.col("a_series") != F.col("b_series"))
+    stream = markers.unionByName(events).withColumn(
+        "hb", F.floor(F.col("t_us") / F.lit(HOUR_US))
     )
-    return pairs.groupBy("a_series", "b_series").agg(F.count("*").alias("n_pairs"))
+    # exclusive prefix of per-(series, hour-block) event totals: tiny
+    # (|series x hours| rows), per-series window, broadcast back
+    wb = (
+        Window.partitionBy("b_series")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = F.broadcast(
+        stream.groupBy("b_series", "hb")
+        .agg(F.sum("is_event").alias("blk"))
+        .withColumn(
+            "off", F.coalesce(F.sum("blk").over(wb), F.lit(0).cast("long"))
+        )
+        .select("b_series", "hb", "off")
+    )
+    wloc = (
+        Window.partitionBy("b_series", "hb")
+        .orderBy("t_us", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = stream.join(offs, ["b_series", "hb"]).withColumn(
+        "c", F.col("off") + F.sum("is_event").over(wloc)
+    )
+    return (
+        cum.where(F.col("is_event") == 0)
+        .groupBy("a_series", "b_series")
+        .agg(F.sum(F.col("sign") * F.col("c")).alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
 
 
 def _q_join_asof(spark, sf_dir):

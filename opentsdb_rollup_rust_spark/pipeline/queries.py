@@ -88,6 +88,41 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _staged_profile(docs: DataFrame, keep: list[str]) -> DataFrame:
+    """Shared staged profile projection for the corpus-build composes:
+    one words split per row, per-language scores and quality parts
+    landed as columns, then pred_lang / quality_q / n_ws_tokens from
+    cheap attribute refs (the unstaged select re-ran the split and
+    filter passes once per consumer — see lang_pred_from_scores)."""
+    from .text import (
+        LANG_STOPWORDS,
+        doc_words,
+        lang_pred_from_scores,
+        quality_from_parts,
+        quality_parts,
+    )
+
+    staged = docs.select(*keep, "text", doc_words(F.col("text")).alias("_w"))
+    qp = quality_parts(F.col("text"), words=F.col("_w"))
+    from .text import lang_scores
+
+    sc = lang_scores(F.col("text"), words=F.col("_w"))
+    parts = staged.select(
+        *keep,
+        *[qp[k].alias(f"_{k}") for k in qp],
+        *[sc[lang].alias(f"_s_{lang}") for lang in LANG_STOPWORDS],
+    )
+    qf = quality_from_parts(*[F.col(f"_{k}") for k in qp])
+    return parts.select(
+        *keep,
+        lang_pred_from_scores(
+            {lang: F.col(f"_s_{lang}") for lang in LANG_STOPWORDS}
+        ).alias("pred_lang"),
+        qf["quality_q"].alias("quality_q"),
+        F.col("_n_words").alias("n_ws_tokens"),
+    )
+
+
 def _mp(df: DataFrame) -> DataFrame:
     """Spread rows across the cluster before expression-heavy map work.
     The testdata parquet is a single row group (<= 2 input splits), so
@@ -156,14 +191,21 @@ def q_text_scrub(spark, sf_dir):
 
 
 def q_text_quality(spark, sf_dir):
-    from .text import quality_features
+    # staged (r6): words split once, integer parts landed as columns,
+    # final arithmetic over attribute refs — see lang_pred_from_scores
+    from .text import doc_words, quality_from_parts, quality_parts
 
     d = _docs(spark, sf_dir)
-    qf = quality_features(F.col("text"))
-    return d.select(
+    staged = d.select("doc_id", "text", doc_words(F.col("text")).alias("_w"))
+    qp = quality_parts(F.col("text"), words=F.col("_w"))
+    parts = staged.select(
+        "doc_id", *[qp[k].alias(f"_{k}") for k in qp]
+    )
+    qf = quality_from_parts(*[F.col(f"_{k}") for k in qp])
+    return parts.select(
         "doc_id",
-        qf["n_words"].alias("n_words"),
-        qf["n_punct"].alias("n_punct"),
+        F.col("_n_words").alias("n_words"),
+        F.col("_n_punct").alias("n_punct"),
         qf["mean_word_len_q"].alias("mean_word_len_q"),
         qf["stop_ratio_q"].alias("stop_ratio_q"),
         qf["quality_q"].alias("quality_q"),
@@ -171,24 +213,36 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
-    from .text import lang_id
+    # staged (r6): one split + one filter pass per language, argmax
+    # over score COLUMNS (the unstaged chain re-ran each filter ~4x —
+    # measured 2.98 s -> ~1.5 s at sf1.0)
+    from .text import LANG_STOPWORDS, doc_words, lang_pred_from_scores, lang_scores
 
     d = _docs(spark, sf_dir)
+    staged = d.select("lang", doc_words(F.col("text")).alias("_w"))
+    sc = lang_scores(F.col("text"), words=F.col("_w"))
+    scored = staged.select(
+        "lang", *[sc[lang].alias(f"_s_{lang}") for lang in LANG_STOPWORDS]
+    )
+    pred = lang_pred_from_scores(
+        {lang: F.col(f"_s_{lang}") for lang in LANG_STOPWORDS}
+    )
     return (
-        d.select(F.col("lang"), lang_id(F.col("text")).alias("pred_lang"))
+        scored.select(F.col("lang"), pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
 
 
 def q_text_fingerprint(spark, sf_dir):
-    from .text import bag_fingerprint, rolling_fingerprint
+    from .text import bag_fingerprint, doc_words, rolling_fingerprint
 
     d = _docs(spark, sf_dir)
-    return d.select(
+    staged = d.select("doc_id", "text", doc_words(F.col("text")).alias("_w"))
+    return staged.select(
         "doc_id",
-        rolling_fingerprint(F.col("text")).alias("fingerprint"),
-        bag_fingerprint(F.col("text")).alias("bag_fp"),
+        rolling_fingerprint(F.col("text"), words=F.col("_w")).alias("fingerprint"),
+        bag_fingerprint(F.col("text"), words=F.col("_w")).alias("bag_fp"),
     )
 
 
@@ -352,8 +406,6 @@ def q_pipeline_clean(spark, sf_dir):
     The planted exact duplicates are dropped by the dedup stage, so
     the aggregate equals the clean corpus — double-counted if dedup
     regresses, shifted if the quality gate drifts."""
-    from .text import lang_id, quality_features, token_counts
-
     d = with_planted_dupes(_docs(spark, sf_dir), every=10, mutate=False)
     keepers = (
         d.groupBy(F.md5("text").alias("h"))
@@ -361,14 +413,9 @@ def q_pipeline_clean(spark, sf_dir):
         .select("doc_id")
     )
     survivors = d.join(keepers, "doc_id", "left_semi")
-    qf = quality_features(F.col("text"))
-    tc = token_counts(F.col("text"))
-    prof = survivors.select(
-        "source",
-        lang_id(F.col("text")).alias("pred_lang"),
-        qf["quality_q"].alias("quality_q"),
-        tc["n_ws_tokens"].alias("n_ws_tokens"),
-    ).where(F.col("quality_q") >= 450_000)
+    prof = _staged_profile(survivors, ["source"]).where(
+        F.col("quality_q") >= 450_000
+    )
     return prof.groupBy("source", "pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_ws_tokens").alias("total_tokens"),
@@ -470,7 +517,6 @@ def q_pipeline_build(spark, sf_dir):
     boundary AND the order."""
     from .dedup import decontaminate
     from .sampling import split_assign
-    from .text import lang_id, quality_features, token_counts
 
     d = _docs(spark, sf_dir)
     panel = F.col("doc_id") % 37 == 0
@@ -487,15 +533,9 @@ def q_pipeline_build(spark, sf_dir):
         .select("doc_id")
     )
     tr = tr.join(contaminated, "doc_id", "left_anti")
-    qf = quality_features(F.col("text"))
-    tc = token_counts(F.col("text"))
-    prof = tr.select(
-        "doc_id",
-        "source",
-        lang_id(F.col("text")).alias("pred_lang"),
-        qf["quality_q"].alias("quality_q"),
-        tc["n_ws_tokens"].alias("n_ws_tokens"),
-    ).where(F.col("quality_q") >= 450_000)
+    prof = _staged_profile(tr, ["doc_id", "source"]).where(
+        F.col("quality_q") >= 450_000
+    )
     return split_assign(prof).groupBy("split", "source", "pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_ws_tokens").alias("total_tokens"),
