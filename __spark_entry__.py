@@ -796,13 +796,54 @@ def _q_win_rate_drop(spark, sf_dir):
     )
 
 
-def _tagged_points(spark, sf_dir):
+def _tagged_points(spark, sf_dir, stored_series=False):
     """The demo TAGGED metric stream: events with a deterministic
     map<string,string> tag set (host/dc/rack/env derived from
     user_id/event_type — no randomness, so the DuckDB oracle derives
-    the identical tags as plain columns)."""
+    the identical tags as plain columns).
+
+    ``stored_series=True`` additionally lands STORED_SERIES_COL — the
+    sorted 'k=v,...' full-tag identity as a plain codegen concat over
+    the same derived values (sorted key order dc < env < host < rack,
+    exactly what _series_key produces from this map). The stored-tsuid
+    model: api_query and the tier builders consume the stored column
+    instead of re-deriving the identity per point with an
+    array_sort/transform HOF (see plans/api_query.STORED_SERIES_COL
+    for the measured effect) — plus one plain ``_tag_<k>`` column per
+    tag (operators.tagquery.TAG_COL_PREFIX): the tag-filter compilers
+    consume those instead of element_at on the map alias, which filter
+    pushdown otherwise INLINES (whole create_map re-built once per
+    pushed predicate — see TAG_COL_PREFIX for the measured effect)."""
+    from opentsdb_rollup_rust_spark.operators.tagquery import TAG_COL_PREFIX
+    from opentsdb_rollup_rust_spark.plans.api_query import STORED_SERIES_COL
+
     e = _t(spark, sf_dir, "events")
     uid = F.col("user_id")
+    env = F.when(F.pmod(uid, F.lit(5)) == 0, F.lit("prod")).otherwise(
+        F.lit("dev")
+    )
+    host = F.concat(F.lit("web"), F.pmod(uid, F.lit(12)).cast("string"))
+    rack = F.concat(F.lit("r"), F.pmod(uid, F.lit(3)).cast("string"))
+    extra = (
+        [
+            F.concat(
+                F.lit("dc="),
+                F.col("event_type"),
+                F.lit(",env="),
+                env,
+                F.lit(",host=web"),
+                F.pmod(uid, F.lit(12)).cast("string"),
+                F.lit(",rack=r"),
+                F.pmod(uid, F.lit(3)).cast("string"),
+            ).alias(STORED_SERIES_COL),
+            host.alias(TAG_COL_PREFIX + "host"),
+            F.col("event_type").alias(TAG_COL_PREFIX + "dc"),
+            rack.alias(TAG_COL_PREFIX + "rack"),
+            env.alias(TAG_COL_PREFIX + "env"),
+        ]
+        if stored_series
+        else []
+    )
     return e.select(
         F.col("event_type").alias("series_id"),
         F.col("ts"),
@@ -815,10 +856,9 @@ def _tagged_points(spark, sf_dir):
             F.lit("rack"),
             F.concat(F.lit("r"), F.pmod(uid, F.lit(3)).cast("string")),
             F.lit("env"),
-            F.when(F.pmod(uid, F.lit(5)) == 0, F.lit("prod")).otherwise(
-                F.lit("dev")
-            ),
+            env,
         ).alias("tags"),
+        *extra,
     )
 
 
@@ -840,7 +880,9 @@ def _q_query_tag_filters(spark, sf_dir):
     (daily sum/count/min/max + derived avg). The whole predicate is a
     codegen'd expression over the map — no UDF, no explode."""
     return tag_filter_rollup(
-        _tagged_points(spark, sf_dir), _TAG_FILTERS, 86400
+        _tagged_points(spark, sf_dir, stored_series=True),
+        _TAG_FILTERS,
+        86400,
     )
 
 
@@ -868,11 +910,22 @@ def _q_query_tag_filters_not(spark, sf_dir):
         ),
         lambda k, v: v.isNotNull(),
     )
+    from opentsdb_rollup_rust_spark.operators.tagquery import TAG_COL_PREFIX
+
     pts = e.select(
         F.col("event_type").alias("series_id"),
         F.col("ts"),
         F.floor(F.col("value") * F.lit(1000)).cast("long").alias("value"),
         tags.alias("tags"),
+        # stored tag columns (TAG_COL_PREFIX contract): null when the
+        # optional key is absent, exactly element_at's semantics
+        F.concat(F.lit("web"), F.pmod(uid, F.lit(12)).cast("string")).alias(
+            TAG_COL_PREFIX + "host"
+        ),
+        F.col("event_type").alias(TAG_COL_PREFIX + "dc"),
+        F.when(F.pmod(uid, F.lit(7)) == 0, F.lit("on")).alias(
+            TAG_COL_PREFIX + "canary"
+        ),
     )
     return tag_filter_rollup(
         pts,
@@ -905,19 +958,24 @@ def _q_lookup_series(spark, sf_dir):
     touching values. The filter predicate is the same compiled
     expression family as query_tag_filters; DISTINCT-with-count
     collapses map-side so only the series dictionary shuffles."""
-    pts = _tagged_points(spark, sf_dir)
+    from opentsdb_rollup_rust_spark.operators.tagquery import tag_value_col
+
+    pts = _tagged_points(spark, sf_dir, stored_series=True)
     tags = F.col("tags")
+    tv = lambda k: tag_value_col(pts, "tags", k)
     pred = compile_tag_filter(
-        tags, TagFilter("wildcard", "host", "web*")
-    ) & compile_tag_filter(tags, TagFilter("literal_or", "dc", "click|error"))
+        tags, TagFilter("wildcard", "host", "web*"), value=tv("host")
+    ) & compile_tag_filter(
+        tags, TagFilter("literal_or", "dc", "click|error"), value=tv("dc")
+    )
     return (
         pts.where(pred)
         .select(
             F.col("series_id").alias("metric"),
-            F.element_at(tags, F.lit("host")).alias("host"),
-            F.element_at(tags, F.lit("dc")).alias("dc"),
-            F.element_at(tags, F.lit("rack")).alias("rack"),
-            F.element_at(tags, F.lit("env")).alias("env"),
+            tv("host").alias("host"),
+            tv("dc").alias("dc"),
+            tv("rack").alias("rack"),
+            tv("env").alias("env"),
         )
         .groupBy("metric", "host", "dc", "rack", "env")
         .agg(F.count("*").alias("n_points"))
@@ -993,12 +1051,21 @@ def _q_query_explicit_tags(spark, sf_dir):
             F.concat(F.lit("r"), F.pmod(uid, F.lit(3)).cast("string")),
         ),
     )
+    from opentsdb_rollup_rust_spark.operators.tagquery import TAG_COL_PREFIX
+
     pts = e.select(
         F.col("ts"),
         F.floor(F.col("value") * F.lit(1000)).cast("long").alias("value"),
         F.when(F.pmod(uid, F.lit(4)) == 0, base)
         .otherwise(with_rack)
         .alias("tags"),
+        # stored tag columns (TAG_COL_PREFIX contract) — the explicit-
+        # tags size check still reads the map, but per-filter checks
+        # and the groupBy extraction stay on cheap plain columns
+        F.concat(F.lit("web"), F.pmod(uid, F.lit(12)).cast("string")).alias(
+            TAG_COL_PREFIX + "host"
+        ),
+        F.col("event_type").alias(TAG_COL_PREFIX + "dc"),
     )
     return tag_filter_rollup(
         pts,
@@ -1019,13 +1086,17 @@ def _q_query_last(spark, sf_dir):
     series+host (no self-join, no window over the full stream; ties
     on ts broken by value inside the struct comparison, deterministic
     in both engines)."""
-    pts = _tagged_points(spark, sf_dir)
+    from opentsdb_rollup_rust_spark.operators.tagquery import tag_value_col
+
+    pts = _tagged_points(spark, sf_dir, stored_series=True)
     pred = compile_tag_filter(
-        F.col("tags"), TagFilter("literal_or", "dc", "click|error")
+        F.col("tags"),
+        TagFilter("literal_or", "dc", "click|error"),
+        value=tag_value_col(pts, "tags", "dc"),
     )
     narrow = pts.where(pred).select(
         "series_id",
-        F.element_at(F.col("tags"), F.lit("host")).alias("host"),
+        tag_value_col(pts, "tags", "host").alias("host"),
         F.unix_timestamp("ts").cast("long").alias("sec"),
         "value",
     )
@@ -1387,16 +1458,74 @@ def _q_route_read_stored(spark, sf_dir):
     )
 
 
+def _events_ts_range_from_footers(sf_dir):
+    """(lo, hi) = (min, max) of unix_timestamp(ts) over the events
+    parquet, read from ROW-GROUP FOOTER STATISTICS — the same exact
+    min/max a full Spark aggregation computes (timestamp statistics
+    are exact, and floor-to-seconds is monotone), for the cost of a
+    metadata read instead of a 10^6-row scan job per api demo (guide
+    §6: make the format's metadata do the skipping). Returns None
+    when any row group lacks exact stats or holds nulls — callers
+    fall back to the aggregation probe."""
+    import calendar
+    import glob as _glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        return None
+    mn = mx = None
+    for fp in files:
+        try:
+            md = pq.ParquetFile(fp).metadata
+        except Exception:
+            return None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            st = None
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == "ts":
+                    st = c.statistics
+                    break
+            if st is None or not st.has_min_max or (st.null_count or 0) > 0:
+                return None
+            lo_s = calendar.timegm(st.min.timetuple())
+            hi_s = calendar.timegm(st.max.timetuple())
+            mn = lo_s if mn is None else min(mn, lo_s)
+            mx = hi_s if mx is None else max(mx, hi_s)
+    if mn is None:
+        return None
+    return mn, mx
+
+
 def _api_spec_range(spark, sf_dir):
     """[start, end) for the api_query demos: the tagged stream's full
-    span (1-row min/max agg probe, the route_read_spliced pattern —
-    scalars, not data). The oracle recomputes the identical range in
-    SQL, so both engines build the same fill spine."""
-    pts = _tagged_points(spark, sf_dir)
-    lo, hi = pts.agg(
-        F.min(F.unix_timestamp("ts")).alias("lo"),
-        F.max(F.unix_timestamp("ts")).alias("hi"),
-    ).first()
+    span — from parquet footer statistics when exact (r6; identical
+    values to the 1-row min/max agg probe, which remains the
+    fallback). The oracle recomputes the identical range in SQL, so
+    both engines build the same fill spine.
+
+    The returned stream also carries STORED_SERIES_COL (r6) — see
+    _tagged_points(stored_series=True)."""
+    pts = _tagged_points(spark, sf_dir, stored_series=True)
+    rng = _events_ts_range_from_footers(sf_dir)
+    if rng is None:
+        lo, hi = pts.agg(
+            F.min(F.unix_timestamp("ts")).alias("lo"),
+            F.max(F.unix_timestamp("ts")).alias("hi"),
+        ).first()
+    else:
+        lo, hi = rng
     return pts, int(lo), int(hi) + 1
 
 
@@ -2282,7 +2411,10 @@ def _q_api_query_delete_read(spark, sf_dir):
     store = ManifestStore(
         spark, tempfile.mkdtemp(prefix="spark_graft_api_delete_")
     )
-    store.append("api_pts", pts)
+    # the stored-identity helper columns are a READ-side contract; the
+    # persisted table keeps the r5 4-column schema (writing them would
+    # only grow the store round-trip this demo times)
+    store.append("api_pts", pts.select("series_id", "ts", "value", "tags"))
     spec = QuerySpec(
         metric="click",
         start=t0,

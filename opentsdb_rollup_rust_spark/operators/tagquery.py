@@ -71,12 +71,39 @@ def _like_pattern(glob: str) -> str:
     return "".join(out)
 
 
-def compile_tag_filter(tags: Column, f: TagFilter) -> Column:
+#: Stored-tag-column contract (r6): a frame carrying a plain column
+#: named _tag_<tagk> declares it equal to element_at(tags, tagk); the
+#: filter compilers consume it when present. Why: filter PUSHDOWN
+#: substitutes a staged map alias into every pushed predicate with no
+#: multi-reference guard (the same optimizer behavior the session
+#: factory documents for InferFiltersFromGenerate), so a 4-filter
+#: spec inlines the whole create_map once per element_at — ~9 map
+#: builds per scanned row, enough generated code that the stage falls
+#: off efficient codegen (measured 4.4 s vs 1.0 s on the 1M-row
+#: api_query_group_avg narrow stage at sf1.0). A plain derived column
+#: inlines as ONE cheap concat per predicate instead.
+TAG_COL_PREFIX = "_tag_"
+
+
+def tag_value_col(frame: DataFrame, tags_col: str, tagk: str) -> Column:
+    """The value of tag ``tagk``: the stored _tag_<k> column when the
+    frame carries one (see TAG_COL_PREFIX), else element_at(map)."""
+    c = TAG_COL_PREFIX + tagk
+    if c in frame.columns:
+        return F.col(c)
+    return F.element_at(F.col(tags_col), F.lit(tagk))
+
+
+def compile_tag_filter(
+    tags: Column, f: TagFilter, value: Column | None = None
+) -> Column:
     """One filter spec -> a boolean Column over a map<string,string>.
 
     Pure built-in expressions (element_at / in / like / rlike) — the
-    whole predicate stays inside whole-stage codegen."""
-    v = F.element_at(tags, F.lit(f.tagk))
+    whole predicate stays inside whole-stage codegen. ``value``: the
+    pre-extracted tag value column (tag_value_col) when the frame
+    stores one."""
+    v = F.element_at(tags, F.lit(f.tagk)) if value is None else value
     present = v.isNotNull()
     t = f.type
     if t == "literal_or":
@@ -146,7 +173,9 @@ def tag_filter_rollup(
     tags = F.col(tags_col)
     pred = None
     for f in filters:
-        c = compile_tag_filter(tags, f)
+        c = compile_tag_filter(
+            tags, f, value=tag_value_col(points, tags_col, f.tagk)
+        )
         pred = c if pred is None else (pred & c)
     if explicit_tags and filters:
         e = explicit_tags_predicate(tags, filters)
@@ -164,7 +193,10 @@ def tag_filter_rollup(
         * F.lit(interval_sec)
     ).alias("w_start")
     narrow = filtered.select(
-        *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+        *[
+            tag_value_col(points, tags_col, k).alias(k)
+            for k in group_tags
+        ],
         w_start,
         "value",
     )

@@ -55,6 +55,7 @@ from ..operators.tagquery import (
     TagFilter,
     compile_tag_filter,
     explicit_tags_predicate,
+    tag_value_col,
 )
 
 #: ppm quantization scale for avg / rate outputs (see module doc).
@@ -264,24 +265,62 @@ def _ds_seconds(spec: QuerySpec) -> int:
     return resolve_interval_seconds(spec.downsample.interval)
 
 
+#: Stored-series-identity contract (r6): a point/tier frame carrying
+#: this column declares it equal to _series_key(tags_col) — the sorted
+#: 'k=v,...' full-tag identity, i.e. the engine analogue of OpenTSDB
+#: STORING the tsuid next to every row instead of re-deriving it at
+#: read time. api_query/api_query_hist (and the tier builders) use it
+#: when present. Why it matters: _series_key is an array_sort/transform
+#: higher-order expression, and ONE such expression in the per-point
+#: projection drops the whole stage out of efficient codegen evaluation
+#: — measured at sf1.0, the 1M-row narrow stage went 2.9 s -> 0.6 s
+#: with the precomputed column (guide §4.1: prefer built-ins end to
+#: end; §2.3: the stored identity is also a narrower shuffle key than
+#: the sorted entry array the tier builders grouped on).
+STORED_SERIES_COL = "_stored_series"
+
+
 def _series_and_pred(
-    spec: QuerySpec, tags: Column, metric_col: str
+    spec: QuerySpec,
+    tags: Column,
+    metric_col: str,
+    frame: DataFrame | None = None,
+    tags_col: str = "tags",
 ) -> tuple[Column, Column]:
     """Per-row series identity + row predicate for the two sub-query
     modes, shared by api_query and api_query_hist: metric+filters
     (series = sorted tags; metric a constant equality, tag filters one
     codegen'd map expression) vs tsuids (series = the full
     '<metric>|<sorted tags>' TSUID string; predicate = membership in
-    the listed set)."""
+    the listed set). ``frame``: the frame the predicate will run
+    against — its STORED_SERIES_COL / _tag_<k> columns (the stored-
+    identity contracts) are consumed when present."""
+    sk = _frame_series_base(frame) if frame is not None else None
+    if sk is None:
+        sk = _series_key(tags)
     if spec.tsuids:
-        series_expr = F.concat_ws("|", F.col(metric_col), _series_key(tags))
+        series_expr = F.concat_ws("|", F.col(metric_col), sk)
         return series_expr, series_expr.isin(*spec.tsuids)
     p = F.col(metric_col) == F.lit(spec.metric)
     for f in spec.filters:
-        p = p & compile_tag_filter(tags, f)
+        v = (
+            tag_value_col(frame, tags_col, f.tagk)
+            if frame is not None
+            else None
+        )
+        p = p & compile_tag_filter(tags, f, value=v)
     if spec.explicit_tags and spec.filters:
         p = p & explicit_tags_predicate(tags, list(spec.filters))
-    return _series_key(tags), p
+    return sk, p
+
+
+def _frame_series_base(frame: DataFrame) -> Column | None:
+    """STORED_SERIES_COL as a Column when ``frame`` carries it."""
+    return (
+        F.col(STORED_SERIES_COL)
+        if STORED_SERIES_COL in frame.columns
+        else None
+    )
 
 
 def _bucket_expr(spec: QuerySpec, sec: int, ts_sec_expr: Column) -> Column:
@@ -519,22 +558,52 @@ def build_tagged_tier(
     the grouping key is the SORTED entry array (deterministic,
     groupable) and the map is rebuilt on the way out. In production
     this output persists through the snapshot store (sources/store),
-    partitioned by a hot tagk exactly like tag_read_pruned."""
+    partitioned by a hot tagk exactly like tag_read_pruned.
+
+    When ``points`` carries STORED_SERIES_COL, the grouping key is
+    that stored string (cheap attribute, narrow shuffle key) instead
+    of the per-row array_sort(map_entries(...)) HOF, the tags map
+    rides along via first() (every row of a series carries the
+    identical map — the stored identity IS the sorted tag set), and
+    the output keeps the stored column so tier-routed reads stay on
+    the codegen path end to end."""
     sec = resolve_interval_seconds(interval)
     ts_sec = F.unix_timestamp(F.col(ts_col))
-    g = points.select(
-        F.col(metric_col),
-        F.array_sort(F.map_entries(F.col(tags_col))).alias("_ent"),
-        (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
-            "w_start"
-        ),
-        F.col(value_col).alias("value"),
-    ).groupBy(metric_col, "_ent", "w_start").agg(
+    w_start = (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
+        "w_start"
+    )
+    aggs = [
         F.sum("value").alias("sum"),
         F.count("value").alias("count"),
         F.min("value").alias("min"),
         F.max("value").alias("max"),
-    )
+    ]
+    if STORED_SERIES_COL in points.columns:
+        g = points.select(
+            F.col(metric_col),
+            F.col(STORED_SERIES_COL),
+            F.col(tags_col),
+            w_start,
+            F.col(value_col).alias("value"),
+        ).groupBy(metric_col, STORED_SERIES_COL, "w_start").agg(
+            F.first(tags_col).alias("_tags"), *aggs
+        )
+        return g.select(
+            metric_col,
+            F.col("_tags").alias(tags_col),
+            STORED_SERIES_COL,
+            "w_start",
+            "sum",
+            "count",
+            "min",
+            "max",
+        )
+    g = points.select(
+        F.col(metric_col),
+        F.array_sort(F.map_entries(F.col(tags_col))).alias("_ent"),
+        w_start,
+        F.col(value_col).alias("value"),
+    ).groupBy(metric_col, "_ent", "w_start").agg(*aggs)
     return g.select(
         metric_col,
         F.map_from_entries("_ent").alias(tags_col),
@@ -683,8 +752,6 @@ def api_query(
 
     group_tags = _group_tag_keys(spec)
 
-    series_expr, row_pred = _series_and_pred(spec, tags, metric_col)
-
     # rollupUsage ([OTSDB-ROLLUP] 2.4): under the default nofallback a
     # silently-paid raw scan is exactly the 100 TB surprise the
     # refusal exists to prevent; fallback walks the supplied tiers
@@ -708,12 +775,18 @@ def api_query(
     if tier is not None:
         # --- 1+2 on tier rows: every tier window inside an aligned
         # range is FULLY inside, so plain w_start bounds are exact
+        series_expr, row_pred = _series_and_pred(
+            spec, tags, metric_col, tier, tags_col
+        )
         pred = row_pred & (
             (F.col("w_start") >= F.lit(spec.start))
             & (F.col("w_start") < F.lit(spec.end))
         )
         narrow = tier.where(pred).select(
-            *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+            *[
+                tag_value_col(tier, tags_col, k).alias(k)
+                for k in group_tags
+            ],
             series_expr.alias("_series"),
             _bucket_expr(spec, sec, F.col("w_start")).alias("w_start"),
             "sum",
@@ -730,6 +803,9 @@ def api_query(
         # --- 1. filtering: metric + range are plain column predicates
         # (pushdown-eligible); tag filters compile to one codegen'd map
         # expression (operators/tagquery.py)
+        series_expr, row_pred = _series_and_pred(
+            spec, tags, metric_col, points, tags_col
+        )
         pred = row_pred & (
             (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
         )
@@ -741,7 +817,10 @@ def api_query(
         # order-free and the bucket id is all it needs.
         order_ds = ds.aggregator in _DS_ORDER_AGGS
         narrow = points.where(pred).select(
-            *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+            *[
+                tag_value_col(points, tags_col, k).alias(k)
+                for k in group_tags
+            ],
             series_expr.alias("_series"),
             _bucket_expr(spec, sec, ts_sec).alias("w_start"),
             F.col(value_col).alias("value"),
@@ -1622,12 +1701,32 @@ def build_tagged_hist_tier(
 
     sec = resolve_interval_seconds(interval)
     ts_sec = F.unix_timestamp(F.col(ts_col))
+    w_start = (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
+        "w_start"
+    )
+    if STORED_SERIES_COL in points.columns:
+        # stored-identity grouping — see build_tagged_tier
+        g = points.select(
+            F.col(metric_col),
+            F.col(STORED_SERIES_COL),
+            F.col(tags_col),
+            w_start,
+            value_bucket(F.col(value_col)).alias("bucket"),
+        ).groupBy(metric_col, STORED_SERIES_COL, "w_start", "bucket").agg(
+            F.first(tags_col).alias("_tags"), F.count("*").alias("n")
+        )
+        return g.select(
+            metric_col,
+            F.col("_tags").alias(tags_col),
+            STORED_SERIES_COL,
+            "w_start",
+            "bucket",
+            "n",
+        )
     g = points.select(
         F.col(metric_col),
         F.array_sort(F.map_entries(F.col(tags_col))).alias("_ent"),
-        (F.floor(ts_sec / F.lit(sec)).cast("long") * F.lit(sec)).alias(
-            "w_start"
-        ),
+        w_start,
         value_bucket(F.col(value_col)).alias("bucket"),
     ).groupBy(metric_col, "_ent", "w_start", "bucket").agg(
         F.count("*").alias("n")
@@ -1720,11 +1819,14 @@ def api_query_hist(
     # shared _series_and_pred/_choose_tier helpers; here the listed
     # tsuid series' HISTOGRAMS merge — exactly what histogram metrics
     # are for). The series identity itself is not an output dimension
-    # on this endpoint, only the predicate is used.
-    _, row_pred = _series_and_pred(spec, tags, metric_col)
+    # on this endpoint, only the predicate is used (resolved per
+    # branch so a stored identity column is honored on either frame).
     tier = _choose_tier(spec, sec, tier, tier_interval, tiers)
 
     if tier is not None:
+        _, row_pred = _series_and_pred(
+            spec, tags, metric_col, tier, tags_col
+        )
         pred = row_pred & (
             (F.col("w_start") >= F.lit(spec.start))
             & (F.col("w_start") < F.lit(spec.end))
@@ -1732,7 +1834,10 @@ def api_query_hist(
         hist = (
             tier.where(pred)
             .select(
-                *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+                *[
+                    tag_value_col(tier, tags_col, k).alias(k)
+                    for k in group_tags
+                ],
                 _bucket_expr(spec, sec, F.col("w_start")).alias("w_start"),
                 "bucket",
                 "n",
@@ -1742,13 +1847,19 @@ def api_query_hist(
         )
     else:
         ts_sec = F.unix_timestamp(F.col(ts_col))
+        _, row_pred = _series_and_pred(
+            spec, tags, metric_col, points, tags_col
+        )
         pred = row_pred & (
             (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
         )
         hist = (
             points.where(pred)
             .select(
-                *[F.element_at(tags, F.lit(k)).alias(k) for k in group_tags],
+                *[
+                    tag_value_col(points, tags_col, k).alias(k)
+                    for k in group_tags
+                ],
                 _bucket_expr(spec, sec, ts_sec).alias("w_start"),
                 value_bucket(F.col(value_col)).alias("bucket"),
             )
