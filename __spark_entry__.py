@@ -2739,6 +2739,10 @@ def _q_fn_string(spark, sf_dir):
 
 
 def _q_fn_json(spark, sf_dir):
+    # r6 note: staging the parsed value was A/B'd and is a no-op here —
+    # Spark deduplicates identical aggregate input expressions, so the
+    # JSON is already parsed once per row (2.33 s direct vs 2.34 s
+    # staged at sf1.0; the parse alone is 2.17 s). Left as-is.
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
