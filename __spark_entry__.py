@@ -327,7 +327,7 @@ def _q_derive_points(spark, sf_dir):
     seqs = _md5_token_seqs(spark, sf_dir)
     from opentsdb_rollup_rust_spark.functions.arrays import token_array_stats
 
-    stats = token_array_stats("tokens")
+    stats = token_array_stats("tokens", sum_acc="int")
     return seqs.select(
         "doc_id",
         "source",
@@ -379,7 +379,7 @@ def _q_rollup_fused(spark, sf_dir):
     from opentsdb_rollup_rust_spark.operators.rollup import fused_rollup_wide
 
     seqs = _md5_token_seqs(spark, sf_dir)
-    stats = token_array_stats("tokens")
+    stats = token_array_stats("tokens", sum_acc="int")
     wide = seqs.select(
         "source",
         (F.lit(EPOCH_BASE_SECONDS) + F.pmod(md5_int60(F.col("doc_id")), F.lit(HORIZON_SECONDS))).alias("ts_sec"),
@@ -578,7 +578,7 @@ def _q_expr_ratio(spark, sf_dir):
     from opentsdb_rollup_rust_spark.functions.hashing import md5_int60
 
     seqs = _md5_token_seqs(spark, sf_dir)
-    stats = token_array_stats("tokens")
+    stats = token_array_stats("tokens", sum_acc="int")
     ts_sec = F.lit(EPOCH_BASE_SECONDS) + F.pmod(
         md5_int60(F.col("doc_id")), F.lit(HORIZON_SECONDS)
     )
@@ -2413,8 +2413,20 @@ def _q_api_query_delete_read(spark, sf_dir):
     )
     # the stored-identity helper columns are a READ-side contract; the
     # persisted table keeps the r5 4-column schema (writing them would
-    # only grow the store round-trip this demo times)
-    store.append("api_pts", pts.select("series_id", "ts", "value", "tags"))
+    # only grow the store round-trip this demo times). Time-clustered
+    # layout (r6, guide §6.3): range-partition + sort by ts so parquet
+    # footers carry tight disjoint [min, max] ranges — replace_range's
+    # metadata-first pruning then carries ~2/3 of the files over
+    # untouched and the keep-scan's pushed range predicate skips them
+    # at scan time, instead of rewriting every file (random-ts layout
+    # makes every file straddle the delete range). Identical rows
+    # stored; only the file layout changes.
+    store.append(
+        "api_pts",
+        pts.select("series_id", "ts", "value", "tags")
+        .repartitionByRange(F.col("ts"))
+        .sortWithinPartitions("ts"),
+    )
     spec = QuerySpec(
         metric="click",
         start=t0,

@@ -54,7 +54,7 @@ def derive_points(
     """
     if impl == "arrow":
         return _derive_points_arrow(sequences, keep_doc_id)
-    stats = token_array_stats("tokens")
+    stats = token_array_stats("tokens", sum_acc="int")
     stack_args: list[Column] = []
     for name in TOKEN_STATS:
         stack_args.append(F.lit(name))
@@ -86,7 +86,7 @@ def derive_wide(
     aggregated output, never on the raw points."""
     if impl == "arrow":
         return _derive_wide_arrow(sequences, keep_doc_id)
-    stats = token_array_stats("tokens")
+    stats = token_array_stats("tokens", sum_acc="int")
     pass_cols = [F.col("doc_id")] if keep_doc_id else []
     return sequences.select(
         *pass_cols,

@@ -512,10 +512,12 @@ def connected_components(
     variant — identical per-round plan shape, different edge rewrite.
 
     Iterative-plan hygiene: each round's result is localCheckpoint'ed
-    (eager) — without truncation the lineage doubles per round and
-    Catalyst analysis goes quadratic; the convergence probe is one
-    LIMIT-1 count on the changed-rows join (documented action per
-    round, the standard price of a data-dependent fixpoint)."""
+    (lazy) — without truncation the lineage doubles per round and
+    Catalyst analysis goes quadratic. The convergence probe rides the
+    SAME aggregation: the old label is threaded through the groupBy
+    (min over the tagged self-row), so one job both materializes the
+    checkpoint and returns the changed-row count — no per-round
+    probe join, one action per round instead of two (r6)."""
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -529,21 +531,23 @@ def connected_components(
     for _ in range(max_iter):
         nbr = bidir.join(
             labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "label")
+        ).select(F.col("u").alias("node"), "label", F.lit(False).alias("own"))
         new = (
-            labels.unionByName(nbr)
+            labels.select("node", "label", F.lit(True).alias("own"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one own-row per node -> min(when) = old label
+                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+            )
+            .withColumn(
+                "_chg", (F.col("label") < F.col("_old")).cast("long")
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.agg(F.sum("_chg")).first()[0] or 0
+        labels = new.select("node", "label")
         if changed == 0:
             break
     else:
@@ -597,21 +601,22 @@ def connected_components_auto(
     for _ in range(probe_rounds):
         nbr = bidir.join(
             labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "label")
+        ).select(F.col("u").alias("node"), "label", F.lit(False).alias("own"))
         new = (
-            labels.unionByName(nbr)
+            labels.select("node", "label", F.lit(True).alias("own"))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own"), F.col("label"))).alias("_old"),
+            )
+            .withColumn(
+                "_chg", (F.col("label") < F.col("_old")).cast("long")
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.agg(F.sum("_chg")).first()[0] or 0
+        labels = new.select("node", "label")
         if changed == 0:
             converged = True
             break
@@ -683,7 +688,10 @@ def connected_components_twostar(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the checksum action below materializes (and truncates)
+        # it — one job per round-trip instead of a separate eager job
+        # per checkpoint (r6; same trick in the LS/SS loop)
+        .localCheckpoint(eager=False)
     )
 
     def _bi(e: DataFrame) -> DataFrame:
@@ -742,7 +750,7 @@ def connected_components_twostar(
             .join(_mins(b), "u")
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
         )
-        cur = _canon(large).localCheckpoint(eager=True)
+        cur = _canon(large).localCheckpoint(eager=False)
 
         # small-star: every node u rewires its SMALLER neighborhood
         # N⁻(u) (and itself) to min(N⁻(u) ∪ {u}) — which is just
@@ -756,7 +764,7 @@ def connected_components_twostar(
                 mins_small.select(F.col("u").alias("a"), F.col("m").alias("b"))
             )
         )
-        cur = _canon(small).localCheckpoint(eager=True)
+        cur = _canon(small).localCheckpoint(eager=False)
 
         new_sig = _checksum(cur)
         if new_sig == sig:

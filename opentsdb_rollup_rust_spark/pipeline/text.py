@@ -218,8 +218,9 @@ def repetition_profile(docs: "DataFrame", text_col: str = "text") -> "DataFrame"
     Scale shape (r6): ENTIRELY per-row — no shuffle at all. The 2-gram
     mode statistics (distinct grams, top gram frequency) come from a
     single pass over the SORTED gram array: equal grams are adjacent
-    after array_sort, so one fold counts run boundaries and the
-    longest run in O(L log L) per document. The r5 implementation
+    after array_sort, so the run-start positions (filter over an index
+    sequence) give the distinct count and, via consecutive-start gaps,
+    the longest run in O(L log L) per document. The r5 implementation
     exploded every gram into a (doc_id, gram) partial-agg + per-doc
     rollup — two shuffles of |total grams| rows (6.5 s at sf1.0 vs
     1.3 s per-row; and at 100 TB the explode writes the whole corpus'
@@ -247,56 +248,33 @@ def repetition_profile(docs: "DataFrame", text_col: str = "text") -> "DataFrame"
         F.size(F.array_distinct(w)).cast("long").alias("d_words"),
         F.array_sort(grams).alias("sg"),
     ).where(F.col("n_words") >= 2)
-    # one fold over the sorted grams: i = position, run = current run
-    # length, mx = longest run so far, d = distinct grams seen
-    runs = F.aggregate(
-        F.col("sg"),
-        F.struct(
-            F.lit(0).cast("int").alias("i"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("mx"),
-            F.lit(0).cast("long").alias("d"),
-        ),
-        lambda acc, x: F.struct(
-            (acc["i"] + F.lit(1)).alias("i"),
-            F.when(
-                (acc["i"] > 0)
-                & (F.element_at(F.col("sg"), acc["i"]) == x),
-                acc["run"] + F.lit(1).cast("long"),
-            )
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["mx"],
-                F.when(
-                    (acc["i"] > 0)
-                    & (F.element_at(F.col("sg"), acc["i"]) == x),
-                    acc["run"] + F.lit(1).cast("long"),
-                ).otherwise(F.lit(1).cast("long")),
-            ).alias("mx"),
-            (
-                acc["d"]
-                + F.when(
-                    (acc["i"] > 0)
-                    & (F.element_at(F.col("sg"), acc["i"]) == x),
-                    F.lit(0).cast("long"),
-                ).otherwise(F.lit(1).cast("long"))
-            ).alias("d"),
-        ),
+    # run statistics from the run-START positions instead of a struct
+    # fold (r6): in the sorted array, position i (1-based) starts a
+    # run iff i == 1 or sg[i] != sg[i-1]. distinct grams = number of
+    # run starts; the longest run = the largest gap between
+    # consecutive starts (with a sentinel n+1 closing the last run).
+    # Same O(L) element_at accesses as the old fold but no per-element
+    # struct allocation (best-rep 1.06 s -> 0.67 s on 100k docs,
+    # interleaved scripts/repetition_ab_r06.py; exact-equal output).
+    sg = F.col("sg")
+    n2 = F.size(sg)
+    starts = F.filter(
+        F.sequence(F.lit(1), n2),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(sg, i) != F.element_at(sg, i - F.lit(1))),
     )
+    d2 = F.size(starts)
+    run_ends = F.concat(
+        F.slice(starts, 2, d2 - F.lit(1)), F.array(n2 + F.lit(1))
+    )
+    top_cnt = F.array_max(F.zip_with(run_ends, starts, lambda a, b: a - b))
     agg = base.select(
         "doc_id",
         "n_words",
         "d_words",
-        F.size("sg").cast("long").alias("n_2grams"),
-        runs.alias("_r"),
-    ).select(
-        "doc_id",
-        "n_words",
-        "d_words",
-        "n_2grams",
-        F.col("_r.d").alias("d_2grams"),
-        F.col("_r.mx").alias("top_cnt"),
+        n2.cast("long").alias("n_2grams"),
+        d2.cast("long").alias("d_2grams"),
+        top_cnt.cast("long").alias("top_cnt"),
     )
     return agg.select(
         "doc_id",

@@ -1302,8 +1302,14 @@ def api_query_delete(store, table: str, spec: QuerySpec, ts_col: str = "ts",
         raise ValueError(f"empty delete range [{spec.start}, {spec.end})")
     _, row_pred = _series_and_pred(spec, F.col(tags_col), metric_col)
     cur = store.read(table)
-    ts_sec = F.unix_timestamp(F.col(ts_col))
-    in_range = (ts_sec >= F.lit(spec.start)) & (ts_sec < F.lit(spec.end))
+    # pushdown-friendly range form (r6): raw-column comparison against
+    # a foldable timestamp literal reaches the parquet scan, so files/
+    # row groups disjoint from [start, end) are skipped footer-first —
+    # exact (floor equivalence, see store._epoch_bound_exprs)
+    from ..sources.store import _epoch_bound_exprs
+
+    ts_sec, mk = _epoch_bound_exprs(cur, ts_col)
+    in_range = (ts_sec >= mk(spec.start)) & (ts_sec < mk(spec.end))
     # keep = in-range rows that do NOT match. The compiled tag filters
     # are null-safe (a missing tagk is FALSE, never NULL — the
     # tagquery rule), but coalesce guards the negation anyway: a NULL

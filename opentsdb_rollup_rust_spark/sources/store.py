@@ -455,10 +455,11 @@ class ManifestStore:
                 rewrite.append(f)
         base = m["current"]
         snap_id = self._new_snap_id(m)
-        ts = F.unix_timestamp(F.col(ts_col))
         if rewrite:
-            outside = self.spark.read.parquet(*rewrite).where(
-                (ts < F.lit(t0_epoch)) | (ts >= F.lit(t1_epoch))
+            straddling = self.spark.read.parquet(*rewrite)
+            ts, mk = _epoch_bound_exprs(straddling, ts_col)
+            outside = straddling.where(
+                (ts < mk(t0_epoch)) | (ts >= mk(t1_epoch))
             )
             df_new = outside.unionByName(df_new)
         written = self._write_data(table, df_new, snap_id)
@@ -529,9 +530,9 @@ class ManifestStore:
         snap_id = self._new_snap_id(m)
         new_paths = list(kept)
         if straddle:
-            filtered = self.spark.read.parquet(*straddle).where(
-                F.unix_timestamp(F.col(ts_col)) >= F.lit(cutoff_epoch)
-            )
+            sdf = self.spark.read.parquet(*straddle)
+            ts, mk = _epoch_bound_exprs(sdf, ts_col)
+            filtered = sdf.where(ts >= mk(cutoff_epoch))
             new_paths += self._write_data(table, filtered, snap_id)
 
         def build(m2: dict) -> dict:
@@ -556,6 +557,25 @@ class ManifestStore:
             }
 
         return self._commit_against(table, base, build)
+
+
+def _epoch_bound_exprs(df: "DataFrame", ts_col: str):
+    """(lhs, mk_lit) pieces for epoch-seconds range predicates on
+    ``ts_col``, pushdown-friendly where possible (r6, guide §6.2).
+
+    For a TimestampType column the comparison stays on the RAW column
+    against a foldable timestamp literal, so parquet footer/row-group
+    pruning applies at the scan; wrapping the column in
+    unix_timestamp() (the old form) blocks pushdown entirely. Exact
+    equivalence: unix_timestamp floors to whole seconds, and for any t
+    and integer bound s, floor(t) >= s <=> t >= s and
+    floor(t) < s <=> t < s — identical rows kept. Non-timestamp
+    columns (string ts etc.) keep the unix_timestamp parse."""
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get(ts_col) == "timestamp":
+        return F.col(ts_col), lambda s: F.timestamp_seconds(F.lit(s))
+    return F.unix_timestamp(F.col(ts_col)), lambda s: F.lit(s)
 
 
 def _footer_min_max(path: str, col_name: str) -> tuple[float | None, float | None]:
