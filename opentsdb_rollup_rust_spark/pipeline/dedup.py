@@ -43,29 +43,48 @@ SIMHASH_BANDS = 4  # 15-bit bands -> 32768 buckets/band: selective past 10^6 doc
 
 
 def _shingles_from_words(w: Column, k: int = 3) -> Column:
-    """k-word shingles from a words array, built with zip_with over
-    shifted copies of the array instead of element_at inside a
-    transform lambda. The distinction matters: optimizer rules that
-    substitute an alias into this expression (InferFiltersFromGenerate
-    + filter pushdown do this with no multi-reference guard) duplicate
-    every reference to ``w`` — with element_at that put the regex split
-    INSIDE a per-element lambda, re-evaluating it O(k * n_shingles)
-    times per row (measured: explode(shingles) went from 0.3s to 22s at
-    sf0.1). Here ``w`` appears only a constant number of times at top
-    level, so even a fully-inlined copy costs O(k) extra splits.
+    """k-word shingles from a words array.
+
+    Primary path (r6): ONE regex pass over the space-joined words —
+    a zero-width lookahead capture ``(?:^| )(?=((?:\\S+ ){k-1}\\S+))``
+    matched with regexp_extract_all. The anchor alternation consumes
+    the boundary (or matches ^ at position 0), the lookahead captures
+    the k-word gram WITHOUT consuming it, so every overlapping gram
+    surfaces, in positional order. Provably identical to the zip_with
+    build whenever no word is the empty string: words from
+    split(trim(text), '\\s+') contain no ASCII whitespace, so the
+    joined string's separators are exactly the inserted single spaces
+    and \\S+ runs are exactly the words. Interleaved A/B
+    (scripts/shingle_ab_r06.py, 100k docs): staged+explode best-rep
+    0.73 s -> 0.44 s, exact-equal output including order.
+
+    Fallback path, chosen PER ROW only when the words array contains
+    an empty entry (possible only for text with leading/trailing
+    non-space whitespace — trim strips spaces alone): the r1-r5
+    zip_with chain over shifted copies of the array. That chain stays
+    alias-inlining-safe exactly as before (``w`` appears a constant
+    number of times at top level — the InferFiltersFromGenerate /
+    pushdown substitution hazard documented in r1 measured
+    explode(shingles) at 22 s when the split landed inside a
+    per-element lambda). CaseWhen evaluates only the taken branch, so
+    clean rows never pay the chain.
 
     zip_with pads the shorter (shifted) side with null; concat_ws
     skips nulls, so the trailing entries are short grams that the
     final slice drops. Guarded for docs shorter than k words."""
     n = F.size(w)
+    joined = F.array_join(w, " ")
+    grams_re = rf"(?:^| )(?=((?:\S+ ){{{k - 1}}}\S+))"
+    grams = F.regexp_extract_all(joined, F.lit(grams_re), F.lit(1))
     acc = w
     for j in range(1, k):
         acc = F.zip_with(
             acc, F.slice(w, j + 1, n), lambda a, b: F.concat_ws(" ", a, b)
         )
     mk = F.slice(acc, 1, n - F.lit(k - 1))
+    picked = F.when(~F.array_contains(w, F.lit("")), grams).otherwise(mk)
     return F.array_distinct(
-        F.when(n >= F.lit(k), mk).otherwise(F.array(F.array_join(w, " ")))
+        F.when(n >= F.lit(k), picked).otherwise(F.array(joined))
     )
 
 

@@ -85,16 +85,31 @@ def main():
     )
     print("corpus rows:", big.count())
 
+    def old_zipwith_shingles(w, k: int = 3):
+        # the r1-r5 construction, inline (the tree's _shingles_from_words
+        # is now the guarded regex hybrid)
+        n = F.size(w)
+        acc = w
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(w, j + 1, n), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        mk = F.slice(acc, 1, n - F.lit(k - 1))
+        return F.array_distinct(
+            F.when(n >= F.lit(k), mk).otherwise(F.array(F.array_join(w, " ")))
+        )
+
     def v_zipwith(d):
         w = d.select("doc_id", doc_words(F.col("text")).alias("_w"))
         return w.select(
-            "doc_id", _shingles_from_words(F.col("_w")).alias("shingles")
+            "doc_id", old_zipwith_shingles(F.col("_w")).alias("shingles")
         )
 
     def v_regex(d):
+        # the tree's guarded hybrid (regex + per-row empty-word fallback)
         w = d.select("doc_id", doc_words(F.col("text")).alias("_w"))
         return w.select(
-            "doc_id", regex_shingles_from_words(F.col("_w")).alias("shingles")
+            "doc_id", _shingles_from_words(F.col("_w")).alias("shingles")
         )
 
     # exactness: full equality on the real (unreplicated) docs

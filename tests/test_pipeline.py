@@ -768,3 +768,52 @@ def test_pipeline_build_stage_order(spark):
     got = {(r.doc_id, r.split) for r in sp.select("doc_id", "split").collect()}
     assert sorted(x[0] for x in got) == survivors
     assert all(s in ("train", "val", "test") for _, s in got)
+
+
+def test_shingles_regex_hybrid_matches_zipwith_chain(spark):
+    """r6: _shingles_from_words' regex primary path and its per-row
+    empty-word fallback both reproduce the r5 zip_with chain exactly —
+    including the adversarial shapes the corpus never produces
+    (leading tab -> empty first word, trailing tab -> empty last word,
+    sub-k docs, empty text, unicode NBSP inside a word, regex
+    metacharacters as words)."""
+    from opentsdb_rollup_rust_spark.pipeline.dedup import _shingles_from_words
+    from opentsdb_rollup_rust_spark.pipeline.text import doc_words
+
+    def old_chain(w, k=3):
+        n = F.size(w)
+        acc = w
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(w, j + 1, n), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        mk = F.slice(acc, 1, n - F.lit(k - 1))
+        return F.array_distinct(
+            F.when(n >= F.lit(k), mk).otherwise(F.array(F.array_join(w, " ")))
+        )
+
+    texts = [
+        "a b c d e",
+        "a b c",
+        "a b",
+        "a",
+        "",
+        "   ",
+        "\tlead b c d",          # leading tab -> empty first word
+        "a b c d\t",             # trailing tab -> empty last word
+        "a\tb c d",              # tab separator mid-text
+        "x y b c d",        # NBSP inside a word (not split)
+        "a.* [b] (c) d+ e?",     # regex metacharacters as words
+        "dup dup dup dup",
+        "one two three four five six seven",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    ).select("i", doc_words(F.col("text")).alias("_w"))
+    rows = df.select(
+        "i",
+        _shingles_from_words(F.col("_w")).alias("new"),
+        old_chain(F.col("_w")).alias("old"),
+    ).collect()
+    for r in rows:
+        assert r["new"] == r["old"], (texts[r["i"]], r["new"], r["old"])
